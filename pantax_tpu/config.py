@@ -1,0 +1,75 @@
+"""Profiling configuration — the framework's equivalent of the reference's
+``ProfilingConfig`` (/root/reference/pantax/src/types.rs:57-91) with defaults
+from /root/reference/pantax/src/main.rs:102-171 and cli.rs.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+
+
+@dataclass
+class ProfilingConfig:
+    db: Path | None = None
+    wd: Path = Path("pantax_tpu_tmp")
+    # -a: species kept for strain profiling need abundance > this
+    min_species_abundance: float = 1e-4
+    # --fr: min fraction of a path's unique trio nodes that must be covered
+    # (0.3 short reads / 0.5 long reads, main.rs:107-114)
+    unique_trio_nodes_fraction: float = 0.3
+    # --fc: max divergence between first solve and trio mean (main.rs:115-117)
+    unique_trio_nodes_mean_count_f: float = 0.46
+    # --sr: rescue threshold on unique_trio_fraction * path_cov_ratio
+    single_cov_ratio: float = 0.85
+    # --sd: drop single-strain species with total_cov_diff above this
+    single_cov_diff: float = 0.2
+    minimization_min_cov: float = 0.0
+    min_cov: float = 0.0
+    min_depth: float = 0.0
+    species: bool = True
+    strain: bool = True
+    # mapq credibility filter on species profiling (--no_filter inverts)
+    filtered: bool = True
+    # MILP node subsampling (--sample / --sample_test, cli.rs:227-232)
+    sample_nodes: int = 500_000
+    sample_test: bool = False
+    designated_species: list[str] | None = None
+    # --smode: 0 keeps only non-pan species ranges, 1 only pan, else all
+    mode: int = 2
+    full: bool = True
+    # 'admm' (JAX/TPU) or 'highs' (scipy host oracle)
+    solver: str = "admm"
+    # shift mode scales the trio-fraction threshold by the trio coverage mean
+    # (defaults on iff the DB range table is empty, main.rs:118-124 quirk)
+    shift: bool = False
+    # read type: 'short' or 'long' — sets unique_trio_nodes_fraction default
+    read_type: str = "short"
+
+    @classmethod
+    def for_read_type(cls, read_type: str, **kw) -> "ProfilingConfig":
+        fr = 0.3 if read_type == "short" else 0.5
+        kw.setdefault("unique_trio_nodes_fraction", fr)
+        return cls(read_type=read_type, **kw)
+
+
+@dataclass
+class AlignConfig:
+    """Aligner parameters (giraffe/GraphAligner replacement)."""
+
+    k: int = 29                 # minimizer k-mer size
+    w: int = 11                 # minimizer window
+    max_candidates: int = 8     # extension candidates per read after chaining
+    extension_band: int = 17    # banded-SW half-band (must leave DP in VMEM)
+    match: int = 1
+    mismatch: int = -4
+    gap_open: int = -6
+    gap_extend: int = -1
+    min_score_frac: float = 0.65  # min score / read_len to report
+    long_read_chunk: int = 1024   # blockwise DP chunk for long reads
+    mapq_scale: float = 6.0
+
+
+@dataclass
+class PipelineConfig:
+    profiling: ProfilingConfig = field(default_factory=ProfilingConfig)
+    align: AlignConfig = field(default_factory=AlignConfig)

@@ -1,0 +1,192 @@
+"""Path Abundance Optimization (PAO).
+
+The reference solves, per species (/root/reference/pantax/src/profile.rs:1297-1511):
+
+    min (1/n) sum_v y_v
+    s.t. y_v >= +(sum_p A[v,p] x_p - b_v)
+         y_v >= -(sum_p A[v,p] x_p - b_v)      for nodes v with b_v > 0
+         0 <= x_p <= 1.05 * max(b)
+         (binary "strain indicator" vars s_p with sum s_p <= npaths — these are
+          never binding because minimization_min_cov defaults to 0, so the MILP
+          reduces to the LP above)
+
+i.e. box-constrained L1 regression  min (1/n) ||A x - b||_1,  A binary
+node-membership.  Here it is solved with a two-block ADMM in JAX (TPU path):
+
+    min (1/n)||z||_1 + I_[0,ub](w)   s.t.  z = A x - b,  w = x
+    x-step:  (AtA + I) x = At (b + z - u_z) + (w - u_w)      (p x p solve)
+    z-step:  soft-threshold(A x - b + u_z, 1/(n rho))
+    w-step:  clip(x + u_w, 0, ub)
+
+with over-relaxation.  A scipy/HiGHS backend provides the exact-LP oracle
+(mirroring the reference's highs_opt, profile.rs:2689-2882).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass
+class PaoResult:
+    x: np.ndarray          # [p] per-path coverage depth
+    objective: float       # (1/n) * sum |Ax - b| over the selected nodes
+
+
+# ---------------------------------------------------------------------------
+# node subsampling (parity: profile.rs:1287-1295,1387-1403 — seed 42; the RNG
+# differs from the reference's StdRng, but determinism knobs are preserved)
+# ---------------------------------------------------------------------------
+def sample_valid_nodes(
+    valid_nodes: np.ndarray, sample_nodes: int, sample_test: bool
+) -> np.ndarray:
+    cap = 500 if sample_test else sample_nodes
+    if cap and len(valid_nodes) > cap:
+        rng = np.random.default_rng(42)
+        picked = rng.choice(valid_nodes, size=cap, replace=False)
+        return np.sort(picked)
+    return valid_nodes
+
+
+# ---------------------------------------------------------------------------
+# ADMM backend (JAX)
+# ---------------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("iters",))
+def _admm_solve(A, b, ub, rho, iters: int):
+    n, p = A.shape
+    AtA = A.T @ A + jnp.eye(p, dtype=A.dtype)
+    # Cholesky factorization reused across iterations
+    L = jnp.linalg.cholesky(AtA)
+    thresh = 1.0 / (jnp.maximum(n, 1) * rho)
+    alpha = 1.6  # over-relaxation
+
+    def step(carry, _):
+        x, z, w, uz, uw = carry
+        rhs = A.T @ (b + z - uz) + (w - uw)
+        x = jax.scipy.linalg.cho_solve((L, True), rhs)
+        Ax = A @ x
+        Ax_r = alpha * Ax + (1 - alpha) * (z + b)
+        x_r = alpha * x + (1 - alpha) * w
+        z_new = Ax_r - b + uz
+        z = jnp.sign(z_new) * jnp.maximum(jnp.abs(z_new) - thresh, 0.0)
+        w = jnp.clip(x_r + uw, 0.0, ub)
+        uz = uz + Ax_r - b - z
+        uw = uw + x_r - w
+        return (x, z, w, uz, uw), None
+
+    x0 = jnp.zeros(p, dtype=A.dtype)
+    z0 = jnp.zeros(n, dtype=A.dtype)
+    init = (x0, z0, x0, z0, x0)
+    (x, z, w, uz, uw), _ = jax.lax.scan(step, init, None, length=iters)
+    xf = jnp.clip(w, 0.0, ub)
+    obj = jnp.sum(jnp.abs(A @ xf - b)) / jnp.maximum(n, 1)
+    return xf, obj
+
+
+def _solve_admm(A: np.ndarray, b: np.ndarray, ub: float, iters: int = 1500) -> PaoResult:
+    A_j = jnp.asarray(A, dtype=jnp.float32)
+    b_j = jnp.asarray(b, dtype=jnp.float32)
+    scale = float(np.max(b)) if len(b) and np.max(b) > 0 else 1.0
+    x, obj = _admm_solve(A_j, b_j / scale, ub / scale, jnp.float32(1.0), iters)
+    x = np.asarray(x, dtype=np.float64) * scale
+    # polish: per-coordinate exact line search (coordinate descent on the LP)
+    x = _polish(A.astype(np.float64), b.astype(np.float64), x, ub)
+    obj = float(np.abs(A @ x - b).sum() / max(len(b), 1))
+    return PaoResult(x=x, objective=obj)
+
+
+def _polish(A: np.ndarray, b: np.ndarray, x: np.ndarray, ub: float, sweeps: int = 8) -> np.ndarray:
+    """Coordinate-wise exact minimization of ||Ax - b||_1 within the box.
+
+    For one coordinate j, the objective as a function of x_j is piecewise
+    linear with breakpoints at (b - A x + A_j x_j) / A_j over rows with
+    A[v,j] != 0; the optimum is a weighted median.  This turns the ADMM
+    near-solution into an exact LP vertex in a few sweeps.
+    """
+    n, p = A.shape
+    if n == 0 or p == 0:
+        return x
+    r = A @ x - b
+    for _ in range(sweeps):
+        moved = 0.0
+        for j in range(p):
+            col = A[:, j]
+            nz = col != 0
+            if not nz.any():
+                x[j] = 0.0 if 0.0 <= ub else ub
+                continue
+            # objective along x_j: sum_v |r_v + col_v * t| where t = delta
+            breaks = -(r[nz] / col[nz])
+            cand = np.clip(np.sort(breaks), -x[j], ub - x[j])
+            cand = np.unique(np.concatenate([cand, [-x[j], ub - x[j]]]))
+            vals = np.abs(r[nz, None] + col[nz, None] * cand[None, :]).sum(axis=0)
+            t = cand[np.argmin(vals)]
+            if t != 0.0:
+                x[j] += t
+                r += col * t
+                moved += abs(t)
+        if moved < 1e-12:
+            break
+    return x
+
+
+# ---------------------------------------------------------------------------
+# HiGHS backend (scipy) — exact LP oracle
+# ---------------------------------------------------------------------------
+def _solve_highs(A: np.ndarray, b: np.ndarray, ub: float) -> PaoResult:
+    from scipy.optimize import linprog
+    from scipy.sparse import csr_matrix, eye, hstack
+
+    n, p = A.shape
+    if n == 0:
+        return PaoResult(x=np.zeros(p), objective=0.0)
+    As = csr_matrix(A)
+    In = eye(n, format="csr")
+    # vars [x (p), y (n)]; constraints  A x - y <= b,  -A x - y <= -b
+    A_ub = hstack([As, -In], format="csr")
+    A_ub2 = hstack([-As, -In], format="csr")
+    from scipy.sparse import vstack
+
+    G = vstack([A_ub, A_ub2], format="csr")
+    h = np.concatenate([b, -b])
+    c = np.concatenate([np.zeros(p), np.full(n, 1.0 / n)])
+    bounds = [(0.0, ub)] * p + [(0.0, None)] * n
+    res = linprog(c, A_ub=G, b_ub=h, bounds=bounds, method="highs")
+    if not res.success:
+        raise RuntimeError(f"PAO LP failed: {res.message}")
+    x = res.x[:p]
+    obj = float(np.abs(A @ x - b).sum() / n)
+    return PaoResult(x=x, objective=obj)
+
+
+def solve_pao(
+    A: np.ndarray,
+    b: np.ndarray,
+    ub: float,
+    solver: str = "admm",
+    fixed_zero: np.ndarray | None = None,
+) -> PaoResult:
+    """Solve min (1/n)||A x - b||_1, 0 <= x <= ub, optionally pinning a subset
+    of paths to zero (the reference's second solve adds x_p == 0 constraints,
+    profile.rs:1482-1510)."""
+    A = np.asarray(A, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    p = A.shape[1]
+    if fixed_zero is not None and fixed_zero.any():
+        free = ~fixed_zero
+        sub = solve_pao(A[:, free], b, ub, solver=solver)
+        x = np.zeros(p)
+        x[free] = sub.x
+        return PaoResult(x=x, objective=sub.objective)
+    if p == 0:
+        return PaoResult(x=np.zeros(0), objective=float(np.abs(b).sum() / max(len(b), 1)))
+    if solver == "highs":
+        return _solve_highs(A, b, ub)
+    if solver == "admm":
+        return _solve_admm(A, b, ub)
+    raise ValueError(f"unknown PAO solver {solver!r}")

@@ -1,0 +1,109 @@
+import gzip
+
+import numpy as np
+import pytest
+
+from pantax_tpu.io.fastx import iter_fastx, write_fasta
+from pantax_tpu.io.gfa import read_gfa, write_gfa
+from pantax_tpu.io.gaf import GafRecord, parse_gaf_line, filter_best_long_read_alignments
+from pantax_tpu.io.metadata import GenomeInfo, read_genomes_info, write_genomes_info
+
+
+def test_fasta_roundtrip(tmp_path):
+    recs = [("seq1", b"ACGTACGT"), ("seq2", b"GGGG")]
+    p = tmp_path / "x.fna"
+    write_fasta(p, recs, width=4)
+    assert list(iter_fastx(p)) == recs
+
+
+def test_fasta_gzip_and_lowercase(tmp_path):
+    p = tmp_path / "x.fna.gz"
+    with gzip.open(p, "wb") as f:
+        f.write(b">a desc here\nacgt\nACGT\n")
+    assert list(iter_fastx(p)) == [("a", b"ACGTACGT")]
+
+
+def test_fastq(tmp_path):
+    p = tmp_path / "x.fq"
+    p.write_bytes(b"@r1/1\nACGT\n+\nIIII\n@r2/1\nGGCC\n+\nIIII\n")
+    assert list(iter_fastx(p)) == [("r1/1", b"ACGT"), ("r2/1", b"GGCC")]
+
+
+def test_gfa_roundtrip(tmp_path):
+    p = tmp_path / "g.gfa"
+    node_seqs = [b"ACGT", b"GG", b"TTTT"]
+    walks = [("GCF_1", "0", "c1", 10, np.array([0, 1, 2]))]
+    write_gfa(p, node_seqs, walks)
+    g = read_gfa(p)
+    assert list(g.nodes_len) == [4, 2, 4]
+    assert g.node_seqs == node_seqs
+    assert list(g.paths["GCF_1"]) == [0, 1, 2]
+    assert not g.is_pan
+
+
+def test_gfa_w_line_reversal(tmp_path):
+    p = tmp_path / "g.gfa"
+    p.write_bytes(
+        b"H\tVN:Z:1.1\n"
+        b"S\t1\tAC\nS\t2\tGT\nS\t3\tCC\n"
+        b"W\thapA\t0\tc1\t0\t6\t<3<2<1\n"
+    )
+    g = read_gfa(p)
+    assert list(g.paths["hapA"]) == [0, 1, 2]
+
+
+def test_gfa_p_line_pansn_and_merge(tmp_path):
+    p = tmp_path / "g.gfa"
+    p.write_bytes(
+        b"S\t1\tAC\nS\t2\tGT\nS\t3\tCC\n"
+        b"P\thapA#0#c1\t1+,2+\t*\n"
+        b"P\thapA#0#c2\t3+\t*\n"
+    )
+    g = read_gfa(p)
+    assert list(g.paths["hapA"]) == [0, 1, 2]
+    assert not g.is_pan
+
+
+def test_gfa_out_of_order_nodes_rejected(tmp_path):
+    p = tmp_path / "g.gfa"
+    p.write_bytes(b"S\t2\tAC\n")
+    with pytest.raises(ValueError):
+        read_gfa(p)
+
+
+def test_gaf_parse_and_filter():
+    line = (
+        "r1\t1500\t10\t1400\t+\t>5>6>7\t2000\t100\t1500\t1350\t1400\t60\tid:f:0.97"
+    )
+    rec = parse_gaf_line(line)
+    assert rec.path_nodes() == [5, 6, 7]
+    assert rec.mapq == 60 and rec.identity == 0.97
+
+    # best per read by matches then identity; drop mapq<=20 or span<=1000
+    a = GafRecord("r", 2000, 0, 1500, "+", ">1", 100, 0, 99, 900, 1000, 60, 0.9)
+    b = GafRecord("r", 2000, 0, 1500, "+", ">2", 100, 0, 99, 950, 1000, 60, 0.8)
+    c = GafRecord("q", 2000, 0, 500, "+", ">3", 100, 0, 99, 990, 1000, 60, 0.8)
+    d = GafRecord("s", 2000, 0, 1500, "+", ">4", 100, 0, 99, 990, 1000, 10, 0.8)
+    kept = filter_best_long_read_alignments([a, b, c, d])
+    assert [r.path for r in kept] == [">2"]
+
+
+def test_genomes_info_roundtrip(tmp_path):
+    p = tmp_path / "gi.txt"
+    infos = [
+        GenomeInfo("GCF_1.1_x", "562.1", "562", "E coli", "../genomes/GCF_000001.1_asm_genomic.fna"),
+    ]
+    write_genomes_info(p, infos)
+    back = read_genomes_info(p)
+    assert back == infos
+    assert back[0].hap_id == "GCF_000001.1"
+    assert back[0].file_stem == "GCF_000001.1_asm_genomic"
+
+
+def test_genomes_info_example_file():
+    infos = read_genomes_info("/root/reference/example/example_genomes_info.txt")
+    assert len(infos) == 4
+    assert infos[0].species_taxid == "562"
+    # gz path: stem strips .gz then .fna
+    gz = [i for i in infos if i.path.endswith(".gz")][0]
+    assert gz.hap_id == "GCF_006400955.1"
