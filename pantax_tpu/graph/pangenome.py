@@ -1,0 +1,156 @@
+"""Anchor-partition pangenome constructor for multi-genome species.
+
+Replaces the reference's external pggb/cactus pipeline
+(/root/reference/pantax/src/task_scheduling.rs:404-500) with an in-process,
+deterministic construction designed for strain-level genomes (ANI >= ~95):
+
+  1. find *universal unique anchors* — k-mers occurring exactly once in every
+     genome of the species;
+  2. enforce collinearity by keeping, per genome, a longest-increasing
+     subsequence of anchor positions (orientation-preserving; structural
+     rearrangements degrade into longer segments, never into a broken graph);
+  3. cut every genome at its anchor start positions; between consecutive
+     anchors each genome contributes one segment;
+  4. collapse identical segment sequences within a slot into shared nodes;
+     distinct sequences become parallel bubble nodes; every node is chopped
+     into <= chunk_size pieces (matching the eq-1 chunking granularity,
+     /root/reference/pantax/src/constants.rs:3);
+  5. haplotype paths spell each input genome exactly.
+
+The output is a :class:`SpeciesGraph` whose unique trio nodes discriminate
+strains exactly as pggb-built graphs do in the reference pipeline.
+"""
+from __future__ import annotations
+
+from bisect import bisect_left
+
+import numpy as np
+
+from .core import SpeciesGraph
+
+DEFAULT_K = 31
+# Pangenome nodes are chopped finer than the eq-1 chain graphs (1024) so that
+# short reads span >= 3 nodes and produce trio-node coverage — the strain
+# filters key on it (profile.rs:1080-1227).  pggb graphs get this granularity
+# from base-level alignment; the anchor-partition graph gets it by chunking.
+DEFAULT_PAN_CHUNK = 64
+
+
+def _kmer_positions(seq: bytes, k: int) -> dict[bytes, int]:
+    """k-mer -> position for k-mers occurring exactly once (others dropped)."""
+    seen: dict[bytes, int] = {}
+    dup: set[bytes] = set()
+    for i in range(len(seq) - k + 1):
+        kmer = seq[i : i + k]
+        if kmer in dup:
+            continue
+        if kmer in seen:
+            del seen[kmer]
+            dup.add(kmer)
+        else:
+            seen[kmer] = i
+    return seen
+
+
+def _lis_indices(values: list[int]) -> list[int]:
+    """Indices of a longest strictly-increasing subsequence (O(n log n))."""
+    tails: list[int] = []          # values
+    tails_idx: list[int] = []      # index of tail element
+    prev = [-1] * len(values)
+    for i, v in enumerate(values):
+        pos = bisect_left(tails, v)
+        if pos == len(tails):
+            tails.append(v)
+            tails_idx.append(i)
+        else:
+            tails[pos] = v
+            tails_idx[pos] = i
+        prev[i] = tails_idx[pos - 1] if pos > 0 else -1
+    out: list[int] = []
+    i = tails_idx[-1] if tails_idx else -1
+    while i >= 0:
+        out.append(i)
+        i = prev[i]
+    return out[::-1]
+
+
+def find_universal_anchors(seqs: list[bytes], k: int = DEFAULT_K) -> list[list[int]]:
+    """Anchor positions per genome: k-mers unique in every genome, made
+    collinear (LIS per genome, anchored to genome 0 order), then thinned so
+    consecutive anchors don't overlap (>= k apart in every genome)."""
+    maps = [_kmer_positions(s, k) for s in seqs]
+    common = set(maps[0])
+    for m in maps[1:]:
+        common &= set(m)
+    if not common:
+        return [[] for _ in seqs]
+    anchors = sorted(common, key=lambda km: maps[0][km])
+    # iteratively enforce increasing order in every other genome
+    for g in range(1, len(seqs)):
+        vals = [maps[g][km] for km in anchors]
+        keep = _lis_indices(vals)
+        anchors = [anchors[i] for i in keep]
+        if not anchors:
+            break
+    # thin overlapping anchors
+    thinned: list[bytes] = []
+    last = [-(10**18)] * len(seqs)
+    for km in anchors:
+        if all(maps[g][km] >= last[g] + k for g in range(len(seqs))):
+            thinned.append(km)
+            last = [maps[g][km] for g in range(len(seqs))]
+    return [[maps[g][km] for km in thinned] for g in range(len(seqs))]
+
+
+def build_pangenome_graph(
+    genomes: dict[str, bytes],
+    k: int = DEFAULT_K,
+    chunk_size: int = DEFAULT_PAN_CHUNK,
+) -> SpeciesGraph:
+    """Build a variation graph from strain genomes of one species.
+
+    genomes: hap_id -> full genome sequence (contigs pre-concatenated; the
+    reference likewise merges chromosomes of a haplotype into one path,
+    zip.rs:154-158).
+    """
+    names = sorted(genomes)
+    seqs = [genomes[n] for n in names]
+    if len(names) < 2:
+        raise ValueError("pangenome construction needs >= 2 genomes")
+
+    anchor_pos = find_universal_anchors(seqs, k)
+    n_anchors = len(anchor_pos[0]) if anchor_pos else 0
+
+    node_seqs: list[bytes] = []
+    node_ids: dict[bytes, list[int]] = {}  # segment seq -> its chunk node ids
+    paths: dict[str, list[int]] = {n: [] for n in names}
+
+    def nodes_for_segment(segment: bytes) -> list[int]:
+        ids = node_ids.get(segment)
+        if ids is None:
+            ids = []
+            for off in range(0, len(segment), chunk_size):
+                ids.append(len(node_seqs))
+                node_seqs.append(segment[off : off + chunk_size])
+            node_ids[segment] = ids
+        return ids
+
+    # slot boundaries per genome: [0, a_0, a_1, ..., len]
+    for slot in range(n_anchors + 1):
+        # per-slot map so identical segments collapse only within a slot —
+        # keeps node order coordinate-sorted and paths collinear
+        node_ids = {}
+        for g, name in enumerate(names):
+            lo = 0 if slot == 0 else anchor_pos[g][slot - 1]
+            hi = len(seqs[g]) if slot == n_anchors else anchor_pos[g][slot]
+            segment = seqs[g][lo:hi]
+            if not segment:
+                continue
+            paths[name].extend(nodes_for_segment(segment))
+
+    nodes_len = np.array([len(s) for s in node_seqs], dtype=np.int64)
+    return SpeciesGraph.from_paths(
+        nodes_len,
+        {n: np.array(p, dtype=np.int64) for n, p in paths.items()},
+        node_seqs,
+    )

@@ -1,0 +1,78 @@
+"""Anchor-partition pangenome constructor on synthetic strain genomes."""
+import numpy as np
+import pytest
+
+from pantax_tpu.graph.pangenome import build_pangenome_graph, find_universal_anchors
+from pantax_tpu.graph.trio import build_trio_index
+
+
+def make_strains(rng, length=20000, n_strains=3, snp_rate=0.005, indel_rate=0.0005):
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    ref = bases[rng.integers(0, 4, size=length)]
+    strains = {}
+    for s in range(n_strains):
+        g = ref.copy()
+        snps = rng.random(length) < snp_rate
+        g[snps] = bases[rng.integers(0, 4, size=int(snps.sum()))]
+        seq = g.tobytes()
+        # a few deletions
+        dels = np.sort(rng.choice(length - 100, size=int(length * indel_rate), replace=False))
+        out = bytearray()
+        prev = 0
+        for d in dels:
+            if d < prev:
+                continue
+            out += seq[prev:d]
+            prev = d + int(rng.integers(1, 30))
+        out += seq[prev:]
+        strains[f"GCF_{s}.1"] = bytes(out)
+    return strains
+
+
+def test_paths_spell_genomes_and_share_nodes():
+    rng = np.random.default_rng(0)
+    strains = make_strains(rng)
+    g = build_pangenome_graph(strains, chunk_size=256)
+    assert g.num_paths == 3
+    for hi, name in enumerate(g.path_names):
+        assert g.path_seq(hi).tobytes() == strains[name]
+    counts = np.zeros(g.num_nodes, dtype=int)
+    for hi in range(3):
+        counts[np.unique(g.path(hi))] += 1
+    shared_len = g.nodes_len[counts == 3].sum()
+    total_len = max(g.nodes_len[np.unique(g.path(0))].sum(), 1)
+    assert shared_len > 0.5 * total_len
+
+
+def test_unique_trios_discriminate_strains():
+    rng = np.random.default_rng(1)
+    strains = make_strains(rng, n_strains=2)
+    g = build_pangenome_graph(strains, chunk_size=256)
+    ti = build_trio_index(g.nodes_len, g.paths_dict())
+    assert ti.num_unique > 0
+    # each strain owns some unique trios
+    owned = ti.hap_matrix.sum(axis=0)
+    assert (owned > 0).all()
+
+
+def test_anchor_collinearity():
+    rng = np.random.default_rng(2)
+    strains = make_strains(rng, length=5000, n_strains=3)
+    seqs = [strains[k] for k in sorted(strains)]
+    anchors = find_universal_anchors(seqs)
+    assert len(anchors[0]) > 0
+    for pos in anchors:
+        assert all(b - a >= 31 for a, b in zip(pos[:-1], pos[1:]))
+
+
+def test_identical_genomes_single_chain():
+    seq = np.random.default_rng(3).integers(0, 4, size=5000)
+    seq = np.frombuffer(b"ACGT", dtype=np.uint8)[seq].tobytes()
+    g = build_pangenome_graph({"a_1": seq, "b_1": seq}, chunk_size=512)
+    # fully collapsed: both paths identical
+    assert np.array_equal(g.path(0), g.path(1))
+
+
+def test_rejects_single_genome():
+    with pytest.raises(ValueError):
+        build_pangenome_graph({"a_1": b"ACGT" * 100})

@@ -1,0 +1,103 @@
+"""End-to-end profiling on a database built from the reference example
+genomes, with simulated truth-GAF reads (no aligner in the loop yet)."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from pantax_tpu.config import ProfilingConfig
+from pantax_tpu.db.construct import build_database
+from pantax_tpu.graph.core import load_species_range
+from pantax_tpu.io.metadata import read_genomes_info
+from pantax_tpu.pipeline import profile_from_gaf
+from pantax_tpu.sim import simulate_reads
+
+EXAMPLE_INFO = "/root/reference/example/example_genomes_info.txt"
+
+
+@pytest.fixture(scope="module")
+def example_db(tmp_path_factory):
+    db_dir = tmp_path_factory.mktemp("db")
+    return build_database(EXAMPLE_INFO, db_dir,
+                          base_dir="/root/reference/example/ngs")
+
+
+def test_database_layout(example_db):
+    ranges = load_species_range(example_db.range_file)
+    infos = read_genomes_info(EXAMPLE_INFO)
+    species = {i.species_taxid for i in infos}
+    assert {r.species for r in ranges} == species
+    # contiguous ascending global ranges starting at 1
+    assert ranges[0].start == 1
+    for a, b in zip(ranges[:-1], ranges[1:]):
+        assert b.start == a.end + 1
+    # multi-genome species (562: 2 E. coli, 34: 2 M. xanthus) are pan and first
+    pan = {r.species for r in ranges if r.is_pan}
+    assert pan == {"562", "34"}
+    assert [r.is_pan for r in ranges] == sorted(
+        (r.is_pan for r in ranges), reverse=True
+    )
+
+
+def test_pangenome_paths_spell_genomes(example_db):
+    # haplotype paths of the pangenome graphs reproduce the input genomes
+    from pantax_tpu.io.fastx import iter_fastx
+
+    infos = read_genomes_info(EXAMPLE_INFO)
+    by_hap = {i.hap_id: i for i in infos if i.species_taxid == "562"}
+    g = example_db.load_graph("562")
+    assert g.num_paths == 2
+    for hi, name in enumerate(g.path_names):
+        gi = by_hap[name]
+        genome = b"".join(
+            s for _, s in iter_fastx(gi.resolved_path("/root/reference/example/ngs"))
+        )
+        assert g.path_seq(hi).tobytes() == genome
+    # NOTE: the example "strains" are synthetic fragments sharing no 31-mers,
+    # so the graph is (correctly) two parallel chains; node sharing between
+    # real strains is covered by tests/test_pangenome.py
+
+
+def test_profile_recovers_simulated_abundances(example_db, tmp_path):
+    infos = read_genomes_info(EXAMPLE_INFO)
+    hap_ids = [i.hap_id for i in infos]
+    # uneven strain abundances across all 4 genomes (2 species x 2 strains)
+    weights = {hap_ids[0]: 4.0, hap_ids[1]: 2.0, hap_ids[2]: 2.0, hap_ids[3]: 1.0}
+    reads = simulate_reads(example_db, weights, n_reads=6000, read_len=150, seed=1)
+    gaf = [r.truth for r in reads]
+
+    cfg = ProfilingConfig.for_read_type("short")
+    out = tmp_path / "out"
+    profile_from_gaf(gaf, example_db, cfg, out)
+
+    sp = pd.read_csv(out / "species_abundance.txt", sep="\t",
+                     dtype={"species_taxid": str})
+    sp_ab = dict(zip(sp["species_taxid"], sp["predicted_abundance"]))
+    # species 562 carries 6/9 of coverage, species 34 carries 3/9
+    assert sp_ab["562"] == pytest.approx(6 / 9, abs=0.05)
+    assert sp_ab["34"] == pytest.approx(3 / 9, abs=0.05)
+
+    st = pd.read_csv(out / "strain_abundance.txt", sep="\t",
+                     dtype={"species_taxid": str, "strain_taxid": str})
+    assert len(st) == 4
+    st_ab = dict(zip(st["genome_ID"], st["predicted_abundance"]))
+    info_by_hap = {i.hap_id: i for i in infos}
+    for hap, w in weights.items():
+        assert st_ab[info_by_hap[hap].genome_id] == pytest.approx(w / 9, abs=0.08)
+
+    # reads classification file exists with one line per read
+    rc = (out / "reads_classification.tsv").read_text().strip().split("\n")
+    assert len(rc) == len(reads)
+
+
+def test_profile_single_strain_species(example_db, tmp_path):
+    """Only one strain of one multi-strain species present."""
+    infos = read_genomes_info(EXAMPLE_INFO)
+    target = infos[0]
+    reads = simulate_reads(example_db, {target.hap_id: 1.0}, 3000, 150, seed=2)
+    cfg = ProfilingConfig.for_read_type("short")
+    out = tmp_path / "out2"
+    profile_from_gaf([r.truth for r in reads], example_db, cfg, out)
+    st = pd.read_csv(out / "strain_abundance.txt", sep="\t",
+                     dtype={"species_taxid": str})
+    assert list(st["genome_ID"]) == [target.genome_id]
+    assert st["predicted_abundance"].iloc[0] == pytest.approx(1.0)
