@@ -1,0 +1,386 @@
+"""Read-to-graph aligner: sampled-seed lookup + diagonal voting + banded
+glocal DP over linearized haplotypes, with projection onto graph node paths.
+
+Replaces vg giraffe / GraphAligner (/root/reference/pantax/src/alignment.rs) with
+a TPU-native design: the whole query path — k-mer hashing, seed lookup
+(searchsorted over the sorted seed table), diagonal voting, banded DP
+extension, candidate dedup by graph location, and mapq — is one jitted JAX
+function over a padded read batch.  Reads are data-parallel (shard the batch
+axis over the mesh); the index arrays are replicated.
+
+mapq calibration: 60 for a unique best location; otherwise
+clip(mapq_scale * (best - second_best), 0, 60) where "location" identity is
+the projected (graph node, offset) of the alignment start — equal-scoring hits
+on different haplotypes that project to the same node interval collapse into
+one location, matching giraffe's graph-native multiplicity semantics.  The
+species credibility filter keys on the mapq-60 and 3..60 bands
+(/root/reference/pantax/src/profile.rs:208-252).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import AlignConfig
+from ..io.gaf import GafRecord
+from .encode import encode_seq
+from .index import AlignIndex
+
+NEG = -(10**6)
+
+
+@dataclass
+class BatchResult:
+    """Per-read best alignment in text coordinates (host numpy)."""
+
+    text_start: np.ndarray   # int32 [B]
+    text_end: np.ndarray     # int32 [B] (exclusive)
+    score: np.ndarray        # int32 [B]
+    matches: np.ndarray      # int32 [B]
+    mapq: np.ndarray         # int32 [B]
+    strand: np.ndarray       # int8 [B] 0=+ 1=-
+    aligned: np.ndarray      # bool [B]
+
+
+# ---------------------------------------------------------------------------
+# device-side pieces
+# ---------------------------------------------------------------------------
+def _mix32_j(h):
+    h = h.astype(jnp.uint32)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+def _kmer_hashes_j(codes, k: int):
+    """codes int8 [B, L] -> (mixed canonical hash uint32 [B, n], valid [B, n])."""
+    B, L = codes.shape
+    n = L - k + 1
+    c = codes.astype(jnp.uint32)
+    base = jnp.uint32(0x9E3779B1)
+    pows = [jnp.uint32(1)]
+    for _ in range(1, k):
+        pows.append(pows[-1] * base)
+    hf = jnp.zeros((B, n), dtype=jnp.uint32)
+    hr = jnp.zeros((B, n), dtype=jnp.uint32)
+    invalid = jnp.zeros((B, n), dtype=bool)
+    for i in range(k):
+        ci = jax.lax.dynamic_slice_in_dim(c, i, n, axis=1)
+        hf = hf + ci * pows[k - 1 - i]
+        hr = hr + (jnp.uint32(3) - ci) * pows[i]
+        invalid = invalid | (ci == 4)
+    return _mix32_j(jnp.minimum(hf, hr)), ~invalid
+
+
+def _select_seeds(hashes, valid, density_bits: int, s_max: int):
+    """Up to s_max sampled seed positions per read (padded with -1)."""
+    mask = valid & ((hashes & jnp.uint32((1 << density_bits) - 1)) == 0)
+    B, n = mask.shape
+    pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (B, n))
+    order = jnp.argsort(jnp.where(mask, pos, n), axis=1)[:, :s_max]
+    sel_valid = jnp.take_along_axis(mask, order, axis=1)
+    sel_pos = jnp.where(sel_valid, order.astype(jnp.int32), -1)
+    sel_hash = jnp.take_along_axis(hashes, order, axis=1)
+    return sel_pos, sel_hash, sel_valid
+
+
+def _lookup_hits(seed_keys, seed_pos, sel_hash, sel_valid, hits_per_seed: int):
+    """Text positions for each read seed: [B, S, C] (+validity)."""
+    lo = jnp.searchsorted(seed_keys, sel_hash, side="left")
+    hi = jnp.searchsorted(seed_keys, sel_hash, side="right")
+    S_len = seed_pos.shape[0]
+    offs = jnp.arange(hits_per_seed, dtype=jnp.int32)
+    idx = lo[..., None] + offs
+    hit_valid = (idx < hi[..., None]) & sel_valid[..., None]
+    idx = jnp.clip(idx, 0, S_len - 1)
+    return seed_pos[idx], hit_valid
+
+
+def _vote_diagonals(diags, valid, band: int, top_k: int):
+    """Top-k candidate diagonals per read by vote count within +-band."""
+    BIG = jnp.int32(2**30)
+    d = jnp.where(valid, diags, BIG)
+    d = jnp.sort(d, axis=1)
+
+    def count_one(row):
+        lo = jnp.searchsorted(row, row - band, side="left")
+        hi = jnp.searchsorted(row, row + band, side="right")
+        return hi - lo
+
+    counts = jax.vmap(count_one)(d)
+    counts = jnp.where(d >= BIG, 0, counts)
+
+    cand_d = []
+    cand_v = []
+    for _ in range(top_k):
+        best = jnp.argmax(counts, axis=1)
+        bd = jnp.take_along_axis(d, best[:, None], axis=1)[:, 0]
+        bv = jnp.take_along_axis(counts, best[:, None], axis=1)[:, 0]
+        cand_d.append(bd)
+        cand_v.append(bv)
+        kill = jnp.abs(d - bd[:, None]) <= band
+        counts = jnp.where(kill, 0, counts)
+    return jnp.stack(cand_d, axis=1), jnp.stack(cand_v, axis=1)
+
+
+def _banded_extend(window, read, read_len, pad: int, match: int, mismatch: int, gap: int):
+    """Banded glocal DP: full read aligned, free start/end in the window.
+
+    window: int8 [N, W] with W = Lr + 2*pad;  read: int8 [N, Lr].
+    Returns (score, start_off, end_off, matches) per row, window coordinates.
+    """
+    N, Lr = read.shape
+    Wb = 2 * pad + 1
+
+    def sub_scores(i):
+        row = jax.lax.dynamic_slice_in_dim(window, i, Wb, axis=1)
+        x = read[:, i][:, None]
+        ok = (row == x) & (x < 4) & (row < 4)
+        return jnp.where(ok, match, mismatch).astype(jnp.int32), ok
+
+    s0, ok0 = sub_scores(0)
+    score = s0
+    start = jnp.broadcast_to(jnp.arange(Wb, dtype=jnp.int32), (N, Wb))
+    mcnt = ok0.astype(jnp.int32)
+
+    out_score = jnp.where(read_len[:, None] == 1, score, NEG)
+    out_start = start
+    out_m = mcnt
+
+    def step(carry, i):
+        score, start, mcnt, out_score, out_start, out_m = carry
+        sub, ok = sub_scores(i)
+        # diagonal (same band idx) and up (band idx + 1: read char vs ref gap)
+        up_score = jnp.concatenate(
+            [score[:, 1:], jnp.full((N, 1), NEG, jnp.int32)], axis=1
+        )
+        up_start = jnp.concatenate([start[:, 1:], start[:, -1:]], axis=1)
+        up_m = jnp.concatenate([mcnt[:, 1:], mcnt[:, -1:]], axis=1)
+        take_up = up_score + gap > score + sub
+        ns = jnp.where(take_up, up_score + gap, score + sub)
+        nst = jnp.where(take_up, up_start, start)
+        nm = jnp.where(take_up, up_m, mcnt + ok.astype(jnp.int32))
+        # left moves (ref gap chain): prefix max across band
+        for b in range(1, Wb):
+            left = ns[:, b - 1] + gap
+            better = left > ns[:, b]
+            ns = ns.at[:, b].set(jnp.where(better, left, ns[:, b]))
+            nst = nst.at[:, b].set(jnp.where(better, nst[:, b - 1], nst[:, b]))
+            nm = nm.at[:, b].set(jnp.where(better, nm[:, b - 1], nm[:, b]))
+        live = (i < read_len)[:, None]
+        score = jnp.where(live, ns, score)
+        start = jnp.where(live, nst, start)
+        mcnt = jnp.where(live, nm, mcnt)
+        last = (i == read_len - 1)[:, None]
+        out_score = jnp.where(last, score, out_score)
+        out_start = jnp.where(last, start, out_start)
+        out_m = jnp.where(last, mcnt, out_m)
+        return (score, start, mcnt, out_score, out_start, out_m), None
+
+    init = (score, start, mcnt, out_score, out_start, out_m)
+    (score, start, mcnt, out_score, out_start, out_m), _ = jax.lax.scan(
+        step, init, jnp.arange(1, Lr, dtype=jnp.int32)
+    )
+    b_best = jnp.argmax(out_score, axis=1)
+    take = lambda a: jnp.take_along_axis(a, b_best[:, None], axis=1)[:, 0]
+    best = take(out_score)
+    start_off = take(out_start)
+    end_off = (read_len - 1) + b_best.astype(jnp.int32) + 1
+    return best, start_off, end_off, take(out_m)
+
+
+def _candidates_for_strand(
+    text, seed_keys, seed_pos, codes, read_len, cfg_static
+):
+    """Score top-K candidate locations for one strand of a read batch."""
+    (k, density_bits, s_max, hits, top_k, pad, match, mismatch, gap) = cfg_static
+    B, Lr = codes.shape
+    W = Lr + 2 * pad
+    T = text.shape[0]
+
+    hashes, valid = _kmer_hashes_j(codes, k)
+    sel_pos, sel_hash, sel_valid = _select_seeds(hashes, valid, density_bits, s_max)
+    hit_pos, hit_valid = _lookup_hits(seed_keys, seed_pos, sel_hash, sel_valid, hits)
+    diags = hit_pos - sel_pos[..., None]
+    diags = diags.reshape(B, -1)
+    hit_valid = hit_valid.reshape(B, -1)
+    cand_diag, cand_votes = _vote_diagonals(diags, hit_valid, band=pad, top_k=top_k)
+
+    w0 = jnp.clip(cand_diag - pad, 0, T - W)
+    flat_w0 = w0.reshape(-1)
+    window = text[flat_w0[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]]
+    read_rep = jnp.repeat(codes, top_k, axis=0)
+    len_rep = jnp.repeat(read_len, top_k)
+    score, start_off, end_off, matches = _banded_extend(
+        window, read_rep, len_rep, pad, match, mismatch, gap
+    )
+    ts = flat_w0 + start_off
+    te = flat_w0 + end_off
+    ok = (cand_votes.reshape(-1) > 0)
+    score = jnp.where(ok, score, NEG)
+    return (
+        score.reshape(B, top_k),
+        ts.reshape(B, top_k),
+        te.reshape(B, top_k),
+        matches.reshape(B, top_k),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg_static",))
+def _query_batch(
+    text, seed_keys, seed_pos, tstart, tnode, codes_fwd, codes_rev, read_len, cfg_static
+):
+    (k, density_bits, s_max, hits, top_k, pad, match, mismatch, gap,
+     mapq_scale, min_score_frac) = cfg_static
+    inner = (k, density_bits, s_max, hits, top_k, pad, match, mismatch, gap)
+    sf, tsf, tef, mf = _candidates_for_strand(
+        text, seed_keys, seed_pos, codes_fwd, read_len, inner
+    )
+    sr, tsr, ter, mr = _candidates_for_strand(
+        text, seed_keys, seed_pos, codes_rev, read_len, inner
+    )
+    B, K = sf.shape
+    scores = jnp.concatenate([sf, sr], axis=1)
+    ts = jnp.concatenate([tsf, tsr], axis=1)
+    te = jnp.concatenate([tef, ter], axis=1)
+    matches = jnp.concatenate([mf, mr], axis=1)
+    strand = jnp.concatenate(
+        [jnp.zeros((B, K), jnp.int8), jnp.ones((B, K), jnp.int8)], axis=1
+    )
+
+    # graph location of each candidate: (node id, offset within node)
+    i0 = jnp.searchsorted(tstart, ts, side="right") - 1
+    i0 = jnp.clip(i0, 0, tnode.shape[0] - 1)
+    node = tnode[i0]
+    off = ts - tstart[i0]
+
+    best = jnp.argmax(scores, axis=1)
+    take = lambda a: jnp.take_along_axis(a, best[:, None], axis=1)[:, 0]
+    s1 = take(scores)
+    bnode, boff = take(node), take(off)
+    same_loc = (node == bnode[:, None]) & (off == boff[:, None])
+    s2 = jnp.max(jnp.where(same_loc, NEG, scores), axis=1)
+
+    min_score = (min_score_frac * read_len).astype(jnp.int32)
+    aligned = s1 >= min_score
+    mapq = jnp.where(
+        s2 <= NEG // 2,
+        60,
+        jnp.clip((mapq_scale * (s1 - s2)).astype(jnp.int32), 0, 60),
+    )
+    return (
+        take(ts), take(te), s1, take(matches),
+        jnp.where(aligned, mapq, 0), take(strand), aligned,
+    )
+
+
+# ---------------------------------------------------------------------------
+# host wrapper
+# ---------------------------------------------------------------------------
+_RC = np.array([3, 2, 1, 0, 4], dtype=np.int8)
+
+
+class Aligner:
+    def __init__(self, index: AlignIndex, cfg: AlignConfig | None = None):
+        self.index = index
+        self.cfg = cfg or AlignConfig()
+        self.text_d = jnp.asarray(index.text)
+        self.seed_keys_d = jnp.asarray(index.seed_keys)
+        self.seed_pos_d = jnp.asarray(index.seed_pos)
+        self.tstart_d = jnp.asarray(index.tstart.astype(np.int32))
+        self.tnode_d = jnp.asarray(index.tnode.astype(np.int32))
+
+    def _static(self) -> tuple:
+        c = self.cfg
+        return (
+            self.index.k, self.index.density_bits, c.max_seeds, c.hits_per_seed,
+            c.max_candidates, c.extension_band, c.match, c.mismatch, c.gap_extend,
+            c.mapq_scale, c.min_score_frac,
+        )
+
+    def align_codes(self, codes: np.ndarray, lens: np.ndarray) -> BatchResult:
+        """codes int8 [B, Lr] padded with 4; lens int32 [B]."""
+        rev = _RC[codes[:, ::-1]]
+        # left-align the reverse complement (padding was on the right)
+        B, Lr = codes.shape
+        shift = (Lr - lens)[:, None]
+        cols = np.arange(Lr)[None, :]
+        rev = np.where(
+            cols < lens[:, None],
+            rev[np.arange(B)[:, None], np.minimum(cols + shift, Lr - 1)],
+            4,
+        ).astype(np.int8)
+        out = _query_batch(
+            self.text_d, self.seed_keys_d, self.seed_pos_d, self.tstart_d,
+            self.tnode_d, jnp.asarray(codes), jnp.asarray(rev),
+            jnp.asarray(lens.astype(np.int32)), self._static(),
+        )
+        ts, te, score, matches, mapq, strand, aligned = (np.asarray(x) for x in out)
+        return BatchResult(ts, te, score, matches, mapq, strand, aligned)
+
+    def align_reads(
+        self, reads: list[tuple[str, bytes]], batch_size: int = 512
+    ) -> list[GafRecord]:
+        """Align (read_id, seq) pairs, emitting GAF records for aligned reads."""
+        if not reads:
+            return []
+        out: list[GafRecord] = []
+        pad_len = _round_up(max(len(s) for _, s in reads))
+        for lo in range(0, len(reads), batch_size):
+            chunk = reads[lo : lo + batch_size]
+            B = len(chunk)
+            codes = np.full((batch_size, pad_len), 4, dtype=np.int8)
+            lens = np.zeros(batch_size, dtype=np.int64)
+            for i, (_, seq) in enumerate(chunk):
+                codes[i, : len(seq)] = encode_seq(seq)
+                lens[i] = len(seq)
+            res = self.align_codes(codes, lens)
+            out.extend(self._emit_gaf(chunk, res))
+        return out
+
+    def _emit_gaf(
+        self, chunk: list[tuple[str, bytes]], res: BatchResult
+    ) -> list[GafRecord]:
+        B = len(chunk)
+        idx = self.index
+        ts = res.text_start[:B].astype(np.int64)
+        te = res.text_end[:B].astype(np.int64)
+        i0, i1, off = idx.project(ts, te)
+        records = []
+        for j, (read_id, seq) in enumerate(chunk):
+            if not res.aligned[j]:
+                continue
+            nodes = idx.path_nodes(int(i0[j]), int(i1[j]))
+            span = int(te[j] - ts[j])
+            path_len = int(idx.tlen[int(i0[j]) : int(i1[j]) + 1].sum())
+            rl = len(seq)
+            records.append(
+                GafRecord(
+                    read_id=read_id,
+                    read_len=rl,
+                    query_start=0,
+                    query_end=rl,
+                    strand="+" if res.strand[j] == 0 else "-",
+                    path="".join(f">{n}" for n in nodes),
+                    path_len=path_len,
+                    path_start=int(off[j]),
+                    path_end=int(off[j]) + span,
+                    matches=int(res.matches[j]),
+                    block_len=rl,
+                    mapq=int(res.mapq[j]),
+                    identity=float(res.matches[j]) / max(rl, 1),
+                )
+            )
+        return records
+
+
+def _round_up(n: int, m: int = 32) -> int:
+    return ((n + m - 1) // m) * m

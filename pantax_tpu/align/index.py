@@ -1,0 +1,175 @@
+"""Alignment index over the linearized haplotype paths of a database.
+
+TPU-first replacement for the vg giraffe index stack
+(/root/reference/pantax/src/index.rs — gbwt/.gbz/.dist/.min):  every haplotype
+path of every species graph is linearized (its node sequences concatenated —
+reads always originate from *some* haplotype, so graph alignment reduces to
+linear alignment plus projection onto the node path); all haplotypes are packed
+into one device-resident text with sentinel separators, over which a sampled
+canonical k-mer seed table is built.  Projection tables map any text interval
+back to the graph's global node ids, which is what the GAF and the profiling
+engine consume.
+
+Arrays (device-friendly, all flat):
+  text        int8 [T]      base codes, 4 = N/separator
+  hap_offsets int64 [H+1]   text span of haplotype h  (separator after each)
+  seed_keys   uint32 [S]    sorted sampled canonical k-mer hashes
+  seed_pos    int32 [S]     text position of each seed
+  tstart      int64 [P]     sorted text positions where a path node begins
+  tnode       int64 [P]     global 1-based node id of that span
+  tlen        int32 [P]     node length of that span
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..db.construct import DatabasePaths
+from ..graph.core import load_species_range
+from .encode import encode_seq, kmer_hashes, sample_positions
+
+INDEX_FILE = "align_index.npz"
+
+
+@dataclass
+class AlignIndex:
+    text: np.ndarray
+    hap_offsets: np.ndarray
+    hap_names: list[str]
+    hap_species: list[str]
+    seed_keys: np.ndarray
+    seed_pos: np.ndarray
+    tstart: np.ndarray
+    tnode: np.ndarray
+    tlen: np.ndarray
+    k: int
+    density_bits: int
+
+    @property
+    def text_len(self) -> int:
+        return len(self.text)
+
+    @property
+    def num_seeds(self) -> int:
+        return len(self.seed_keys)
+
+    # ---- projection (host, vectorized) ------------------------------------
+    def project(self, ts: np.ndarray, te: np.ndarray):
+        """Text intervals [ts, te) -> (first-node index into tstart/tnode,
+        last-node index, offset of ts within its node)."""
+        i0 = np.searchsorted(self.tstart, ts, side="right") - 1
+        i1 = np.searchsorted(self.tstart, np.maximum(te - 1, ts), side="right") - 1
+        off = ts - self.tstart[i0]
+        return i0, i1, off
+
+    def path_nodes(self, i0: int, i1: int) -> np.ndarray:
+        return self.tnode[i0 : i1 + 1]
+
+    # ---- serialization ----------------------------------------------------
+    def save(self, path: str | os.PathLike) -> None:
+        np.savez_compressed(
+            os.fspath(path),
+            text=self.text,
+            hap_offsets=self.hap_offsets,
+            hap_names=np.array(self.hap_names, dtype=np.str_),
+            hap_species=np.array(self.hap_species, dtype=np.str_),
+            seed_keys=self.seed_keys,
+            seed_pos=self.seed_pos,
+            tstart=self.tstart,
+            tnode=self.tnode,
+            tlen=self.tlen,
+            params=np.array([self.k, self.density_bits], dtype=np.int64),
+        )
+
+    @classmethod
+    def load(cls, path: str | os.PathLike) -> "AlignIndex":
+        with np.load(os.fspath(path)) as z:
+            return cls(
+                text=z["text"],
+                hap_offsets=z["hap_offsets"],
+                hap_names=[str(s) for s in z["hap_names"]],
+                hap_species=[str(s) for s in z["hap_species"]],
+                seed_keys=z["seed_keys"],
+                seed_pos=z["seed_pos"],
+                tstart=z["tstart"],
+                tnode=z["tnode"],
+                tlen=z["tlen"],
+                k=int(z["params"][0]),
+                density_bits=int(z["params"][1]),
+            )
+
+
+def build_align_index(
+    db: DatabasePaths,
+    k: int = 21,
+    density_bits: int = 3,
+    max_occ: int = 512,
+    save: bool = True,
+) -> AlignIndex:
+    """Build (or load cached) alignment index for a database."""
+    cache = db.root / INDEX_FILE
+    if save and cache.exists():
+        return AlignIndex.load(cache)
+
+    ranges = load_species_range(db.range_file)
+    text_parts: list[np.ndarray] = []
+    hap_offsets = [0]
+    hap_names: list[str] = []
+    hap_species: list[str] = []
+    tstart_parts: list[np.ndarray] = []
+    tnode_parts: list[np.ndarray] = []
+    tlen_parts: list[np.ndarray] = []
+    offset = 0
+    for r in ranges:
+        graph = db.load_graph(r.species)
+        for hi, name in enumerate(graph.path_names):
+            seq_codes = encode_seq(graph.path_seq(hi).tobytes())
+            node_starts = graph.path_node_starts(hi)[:-1] + offset
+            global_nodes = graph.path(hi) + r.start  # local 0-based -> global 1-based
+            text_parts.append(seq_codes)
+            text_parts.append(np.full(1, 4, dtype=np.int8))  # separator
+            tstart_parts.append(node_starts)
+            tnode_parts.append(global_nodes)
+            tlen_parts.append(graph.nodes_len[graph.path(hi)].astype(np.int32))
+            offset += len(seq_codes) + 1
+            hap_offsets.append(offset)
+            hap_names.append(name)
+            hap_species.append(r.species)
+
+    text = np.concatenate(text_parts)
+    tstart = np.concatenate(tstart_parts)
+    tnode = np.concatenate(tnode_parts)
+    tlen = np.concatenate(tlen_parts)
+
+    hashes, valid = kmer_hashes(text, k)
+    pos = sample_positions(hashes, valid, density_bits)
+    keys = hashes[pos]
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    pos = pos[order].astype(np.int32)
+    # drop over-frequent seeds (repeats): keys occurring more than max_occ
+    uniq, counts = np.unique(keys, return_counts=True)
+    if (counts > max_occ).any():
+        bad = uniq[counts > max_occ]
+        keep = ~np.isin(keys, bad)
+        keys = keys[keep]
+        pos = pos[keep]
+
+    index = AlignIndex(
+        text=text,
+        hap_offsets=np.array(hap_offsets, dtype=np.int64),
+        hap_names=hap_names,
+        hap_species=hap_species,
+        seed_keys=keys,
+        seed_pos=pos,
+        tstart=tstart,
+        tnode=tnode,
+        tlen=tlen,
+        k=k,
+        density_bits=density_bits,
+    )
+    if save:
+        index.save(cache)
+    return index

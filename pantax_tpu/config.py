@@ -54,17 +54,20 @@ class ProfilingConfig:
 
 @dataclass
 class AlignConfig:
-    """Aligner parameters (giraffe/GraphAligner replacement)."""
+    """Aligner parameters (giraffe/GraphAligner replacement).
 
-    k: int = 29                 # minimizer k-mer size
-    w: int = 11                 # minimizer window
-    max_candidates: int = 8     # extension candidates per read after chaining
-    extension_band: int = 17    # banded-SW half-band (must leave DP in VMEM)
+    k/density_bits must match the AlignIndex the aligner runs against
+    (seeds are sampled where mix(hash) % 2^density_bits == 0 on both sides).
+    """
+
+    max_seeds: int = 24         # sampled seeds per read strand
+    hits_per_seed: int = 4      # index hits taken per seed
+    max_candidates: int = 4     # extension candidates per strand after voting
+    extension_band: int = 8     # banded-DP half band (band = 2*pad+1 = 17)
     match: int = 1
-    mismatch: int = -4
-    gap_open: int = -6
-    gap_extend: int = -1
-    min_score_frac: float = 0.65  # min score / read_len to report
+    mismatch: int = -1
+    gap_extend: int = -2        # linear gap cost
+    min_score_frac: float = 0.6   # min score / read_len to report
     long_read_chunk: int = 1024   # blockwise DP chunk for long reads
     mapq_scale: float = 6.0
 

@@ -1,0 +1,138 @@
+"""Aligner: seeding, banded extension, projection, mapq — against simulated
+reads with known truth on the example database."""
+import numpy as np
+import pytest
+
+from pantax_tpu.align.aligner import Aligner
+from pantax_tpu.align.encode import encode_seq, kmer_hashes
+from pantax_tpu.align.index import build_align_index
+from pantax_tpu.config import AlignConfig, ProfilingConfig
+from pantax_tpu.db.construct import build_database
+from pantax_tpu.graph.core import load_species_range
+from pantax_tpu.io.metadata import read_genomes_info
+from pantax_tpu.sim import simulate_reads, revcomp
+
+EXAMPLE_INFO = "/root/reference/example/example_genomes_info.txt"
+BASE = "/root/reference/example/ngs"
+
+
+@pytest.fixture(scope="module")
+def db(tmp_path_factory):
+    return build_database(EXAMPLE_INFO, tmp_path_factory.mktemp("db"), base_dir=BASE)
+
+
+@pytest.fixture(scope="module")
+def index(db):
+    return build_align_index(db)
+
+
+@pytest.fixture(scope="module")
+def aligner(index):
+    return Aligner(index)
+
+
+@pytest.fixture(scope="module")
+def hap_weights(db):
+    infos = read_genomes_info(EXAMPLE_INFO)
+    return {i.hap_id if i.hap_id != "MGYG000002538" else i.hap_id: 1.0
+            for i in infos} | {}
+
+
+def all_hap_weights(db):
+    names = []
+    from pantax_tpu.graph.core import load_species_range
+    for r in load_species_range(db.range_file):
+        names.extend(db.load_graph(r.species).path_names)
+    return {n: 1.0 for n in names}
+
+
+def test_hash_device_host_parity(index):
+    rng = np.random.default_rng(0)
+    seq = rng.choice(list(b"ACGT"), size=200).astype(np.uint8).tobytes()
+    codes = encode_seq(seq)
+    h_host, v_host = kmer_hashes(codes, index.k)
+    from pantax_tpu.align.aligner import _kmer_hashes_j
+    import jax.numpy as jnp
+    h_dev, v_dev = _kmer_hashes_j(jnp.asarray(codes)[None, :], index.k)
+    np.testing.assert_array_equal(h_host, np.asarray(h_dev)[0])
+    np.testing.assert_array_equal(v_host, np.asarray(v_dev)[0])
+
+
+def test_hash_strand_symmetry():
+    rng = np.random.default_rng(1)
+    seq = rng.choice(list(b"ACGT"), size=100).astype(np.uint8).tobytes()
+    h1, _ = kmer_hashes(encode_seq(seq), 21)
+    h2, _ = kmer_hashes(encode_seq(revcomp(seq)), 21)
+    np.testing.assert_array_equal(np.sort(h1), np.sort(h2))
+
+
+def test_perfect_reads_exact_projection(db, aligner):
+    reads = simulate_reads(db, all_hap_weights(db), 300, 150, seed=3,
+                           error_rate=0.0)
+    gaf = aligner.align_reads([(r.read_id, r.seq) for r in reads])
+    by_id = {g.read_id: g for g in gaf}
+    assert len(by_id) >= 0.97 * len(reads)
+    exact = 0
+    for r in reads:
+        g = by_id.get(r.read_id)
+        if g is None:
+            continue
+        if (g.path_nodes() == r.truth.path_nodes()
+                and g.path_start == r.truth.path_start
+                and g.path_end == r.truth.path_end):
+            exact += 1
+    assert exact >= 0.95 * len(by_id)
+
+
+def test_noisy_reads_classify_correctly(db, aligner):
+    reads = simulate_reads(db, all_hap_weights(db), 300, 150, seed=4,
+                           error_rate=0.01)
+    gaf = aligner.align_reads([(r.read_id, r.seq) for r in reads])
+    assert len(gaf) >= 0.95 * len(reads)
+    ranges = load_species_range(db.range_file)
+    from pantax_tpu.profile.rcls import classify_reads
+    species = classify_reads(
+        [np.array(g.path_nodes()) for g in gaf], ranges
+    )
+    truth = {r.read_id: r.species for r in reads}
+    correct = sum(1 for g, s in zip(gaf, species) if truth[g.read_id] == s)
+    assert correct >= 0.99 * len(gaf)
+
+
+def test_mapq_unique_vs_shared(db, aligner):
+    """Reads from species 562 (strains share nothing) must be mapq 60;
+    species 34's two strains are near-identical, so most reads hit shared
+    nodes and still dedupe to mapq 60, while strain-distinguishing reads
+    stay high-mapq for their own haplotype."""
+    reads = simulate_reads(db, all_hap_weights(db), 400, 150, seed=5)
+    gaf = aligner.align_reads([(r.read_id, r.seq) for r in reads])
+    mapqs = np.array([g.mapq for g in gaf])
+    assert (mapqs == 60).mean() > 0.9
+
+
+def test_random_read_unaligned(aligner):
+    rng = np.random.default_rng(9)
+    junk = rng.choice(list(b"ACGT"), size=150).astype(np.uint8).tobytes()
+    gaf = aligner.align_reads([("junk", junk)])
+    assert gaf == []
+
+
+def test_full_pipeline_with_aligner(db, aligner, tmp_path):
+    import pandas as pd
+    from pantax_tpu.pipeline import profile_from_gaf
+
+    weights = dict(all_hap_weights(db))
+    names = sorted(weights)
+    weights[names[0]] = 4.0
+    weights[names[3]] = 2.0
+    reads = simulate_reads(db, weights, 6000, 150, seed=6, error_rate=0.005)
+    gaf = aligner.align_reads([(r.read_id, r.seq) for r in reads])
+    out = tmp_path / "out"
+    profile_from_gaf(gaf, db, ProfilingConfig.for_read_type("short"), out)
+    st = pd.read_csv(out / "strain_abundance.txt", sep="\t",
+                     dtype={"species_taxid": str})
+    assert len(st) == 4
+    # heaviest strain first
+    total = 4.0 + 2.0 + 1.0 + 1.0
+    top = st.iloc[0]
+    assert top["predicted_abundance"] == pytest.approx(4.0 / total, abs=0.08)
