@@ -131,70 +131,72 @@ def _vote_diagonals(diags, valid, band: int, top_k: int):
     return jnp.stack(cand_d, axis=1), jnp.stack(cand_v, axis=1)
 
 
+# Packed DP cell: ((score + _BIAS) << 13) | (matches << 5) | start_band.
+# max() over packed cells = lexicographic (score, matches, start) — one int32
+# array of state instead of three, which keeps the scan HLO small and every
+# update a plain vector max on the VPU.
+_SH_SCORE = 13
+_SH_MATCH = 5
+_BIAS = 1 << 12
+
+
 def _banded_extend(window, read, read_len, pad: int, match: int, mismatch: int, gap: int):
     """Banded glocal DP: full read aligned, free start/end in the window.
 
     window: int8 [N, W] with W = Lr + 2*pad;  read: int8 [N, Lr].
     Returns (score, start_off, end_off, matches) per row, window coordinates.
+    Layout: band on the leading (sublane) axis, reads on the lane axis.
     """
     N, Lr = read.shape
     Wb = 2 * pad + 1
+    winT = window.T  # [W, N]
+    readT = read.T  # [Lr, N]
+    neg = jnp.int32(NEG)
 
-    def sub_scores(i):
-        row = jax.lax.dynamic_slice_in_dim(window, i, Wb, axis=1)
-        x = read[:, i][:, None]
+    d_score = jnp.int32(1 << _SH_SCORE)
+    gap_p = jnp.int32(gap) * d_score
+    band = jnp.arange(Wb, dtype=jnp.int32)[:, None]  # [Wb, 1]
+    decay = band * gap_p  # for prefix-max with gap penalty per left step
+
+    def sub_packed(i):
+        row = jax.lax.dynamic_slice_in_dim(winT, i, Wb, axis=0)  # [Wb, N]
+        x = readT[i][None, :]
         ok = (row == x) & (x < 4) & (row < 4)
-        return jnp.where(ok, match, mismatch).astype(jnp.int32), ok
+        delta = jnp.where(ok, match, mismatch).astype(jnp.int32) * d_score
+        return delta + (ok.astype(jnp.int32) << _SH_MATCH)
 
-    s0, ok0 = sub_scores(0)
-    score = s0
-    start = jnp.broadcast_to(jnp.arange(Wb, dtype=jnp.int32), (N, Wb))
-    mcnt = ok0.astype(jnp.int32)
-
-    out_score = jnp.where(read_len[:, None] == 1, score, NEG)
-    out_start = start
-    out_m = mcnt
+    init_cell = (jnp.int32(_BIAS) << _SH_SCORE) + band  # score 0, start = b
+    state = init_cell + sub_packed(0)  # [Wb, N] after consuming read[0]
+    out = jnp.where((read_len[None, :] == 1), state, neg)
 
     def step(carry, i):
-        score, start, mcnt, out_score, out_start, out_m = carry
-        sub, ok = sub_scores(i)
-        # diagonal (same band idx) and up (band idx + 1: read char vs ref gap)
-        up_score = jnp.concatenate(
-            [score[:, 1:], jnp.full((N, 1), NEG, jnp.int32)], axis=1
-        )
-        up_start = jnp.concatenate([start[:, 1:], start[:, -1:]], axis=1)
-        up_m = jnp.concatenate([mcnt[:, 1:], mcnt[:, -1:]], axis=1)
-        take_up = up_score + gap > score + sub
-        ns = jnp.where(take_up, up_score + gap, score + sub)
-        nst = jnp.where(take_up, up_start, start)
-        nm = jnp.where(take_up, up_m, mcnt + ok.astype(jnp.int32))
-        # left moves (ref gap chain): prefix max across band
-        for b in range(1, Wb):
-            left = ns[:, b - 1] + gap
-            better = left > ns[:, b]
-            ns = ns.at[:, b].set(jnp.where(better, left, ns[:, b]))
-            nst = nst.at[:, b].set(jnp.where(better, nst[:, b - 1], nst[:, b]))
-            nm = nm.at[:, b].set(jnp.where(better, nm[:, b - 1], nm[:, b]))
-        live = (i < read_len)[:, None]
-        score = jnp.where(live, ns, score)
-        start = jnp.where(live, nst, start)
-        mcnt = jnp.where(live, nm, mcnt)
-        last = (i == read_len - 1)[:, None]
-        out_score = jnp.where(last, score, out_score)
-        out_start = jnp.where(last, start, out_start)
-        out_m = jnp.where(last, mcnt, out_m)
-        return (score, start, mcnt, out_score, out_start, out_m), None
+        state, out = carry
+        # diagonal move keeps band idx; up move (read char vs ref gap) shifts
+        up = jnp.concatenate([state[1:], jnp.full((1, N), neg, jnp.int32)], axis=0)
+        v = jnp.maximum(state + sub_packed(i), up + gap_p)
+        # left moves (consume ref only): m[b] = max_{j<=b} v[j] + (b-j)*gap
+        u = v - decay
+        for sh in (1, 2, 4, 8, 16):
+            if sh >= Wb:
+                break
+            shifted = jnp.concatenate([jnp.full((sh, N), neg, jnp.int32), u[:-sh]], axis=0)
+            u = jnp.maximum(u, shifted)
+        v = u + decay
+        live = (i < read_len)[None, :]
+        state = jnp.where(live, v, state)
+        out = jnp.where((i == read_len - 1)[None, :], state, out)
+        return (state, out), None
 
-    init = (score, start, mcnt, out_score, out_start, out_m)
-    (score, start, mcnt, out_score, out_start, out_m), _ = jax.lax.scan(
-        step, init, jnp.arange(1, Lr, dtype=jnp.int32)
+    (state, out), _ = jax.lax.scan(
+        step, (state, out), jnp.arange(1, Lr, dtype=jnp.int32)
     )
-    b_best = jnp.argmax(out_score, axis=1)
-    take = lambda a: jnp.take_along_axis(a, b_best[:, None], axis=1)[:, 0]
-    best = take(out_score)
-    start_off = take(out_start)
+    b_best = jnp.argmax(out, axis=0)  # [N]
+    cell = jnp.max(out, axis=0)
+    best = (cell >> _SH_SCORE) - _BIAS
+    mcnt = (cell >> _SH_MATCH) & ((1 << (_SH_SCORE - _SH_MATCH)) - 1)
+    start_off = cell & ((1 << _SH_MATCH) - 1)
     end_off = (read_len - 1) + b_best.astype(jnp.int32) + 1
-    return best, start_off, end_off, take(out_m)
+    return best, start_off, end_off, mcnt
 
 
 def _candidates_for_strand(

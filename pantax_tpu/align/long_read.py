@@ -1,0 +1,124 @@
+"""Long-read alignment: blockwise reuse of the banded short-read engine.
+
+A long read is cut into fixed-size chunks; each chunk runs through the same
+jitted seed+banded-DP batch kernel (the TPU analog of GraphAligner's
+seed-chain-extend, /root/reference/pantax/src/alignment.rs:144-165); chunk hits
+are then merged per read on the host: the haplotype with the most consistent
+chunk diagonals wins, the merged text interval is projected onto the node path
+and emitted as one GAF record.  The GAF then flows through the long-read
+best-alignment filter (io/gaf.py, parity with gaf_filter.rs:44-97).
+
+Good for low-error long reads (HiFi / ONT R10: per-chunk drift stays inside
+the DP band).  High-error ONT R9/CLR needs a wider band — tracked as a
+follow-up in the Pallas kernel.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..io.gaf import GafRecord
+from .aligner import Aligner
+from .encode import encode_seq
+
+
+def align_long_reads(
+    aligner: Aligner,
+    reads: list[tuple[str, bytes]],
+    chunk: int = 512,
+    batch_size: int = 2048,
+    min_chunk_frac: float = 0.5,
+) -> list[GafRecord]:
+    if not reads:
+        return []
+    idx = aligner.index
+
+    # cut into chunks, remember provenance
+    chunk_meta: list[tuple[int, int]] = []  # (read_idx, offset)
+    seqs: list[bytes] = []
+    for ri, (_, seq) in enumerate(reads):
+        for off in range(0, max(len(seq) - chunk // 2, 1), chunk):
+            piece = seq[off : off + chunk]
+            if len(piece) >= 64:
+                chunk_meta.append((ri, off))
+                seqs.append(piece)
+
+    n = len(seqs)
+    codes = np.full(( (n + batch_size - 1)//batch_size * batch_size, chunk), 4, dtype=np.int8)
+    lens = np.zeros(codes.shape[0], dtype=np.int64)
+    for i, s in enumerate(seqs):
+        codes[i, : len(s)] = encode_seq(s)
+        lens[i] = len(s)
+
+    ts = np.zeros(n, dtype=np.int64)
+    te = np.zeros(n, dtype=np.int64)
+    matches = np.zeros(n, dtype=np.int64)
+    mapq = np.zeros(n, dtype=np.int64)
+    strand = np.zeros(n, dtype=np.int8)
+    aligned = np.zeros(n, dtype=bool)
+    for lo in range(0, codes.shape[0], batch_size):
+        res = aligner.align_codes(codes[lo : lo + batch_size], lens[lo : lo + batch_size])
+        hi = min(lo + batch_size, n)
+        m = hi - lo
+        if m <= 0:
+            break
+        ts[lo:hi] = res.text_start[:m]
+        te[lo:hi] = res.text_end[:m]
+        matches[lo:hi] = res.matches[:m]
+        mapq[lo:hi] = res.mapq[:m]
+        strand[lo:hi] = res.strand[:m]
+        aligned[lo:hi] = res.aligned[:m]
+
+    hap_of = np.searchsorted(idx.hap_offsets, ts, side="right") - 1
+
+    out: list[GafRecord] = []
+    by_read: dict[int, list[int]] = {}
+    for ci, (ri, _) in enumerate(chunk_meta):
+        by_read.setdefault(ri, []).append(ci)
+
+    for ri, (read_id, seq) in enumerate(reads):
+        cis = [ci for ci in by_read.get(ri, []) if aligned[ci]]
+        n_chunks = len(by_read.get(ri, []))
+        if not cis or len(cis) < min_chunk_frac * n_chunks:
+            continue
+        # majority haplotype (strand-aware)
+        keys = [(int(hap_of[ci]), int(strand[ci])) for ci in cis]
+        vals, counts = np.unique(np.array(keys), axis=0, return_counts=True)
+        best_hap, best_strand = vals[np.argmax(counts)]
+        members = [
+            ci for ci in cis
+            if hap_of[ci] == best_hap and strand[ci] == best_strand
+        ]
+        mts = int(min(ts[ci] for ci in members))
+        mte = int(max(te[ci] for ci in members))
+        # clip to the winning haplotype's span (ragged merges near separators)
+        h0, h1 = int(idx.hap_offsets[best_hap]), int(idx.hap_offsets[best_hap + 1]) - 1
+        mts, mte = max(mts, h0), min(mte, h1)
+        if mte <= mts:
+            continue
+        i0, i1, off = idx.project(np.array([mts]), np.array([mte]))
+        nodes = idx.path_nodes(int(i0[0]), int(i1[0]))
+        path_len = int(idx.tlen[int(i0[0]) : int(i1[0]) + 1].sum())
+        span = mte - mts
+        m_sum = int(sum(matches[ci] for ci in members))
+        q_offs = [chunk_meta[ci][1] for ci in members]
+        q_start = min(q_offs)
+        q_end = min(max(q_offs) + chunk, len(seq))
+        read_mapq = int(np.mean([mapq[ci] for ci in members]))
+        out.append(
+            GafRecord(
+                read_id=read_id,
+                read_len=len(seq),
+                query_start=q_start,
+                query_end=q_end,
+                strand="+" if best_strand == 0 else "-",
+                path="".join(f">{nd}" for nd in nodes),
+                path_len=path_len,
+                path_start=int(off[0]),
+                path_end=int(off[0]) + span,
+                matches=m_sum,
+                block_len=q_end - q_start,
+                mapq=read_mapq,
+                identity=m_sum / max(q_end - q_start, 1),
+            )
+        )
+    return out

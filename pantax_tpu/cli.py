@@ -1,0 +1,214 @@
+"""pantax-tpu command-line interface.
+
+Flag surface mirrors the reference CLI (/root/reference/pantax/src/cli.rs):
+database construction (-f/--create), alignment indexing (--index), read
+profiling (-s/-l, -r, --species/--strain), and the tuning knobs (--fr, --fc,
+--sr, --sd, -a, --min_cov, --min_depth, --shift, --sample*, --ds, --smode,
+--solver).  Stage skipping is file-existence driven (main.rs:195-230 parity):
+rerunning resumes where outputs are missing unless --force.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import shutil
+import sys
+import time
+from pathlib import Path
+
+log = logging.getLogger("pantax_tpu")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="pantax-tpu",
+        description="TPU-native pangenome-graph strain-level metagenomic profiler",
+    )
+    g = p.add_argument_group("general")
+    g.add_argument("-f", "--genomesInformation", dest="genomes_info",
+                   help="genomes_info.txt (5 tab columns with header)")
+    g.add_argument("-d", "--db", default="pantax_db", help="database directory")
+    g.add_argument("-s", "--short-read", action="store_true", dest="short_read")
+    g.add_argument("-l", "--long-read", action="store_true", dest="long_read")
+    g.add_argument("-p", "--paired", action="store_true",
+                   help="paired short reads (mates aligned independently)")
+    g.add_argument("-r", "--reads", nargs="+", default=[], help="FASTQ/FASTA file(s)")
+    g.add_argument("--species", action="store_true")
+    g.add_argument("--strain", action="store_true")
+    g.add_argument("-t", "--threads", type=int, default=8)
+
+    c = p.add_argument_group("database construction")
+    c.add_argument("--create", action="store_true", help="build database and exit")
+    c.add_argument("--index", action="store_true", help="build alignment index and exit")
+    c.add_argument("--base-dir", default=None,
+                   help="directory genome paths resolve against (default: cwd)")
+
+    a = p.add_argument_group("alignment")
+    a.add_argument("--long-read-type", default="hifi",
+                   choices=["hifi", "ontr10", "ontr9", "clr"])
+    a.add_argument("--batch-size", type=int, default=4096)
+
+    q = p.add_argument_group("profiling")
+    q.add_argument("-a", dest="min_species_abundance", type=float, default=1e-4)
+    q.add_argument("--fr", dest="unique_trio_nodes_fraction", type=float, default=None,
+                   help="min covered fraction of a strain's unique trio nodes "
+                        "(default 0.3 short / 0.5 long)")
+    q.add_argument("--fc", dest="unique_trio_nodes_count", type=float, default=0.46)
+    q.add_argument("--sr", dest="single_cov_ratio", type=float, default=0.85)
+    q.add_argument("--sd", dest="single_cov_diff", type=float, default=0.2)
+    q.add_argument("--min_cov", type=float, default=0.0)
+    q.add_argument("--min_depth", type=float, default=0.0)
+    q.add_argument("--shift", default=None, choices=[None, "true", "false"])
+    q.add_argument("--no_filter", action="store_true",
+                   help="disable the species mapq credibility filter")
+    q.add_argument("--sample", dest="sample_nodes", type=int, default=500000)
+    q.add_argument("--sample_test", action="store_true")
+    q.add_argument("--ds", dest="designated_species", default=None,
+                   help="comma-separated species taxids to profile")
+    q.add_argument("--smode", type=int, default=2)
+    q.add_argument("--solver", default="admm", choices=["admm", "highs"])
+
+    o = p.add_argument_group("output")
+    o.add_argument("-T", "--tmp-dir", default="pantax_db_tmp")
+    o.add_argument("-o", "--output", dest="pantax_output", default=None,
+                   help="output file prefix")
+    o.add_argument("-R", "--report", dest="pantax_report", default=None,
+                   help="reads classification output file")
+    o.add_argument("-n", "--next", action="store_true", dest="next_for_strain",
+                   help="keep tmp dir for a later --strain run")
+    o.add_argument("--force", action="store_true")
+    o.add_argument("--debug", action="store_true")
+    o.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from .utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="%(asctime)s [%(levelname)s] %(message)s",
+        stream=sys.stderr,
+    )
+    t0 = time.time()
+
+    from .db.construct import DatabasePaths, build_database, load_database
+
+    db_path = Path(args.db)
+    if args.genomes_info:
+        db = build_database(
+            args.genomes_info, db_path, threads=args.threads,
+            force=args.force and not DatabasePaths(db_path).is_complete(),
+            base_dir=args.base_dir,
+        )
+    else:
+        db = load_database(db_path)
+    if args.create:
+        log.info("database ready at %s (%.1fs)", db.root, time.time() - t0)
+        return 0
+
+    from .align.index import build_align_index
+
+    index = build_align_index(db)
+    log.info("alignment index: %d seeds over %d bases", index.num_seeds, index.text_len)
+    if args.index:
+        return 0
+
+    if not args.reads:
+        log.error("no reads given (-r) and not --create/--index")
+        return 2
+    if not (args.short_read or args.long_read):
+        log.error("specify read type: -s (short) or -l (long)")
+        return 2
+    if not (args.species or args.strain):
+        args.species = args.strain = True
+
+    tmp = Path(args.tmp_dir)
+    tmp.mkdir(parents=True, exist_ok=True)
+    gaf_file = tmp / "gfa_mapped.gaf"
+
+    from .io.gaf import filter_best_long_read_alignments, read_gaf, write_gaf
+
+    if gaf_file.exists() and not args.force:
+        log.info("- Alignment exists (%s), skipping...", gaf_file)
+        gaf = read_gaf(gaf_file)
+    else:
+        from .align.aligner import Aligner
+        from .io.fastx import iter_fastx
+
+        reads = []
+        for rf in args.reads:
+            reads.extend(iter_fastx(rf))
+        log.info("- Aligning %d reads...", len(reads))
+        aligner = Aligner(index)
+        if args.short_read:
+            gaf = aligner.align_reads(reads, batch_size=args.batch_size)
+        else:
+            from .align.long_read import align_long_reads
+
+            gaf = align_long_reads(aligner, reads, batch_size=args.batch_size)
+            gaf = filter_best_long_read_alignments(gaf)
+        write_gaf(gaf_file, gaf)
+        log.info("- Aligned %d/%d reads (%.1fs)", len(gaf), len(reads), time.time() - t0)
+
+    from .config import ProfilingConfig
+    from .pipeline import profile_from_gaf
+
+    read_type = "short" if args.short_read else "long"
+    fr = args.unique_trio_nodes_fraction
+    if fr is None:
+        fr = 0.3 if read_type == "short" else 0.5
+    shift = False
+    if args.shift is not None:
+        shift = args.shift == "true"
+    else:
+        shift = not any(True for _ in open(db.range_file))
+    cfg = ProfilingConfig(
+        db=db.root,
+        wd=tmp,
+        min_species_abundance=args.min_species_abundance,
+        unique_trio_nodes_fraction=fr,
+        unique_trio_nodes_mean_count_f=args.unique_trio_nodes_count,
+        single_cov_ratio=args.single_cov_ratio,
+        single_cov_diff=args.single_cov_diff,
+        min_cov=args.min_cov,
+        min_depth=args.min_depth,
+        species=args.species,
+        strain=args.strain,
+        filtered=not args.no_filter,
+        sample_nodes=args.sample_nodes,
+        sample_test=args.sample_test,
+        designated_species=(
+            [s.strip() for s in args.designated_species.split(",") if s.strip()]
+            if args.designated_species else None
+        ),
+        mode=args.smode,
+        solver=args.solver,
+        shift=shift,
+        read_type=read_type,
+    )
+    profile_from_gaf(gaf, db, cfg, tmp, force=args.force)
+
+    # move results out of the tmp dir (handle_res parity, main.rs:60-100)
+    prefix = f"{args.pantax_output}_" if args.pantax_output else ""
+    if args.species:
+        _copy(tmp / "species_abundance.txt", Path(f"{prefix}species_abundance.txt"))
+    if args.strain:
+        _copy(tmp / "strain_abundance.txt", Path(f"{prefix}strains_abundance.txt" if prefix else "strain_abundance.txt"))
+    if args.pantax_report:
+        _copy(tmp / "reads_classification.tsv", Path(args.pantax_report))
+    if not args.next_for_strain and not args.debug:
+        shutil.rmtree(tmp, ignore_errors=True)
+    log.info("- Done in %.1fs", time.time() - t0)
+    return 0
+
+
+def _copy(src: Path, dst: Path) -> None:
+    if src.exists() and src.resolve() != dst.resolve():
+        shutil.copy(src, dst)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

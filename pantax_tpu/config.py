@@ -69,7 +69,8 @@ class AlignConfig:
     gap_extend: int = -2        # linear gap cost
     min_score_frac: float = 0.6   # min score / read_len to report
     long_read_chunk: int = 1024   # blockwise DP chunk for long reads
-    mapq_scale: float = 6.0
+    # one distinguishing SNP (score gap 2) ~ mapq 20; >= 3 SNPs saturate at 60
+    mapq_scale: float = 10.0
 
 
 @dataclass

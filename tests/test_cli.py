@@ -1,0 +1,67 @@
+"""CLI end-to-end on the example data (CPU backend, small read subsets)."""
+import gzip
+import itertools
+import os
+
+import pytest
+
+from pantax_tpu.cli import main
+from pantax_tpu.io.fastx import iter_fastx
+
+EXAMPLE_INFO = "/root/reference/example/example_genomes_info.txt"
+BASE = "/root/reference/example/ngs"
+NGS = "/root/reference/example/ngs/short_reads.fq.gz"
+HIFI = "/root/reference/example/hifi/long_reads.fq.gz"
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    wd = tmp_path_factory.mktemp("cli")
+    os.chdir(wd)
+    rc = main(["-f", EXAMPLE_INFO, "-d", "db", "--create", "--base-dir", BASE])
+    assert rc == 0
+    return wd
+
+
+def _subset_fastq(path, out, n):
+    with open(out, "wb") as f:
+        for name, seq in itertools.islice(iter_fastx(path), n):
+            f.write(b"@" + name.encode() + b"\n" + seq + b"\n+\n" + b"I" * len(seq) + b"\n")
+
+
+def test_cli_short_reads(workdir):
+    _subset_fastq(NGS, "sub.fq", 3000)
+    rc = main(["-d", "db", "-s", "-r", "sub.fq", "--species", "--strain",
+               "-o", "t1", "-R", "t1_cls.tsv", "-T", "tmp1"])
+    assert rc == 0
+    assert os.path.exists("t1_species_abundance.txt")
+    assert os.path.exists("t1_strains_abundance.txt")
+    assert os.path.exists("t1_cls.tsv")
+    assert not os.path.exists("tmp1")  # tmp removed without --next/--debug
+    body = open("t1_species_abundance.txt").read()
+    assert "562" in body and "34" in body
+
+
+def test_cli_long_reads(workdir):
+    _subset_fastq(HIFI, "subl.fq", 60)
+    rc = main(["-d", "db", "-l", "-r", "subl.fq", "--species", "--strain",
+               "-o", "t2", "-T", "tmp2", "--batch-size", "512"])
+    assert rc == 0
+    body = open("t2_species_abundance.txt").read()
+    assert "562" in body and "34" in body
+
+
+def test_cli_resume_with_next(workdir):
+    _subset_fastq(NGS, "sub3.fq", 1000)
+    rc = main(["-d", "db", "-s", "-r", "sub3.fq", "--species", "-n", "-T", "tmp3"])
+    assert rc == 0
+    assert os.path.exists("tmp3/gfa_mapped.gaf")
+    # second stage reuses the alignment + species profile
+    rc = main(["-d", "db", "-s", "-r", "sub3.fq", "--strain", "-T", "tmp3"])
+    assert rc == 0
+    assert os.path.exists("strain_abundance.txt")
+
+
+def test_cli_error_cases(workdir):
+    assert main(["-d", "db", "-s"]) == 2          # no reads
+    assert main(["-d", "db", "-r", "x.fq"]) == 2  # no read type
