@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import shutil
 import sys
 import time
@@ -42,6 +43,13 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--index", action="store_true", help="build alignment index and exit")
     c.add_argument("--base-dir", default=None,
                    help="directory genome paths resolve against (default: cwd)")
+    c.add_argument("--fast", action="store_true", dest="fast_query",
+                   help="screen genomes against the read sample by containment "
+                        "ANI before building the database")
+    c.add_argument("-A", "--ani", type=float, default=99.0,
+                   help="--fast mode: min coverage-adjusted ANI to keep a genome")
+    c.add_argument("--syldb", default=None,
+                   help="genome sketch cache directory (built on first use)")
 
     a = p.add_argument_group("alignment")
     a.add_argument("--long-read-type", default="hifi",
@@ -98,8 +106,33 @@ def main(argv: list[str] | None = None) -> int:
 
     db_path = Path(args.db)
     if args.genomes_info:
+        genomes_info = args.genomes_info
+        if args.fast_query and args.reads:
+            # --fast: pre-screen genomes against the read sample
+            # (construct.rs:22-63 semantics via containment sketches)
+            from .db.sketch import fast_query_filter, sketch_genomes
+            from .io.metadata import read_genomes_info, write_genomes_info
+
+            infos = read_genomes_info(genomes_info)
+            base = args.base_dir or os.getcwd()
+            sketches = sketch_genomes(
+                infos, base, cache_dir=args.syldb or str(db_path) + "_sketches"
+            )
+            kept_ids = set(
+                fast_query_filter(args.reads, sketches, min_ani=args.ani)
+            )
+            kept = [gi for gi in infos if gi.genome_id in kept_ids]
+            log.info("--fast: kept %d/%d genomes at ANI >= %.1f",
+                     len(kept), len(infos), args.ani)
+            if not kept:
+                log.error("--fast removed every genome; lower --ani")
+                return 1
+            db_path = Path(str(db_path) + "_fast")
+            db_path.mkdir(parents=True, exist_ok=True)
+            genomes_info = db_path / "genomes_info_fast_input.txt"
+            write_genomes_info(genomes_info, kept)
         db = build_database(
-            args.genomes_info, db_path, threads=args.threads,
+            genomes_info, db_path, threads=args.threads,
             force=args.force and not DatabasePaths(db_path).is_complete(),
             base_dir=args.base_dir,
         )

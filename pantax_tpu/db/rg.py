@@ -1,0 +1,103 @@
+"""pantax-tpu-rg: reference-genome database curation driver.
+
+The equivalent of scripts/pantax-rg (/root/reference/scripts/pantax-rg:184-254):
+from a provided genomes_info.txt (or a directory of FASTAs plus a metadata
+table), compute genome stats, deduplicate each species' genomes (graph or
+hierarchical clustering over containment ANI), disambiguate strain taxids,
+and emit the curated genomes_info.txt consumed by database construction.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from pathlib import Path
+
+from ..io.metadata import (
+    GenomeInfo, group_by_species, read_genomes_info, write_genomes_info,
+)
+from .preprocess import (
+    assign_strain_taxids, cluster_species_genomes, genome_stats,
+    hierarchical_cluster,
+)
+from .sketch import sketch_file
+
+log = logging.getLogger("pantax_tpu.rg")
+
+
+def curate(
+    infos: list[GenomeInfo],
+    base_dir: str,
+    mode: str = "graph",
+    max_n: int = 10,
+    top_m: int = 100,
+    cutoff: float = 0.1,
+) -> tuple[list[GenomeInfo], dict[str, list[str]]]:
+    """Returns (curated infos, rep path -> clustered member paths)."""
+    by_species = group_by_species(infos)
+    kept: list[GenomeInfo] = []
+    clusters: dict[str, list[str]] = {}
+    for taxid, genomes in by_species.items():
+        if len(genomes) == 1:
+            kept.extend(genomes)
+            continue
+        paths = [g.resolved_path(base_dir) for g in genomes]
+        by_path = {p: g for p, g in zip(paths, genomes)}
+        stats = {p: genome_stats(p) for p in paths}
+        sketches = {p: sketch_file(p) for p in paths}
+        if mode == "hcls":
+            selected, rep_to_cluster = hierarchical_cluster(
+                paths, cutoff=cutoff, sketches=sketches
+            )
+        else:
+            selected, rep_to_cluster = cluster_species_genomes(
+                paths, stats, top_m=top_m, max_n=max_n, sketches=sketches
+            )
+        log.info("species %s: %d genomes -> %d after dedup", taxid,
+                 len(genomes), len(selected))
+        kept.extend(by_path[p] for p in paths if p in selected)
+        clusters.update(rep_to_cluster)
+    return assign_strain_taxids(kept), clusters
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="pantax-tpu-rg",
+        description="curate a reference-genome set into genomes_info.txt",
+    )
+    p.add_argument("-c", "--custom", required=True,
+                   help="input genomes_info.txt (5 tab columns with header)")
+    p.add_argument("-o", "--out", default="genomes_info.txt")
+    p.add_argument("--cluster", choices=["graph", "hcls", "none"], default="graph")
+    p.add_argument("--base-dir", default=None)
+    p.add_argument("-n", "--max-n", type=int, default=10,
+                   help="max genomes per species pangenome")
+    p.add_argument("-m", "--top-m", type=int, default=100,
+                   help="pre-rank cap per species by N50")
+    p.add_argument("--cutoff", type=float, default=0.1,
+                   help="hcls distance cutoff (100 - ANI)")
+    p.add_argument("--cluster-out", default=None,
+                   help="write rep -> cluster members table here")
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr,
+                        format="%(asctime)s [%(levelname)s] %(message)s")
+
+    infos = read_genomes_info(args.custom)
+    base_dir = args.base_dir or str(Path.cwd())
+    if args.cluster == "none":
+        curated, clusters = assign_strain_taxids(infos), {}
+    else:
+        curated, clusters = curate(infos, base_dir, mode=args.cluster,
+                                   max_n=args.max_n, top_m=args.top_m,
+                                   cutoff=args.cutoff)
+    write_genomes_info(args.out, curated)
+    if args.cluster_out:
+        with open(args.cluster_out, "w") as f:
+            for rep, members in clusters.items():
+                f.write(f"{rep}\t{','.join(members)}\n")
+    log.info("wrote %d genomes to %s", len(curated), args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

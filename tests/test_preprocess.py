@@ -1,0 +1,186 @@
+"""Preprocessing layer: sketches/ANI, stats, clustering, taxid suffixes,
+DB merge, and the rg driver."""
+import numpy as np
+import pytest
+
+from pantax_tpu.db.preprocess import (
+    GenomeStats, assign_strain_taxids, cluster_species_genomes, filter_plasmids,
+    genome_stats, hierarchical_cluster,
+)
+from pantax_tpu.db.sketch import (
+    containment_ani, fast_query_filter, pairwise_ani, sketch_seqs,
+)
+from pantax_tpu.io.fastx import write_fasta
+from pantax_tpu.io.metadata import GenomeInfo
+
+
+def _random_genome(rng, n=30000):
+    return np.frombuffer(b"ACGT", dtype=np.uint8)[
+        rng.integers(0, 4, size=n)
+    ].tobytes()
+
+
+def _mutate(seq, rng, rate):
+    arr = np.frombuffer(seq, dtype=np.uint8).copy()
+    m = rng.random(len(arr)) < rate
+    arr[m] = np.frombuffer(b"ACGT", dtype=np.uint8)[
+        rng.integers(0, 4, size=int(m.sum()))
+    ]
+    return arr.tobytes()
+
+
+def test_containment_ani_tracks_mutation_rate():
+    rng = np.random.default_rng(0)
+    a = _random_genome(rng)
+    for rate, lo, hi in [(0.0, 99.9, 100.0), (0.001, 99.7, 100.0),
+                         (0.01, 98.3, 99.6), (0.05, 93.0, 97.0)]:
+        b = _mutate(a, rng, rate)
+        ani = containment_ani(sketch_seqs([a]), sketch_seqs([b]))
+        assert lo <= ani <= hi, (rate, ani)
+
+
+def test_unrelated_genomes_ani_zero():
+    rng = np.random.default_rng(1)
+    a, b = _random_genome(rng), _random_genome(rng)
+    assert containment_ani(sketch_seqs([a]), sketch_seqs([b])) == 0.0
+
+
+def test_genome_stats(tmp_path):
+    p = tmp_path / "g.fna"
+    write_fasta(p, [("c1", b"ACGT" * 2500), ("c2", b"GGCC" * 500)])
+    st = genome_stats(p)
+    assert st.total_len == 12000 and st.num_scaffolds == 2
+    assert st.n50 == 10000
+    assert st.gc == pytest.approx((5000 + 2000) / 12000)
+
+
+def test_filter_plasmids():
+    recs = [("chromosome 1", b"A" * 2_000_000), ("plasmid p1", b"C" * 2_000_000),
+            ("small contig", b"G" * 100)]
+    kept = filter_plasmids(recs)
+    assert [n for n, _ in kept] == ["chromosome 1"]
+
+
+def test_assign_strain_taxids():
+    infos = [GenomeInfo(f"g{i}", t, "5", "x", f"g{i}.fna")
+             for i, t in enumerate(["7", "7", "8", "7"])]
+    out = assign_strain_taxids(infos)
+    assert [g.strain_taxid for g in out] == ["7.1", "7.2", "8", "7.3"]
+
+
+@pytest.fixture()
+def species_genomes(tmp_path):
+    """5 genomes: 3 near-duplicates (>=99.9), 2 distinct strains (~97)."""
+    rng = np.random.default_rng(7)
+    base = _random_genome(rng, 50000)
+    seqs = {
+        "a": base,
+        "a2": _mutate(base, rng, 0.0002),
+        "a3": _mutate(base, rng, 0.0003),
+        "b": _mutate(base, rng, 0.02),
+        "c": _mutate(base, rng, 0.025),
+    }
+    paths = {}
+    for name, seq in seqs.items():
+        p = tmp_path / f"GCF_{name}.1_x_genomic.fna"
+        write_fasta(p, [(name, seq)])
+        paths[name] = str(p)
+    return paths
+
+
+def test_graph_clustering_dedups(species_genomes):
+    paths = list(species_genomes.values())
+    stats = {p: genome_stats(p) for p in paths}
+    selected, rep_to_cluster = cluster_species_genomes(paths, stats)
+    # the three near-identical genomes collapse to one representative
+    a_like = {species_genomes[k] for k in ("a", "a2", "a3")}
+    assert len(a_like & set(selected)) == 1
+    assert species_genomes["b"] in selected
+    assert species_genomes["c"] in selected
+    rep = next(iter(a_like & set(selected)))
+    assert set(rep_to_cluster[rep]) == a_like - {rep}
+
+
+def test_hierarchical_clustering(species_genomes):
+    paths = list(species_genomes.values())
+    reps, rep_to_cluster = hierarchical_cluster(paths, cutoff=1.0)
+    a_like = {species_genomes[k] for k in ("a", "a2", "a3")}
+    assert len(a_like & set(reps)) == 1
+    assert len(reps) == 3
+
+
+def test_fast_query_filter(tmp_path, species_genomes):
+    rng = np.random.default_rng(9)
+    # reads drawn from genome 'b' only
+    b = open(species_genomes["b"], "rb").read()
+    from pantax_tpu.io.fastx import iter_fastx
+    bseq = next(iter_fastx(species_genomes["b"]))[1]
+    reads_file = tmp_path / "reads.fq"
+    with open(reads_file, "wb") as f:
+        for i in range(400):
+            s = int(rng.integers(0, len(bseq) - 200))
+            piece = bseq[s : s + 200]
+            f.write(b"@r%d\n%s\n+\n%s\n" % (i, piece, b"I" * len(piece)))
+    from pantax_tpu.db.sketch import sketch_file
+    sketches = {k: sketch_file(p) for k, p in species_genomes.items()}
+    kept = fast_query_filter([reads_file], sketches, min_ani=99.0)
+    assert "b" in kept
+    assert "c" not in kept and "a" not in kept
+
+
+def test_merge_databases(tmp_path):
+    from pantax_tpu.db.construct import build_database
+    from pantax_tpu.db.merge import merge_databases
+    from pantax_tpu.graph.core import load_species_range
+    from pantax_tpu.io.metadata import write_genomes_info
+
+    rng = np.random.default_rng(11)
+    dbs = []
+    for di in range(2):
+        root = tmp_path / f"src{di}"
+        root.mkdir()
+        infos = []
+        for gi in range(2):
+            seq = _random_genome(rng, 8000)
+            name = f"GCF_{di}{gi}.1_x_genomic.fna"
+            write_fasta(root / name, [("c", seq)])
+            infos.append(GenomeInfo(f"GCF_{di}{gi}.1_x", f"{di}{gi}.1",
+                                    f"s{di}{gi}", "org", name))
+        info_file = root / "genomes_info.txt"
+        write_genomes_info(info_file, infos)
+        dbs.append(build_database(info_file, tmp_path / f"db{di}", base_dir=root))
+
+    merged = merge_databases([d.root for d in dbs], tmp_path / "merged")
+    ranges = load_species_range(merged.range_file)
+    assert len(ranges) == 4
+    assert ranges[0].start == 1
+    for a, b in zip(ranges[:-1], ranges[1:]):
+        assert b.start == a.end + 1
+    # graphs loadable for every species
+    for r in ranges:
+        g = merged.load_graph(r.species)
+        assert g.num_nodes == r.end - r.start + 1
+    # merged metadata has single header + 4 rows
+    lines = open(merged.genomes_info_file).read().strip().split("\n")
+    assert len(lines) == 5 and lines[0].startswith("genome_ID")
+
+
+def test_rg_driver(tmp_path, species_genomes):
+    from pantax_tpu.db.rg import main as rg_main
+    from pantax_tpu.io.metadata import read_genomes_info, write_genomes_info
+
+    infos = [
+        GenomeInfo(f"GCF_{k}.1_x", "77", "77", "org", p)
+        for k, p in species_genomes.items()
+    ]
+    src = tmp_path / "in_info.txt"
+    out = tmp_path / "out_info.txt"
+    write_genomes_info(src, infos)
+    rc = rg_main(["-c", str(src), "-o", str(out), "--cluster", "graph",
+                  "--base-dir", str(tmp_path)])
+    assert rc == 0
+    curated = read_genomes_info(out)
+    assert 2 <= len(curated) <= 4
+    # strain taxids disambiguated
+    taxids = [g.strain_taxid for g in curated]
+    assert len(set(taxids)) == len(taxids)
