@@ -87,19 +87,20 @@ def build_parser() -> argparse.ArgumentParser:
     o.add_argument("--force", action="store_true")
     o.add_argument("--debug", action="store_true")
     o.add_argument("-v", "--verbose", action="store_true")
+    o.add_argument("--log-dir", default=None, help="also write a log file here")
+    o.add_argument("--log_m", default=None, help="log file name discriminant")
+    o.add_argument("--trace-dir", default=None,
+                   help="write a jax.profiler trace of the alignment stage")
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     from .utils import enable_compilation_cache
+    from .utils.logging import device_trace, setup_logging, stage_timer
 
     enable_compilation_cache()
-    logging.basicConfig(
-        level=logging.DEBUG if args.verbose else logging.INFO,
-        format="%(asctime)s [%(levelname)s] %(message)s",
-        stream=sys.stderr,
-    )
+    setup_logging(args.log_dir, args.log_m, args.verbose)
     t0 = time.time()
 
     from .db.construct import DatabasePaths, build_database, load_database
@@ -176,15 +177,16 @@ def main(argv: list[str] | None = None) -> int:
             reads.extend(iter_fastx(rf))
         log.info("- Aligning %d reads...", len(reads))
         aligner = Aligner(index)
-        if args.short_read:
-            gaf = aligner.align_reads(reads, batch_size=args.batch_size)
-        else:
-            from .align.long_read import align_long_reads
+        with stage_timer("alignment"), device_trace(args.trace_dir):
+            if args.short_read:
+                gaf = aligner.align_reads(reads, batch_size=args.batch_size)
+            else:
+                from .align.long_read import align_long_reads
 
-            gaf = align_long_reads(aligner, reads, batch_size=args.batch_size)
-            gaf = filter_best_long_read_alignments(gaf)
+                gaf = align_long_reads(aligner, reads, batch_size=args.batch_size)
+                gaf = filter_best_long_read_alignments(gaf)
         write_gaf(gaf_file, gaf)
-        log.info("- Aligned %d/%d reads (%.1fs)", len(gaf), len(reads), time.time() - t0)
+        log.info("- Aligned %d/%d reads", len(gaf), len(reads))
 
     from .config import ProfilingConfig
     from .pipeline import profile_from_gaf
@@ -222,7 +224,8 @@ def main(argv: list[str] | None = None) -> int:
         shift=shift,
         read_type=read_type,
     )
-    profile_from_gaf(gaf, db, cfg, tmp, force=args.force)
+    with stage_timer("profiling"):
+        profile_from_gaf(gaf, db, cfg, tmp, force=args.force)
 
     # move results out of the tmp dir (handle_res parity, main.rs:60-100)
     prefix = f"{args.pantax_output}_" if args.pantax_output else ""

@@ -116,19 +116,58 @@ def build_database(
     multi = [t for t, g in by_species.items() if len(g) >= 2]
     single = [t for t, g in by_species.items() if len(g) == 1]
 
+    # crash-resumable construction: completed species are recorded and skipped
+    # on rerun (finished_pangenome.txt parity, task_scheduling.rs:238-254);
+    # a failing species aborts only itself, the others continue
+    # (task_scheduling.rs:631-668)
+    import threading
+
+    from ..utils.logging import ProgressMonitor
+
+    finished_file = db.root / "finished_species.txt"
+    finished: set[str] = set()
+    if finished_file.exists() and not force:
+        finished = set(finished_file.read_text().split())
+
     local_ranges: dict[str, tuple[int, int, int]] = {}
+    failures: dict[str, str] = {}
+    progress = ProgressMonitor(len(by_species), "pangenome build")
+    lock = threading.Lock()
 
     def build_one(taxid: str) -> None:
-        graph = _build_species_graph(
-            taxid, by_species[taxid], base_dir, chunk_size, pan_chunk_size
-        )
-        graph.save(graph_path(db.root, taxid))
-        lo, hi = graph.local_range()
-        local_ranges[taxid] = (lo, hi, int(graph.is_pan))
-        log.info("species %s: %d nodes, %d paths", taxid, graph.num_nodes, graph.num_paths)
+        gp = graph_path(db.root, taxid)
+        try:
+            if taxid in finished and os.path.exists(gp):
+                graph = SpeciesGraph.load(gp)
+            else:
+                graph = _build_species_graph(
+                    taxid, by_species[taxid], base_dir, chunk_size, pan_chunk_size
+                )
+                graph.save(gp)
+            lo, hi = graph.local_range()
+            with lock:
+                local_ranges[taxid] = (lo, hi, int(graph.is_pan))
+                with open(finished_file, "a") as f:
+                    f.write(taxid + "\n")
+            log.debug("species %s: %d nodes, %d paths", taxid,
+                      graph.num_nodes, graph.num_paths)
+            progress.update(ok=True)
+        except Exception as e:  # keep building the other species
+            log.error("species %s failed: %s", taxid, e)
+            with lock:
+                failures[taxid] = str(e)
+            progress.update(ok=False)
 
     with ThreadPoolExecutor(max_workers=threads) as pool:
         list(pool.map(build_one, multi + single))
+
+    if failures:
+        log.warning("%d/%d species failed to build: %s", len(failures),
+                    len(by_species), sorted(failures))
+        if len(failures) == len(by_species):
+            raise RuntimeError("all species failed to build")
+        multi = [t for t in multi if t not in failures]
+        single = [t for t in single if t not in failures]
 
     ranges = sort_range(local_ranges, multi, single)
     save_species_range(db.range_file, ranges)
