@@ -92,31 +92,48 @@ def _select_seeds(hashes, valid, density_bits: int, s_max: int):
     return sel_pos, sel_hash, sel_valid
 
 
-def _lookup_hits(seed_keys, seed_pos, sel_hash, sel_valid, hits_per_seed: int):
-    """Text positions for each read seed: [B, S, C] (+validity)."""
-    lo = jnp.searchsorted(seed_keys, sel_hash, side="left")
-    hi = jnp.searchsorted(seed_keys, sel_hash, side="right")
+def _lookup_hits(
+    seed_keys, seed_pos, bucket_lo, bucket_bits: int,
+    sel_hash, sel_valid, hits_per_seed: int,
+):
+    """Text positions for each read seed: [B, S, C] (+validity).
+
+    bucket_lo[h >> (32 - bucket_bits)] pre-resolves the binary search to a
+    short run of the sorted key table (built host-side in the Aligner), so a
+    lookup is two gathers instead of a 16-round searchsorted."""
     S_len = seed_pos.shape[0]
-    offs = jnp.arange(hits_per_seed, dtype=jnp.int32)
-    idx = lo[..., None] + offs
-    hit_valid = (idx < hi[..., None]) & sel_valid[..., None]
-    idx = jnp.clip(idx, 0, S_len - 1)
-    return seed_pos[idx], hit_valid
+    shift = jnp.uint32(32 - bucket_bits)
+    b = (sel_hash >> shift).astype(jnp.int32)
+    lo = bucket_lo[b]
+    hi = bucket_lo[b + 1]
+    # within-bucket offset of the first exact match: count keys < query
+    # over a capped probe window
+    offs = jnp.arange(hits_per_seed * 4, dtype=jnp.int32)
+    probe_idx = jnp.clip(lo[..., None] + offs, 0, S_len - 1)
+    probe_keys = seed_keys[probe_idx]
+    in_run = (lo[..., None] + offs) < hi[..., None]
+    below = ((probe_keys < sel_hash[..., None]) & in_run).sum(axis=-1)
+    first = lo + below
+    idx = first[..., None] + jnp.arange(hits_per_seed, dtype=jnp.int32)
+    idx_c = jnp.clip(idx, 0, S_len - 1)
+    hit_valid = (
+        (seed_keys[idx_c] == sel_hash[..., None])
+        & (idx < hi[..., None])
+        & sel_valid[..., None]
+    )
+    return seed_pos[idx_c], hit_valid
 
 
 def _vote_diagonals(diags, valid, band: int, top_k: int):
-    """Top-k candidate diagonals per read by vote count within +-band."""
+    """Top-k candidate diagonals per read by vote count within +-band.
+
+    Dense O(n^2) pairwise counting (n = seeds*hits per read is small) — plain
+    VPU compares, no sort/searchsorted, which are serial on TPU."""
     BIG = jnp.int32(2**30)
     d = jnp.where(valid, diags, BIG)
-    d = jnp.sort(d, axis=1)
-
-    def count_one(row):
-        lo = jnp.searchsorted(row, row - band, side="left")
-        hi = jnp.searchsorted(row, row + band, side="right")
-        return hi - lo
-
-    counts = jax.vmap(count_one)(d)
-    counts = jnp.where(d >= BIG, 0, counts)
+    diff = d[:, :, None] - d[:, None, :]
+    close = (jnp.abs(diff) <= band) & valid[:, None, :] & valid[:, :, None]
+    counts = close.sum(axis=2).astype(jnp.int32)
 
     cand_d = []
     cand_v = []
@@ -149,8 +166,11 @@ def _banded_extend(window, read, read_len, pad: int, match: int, mismatch: int, 
     """
     N, Lr = read.shape
     Wb = 2 * pad + 1
-    winT = window.T  # [W, N]
-    readT = read.T  # [Lr, N]
+    # Materialize the gathered window before the scan: without the barrier XLA
+    # fuses the text gather into the scan body and re-executes it every step
+    # (~100x slowdown observed on v5e).
+    winT = jax.lax.optimization_barrier(window.T)  # [W, N]
+    readT = jax.lax.optimization_barrier(read.T)  # [Lr, N]
     neg = jnp.int32(NEG)
 
     d_score = jnp.int32(1 << _SH_SCORE)
@@ -199,18 +219,37 @@ def _banded_extend(window, read, read_len, pad: int, match: int, mismatch: int, 
     return best, start_off, end_off, mcnt
 
 
+def _extract_windows(text2d, w0, W: int):
+    """window[i] = text[w0[i] : w0[i] + W] without an elementwise gather:
+    gather whole 256-byte rows, then shift each row into place with a binary
+    decomposition of the in-row offset (static rolls + arithmetic selects).
+    ~4x faster than the naive gather on v5e."""
+    n_extra = (W + 255) // 256
+    r = w0 >> 8
+    seg = jnp.concatenate([text2d[r + j] for j in range(n_extra + 1)], axis=1)
+    off = (w0 & 255)[:, None]
+    for t in range(8):
+        rolled = jnp.roll(seg, -(1 << t), axis=1)
+        bit = ((off >> t) & 1).astype(jnp.int8)
+        seg = rolled * bit + seg * (1 - bit)
+    return seg[:, :W]
+
+
 def _candidates_for_strand(
-    text, seed_keys, seed_pos, codes, read_len, cfg_static
+    text2d, seed_keys, seed_pos, bucket_lo, codes, read_len, cfg_static
 ):
     """Score top-K candidate locations for one strand of a read batch."""
-    (k, density_bits, s_max, hits, top_k, pad, match, mismatch, gap) = cfg_static
+    (k, density_bits, bucket_bits, s_max, hits, top_k, pad, match, mismatch, gap) = cfg_static
     B, Lr = codes.shape
     W = Lr + 2 * pad
-    T = text.shape[0]
+    n_extra = (W + 255) // 256
+    T = (text2d.shape[0] - n_extra) * 256
 
     hashes, valid = _kmer_hashes_j(codes, k)
     sel_pos, sel_hash, sel_valid = _select_seeds(hashes, valid, density_bits, s_max)
-    hit_pos, hit_valid = _lookup_hits(seed_keys, seed_pos, sel_hash, sel_valid, hits)
+    hit_pos, hit_valid = _lookup_hits(
+        seed_keys, seed_pos, bucket_lo, bucket_bits, sel_hash, sel_valid, hits
+    )
     diags = hit_pos - sel_pos[..., None]
     diags = diags.reshape(B, -1)
     hit_valid = hit_valid.reshape(B, -1)
@@ -218,7 +257,7 @@ def _candidates_for_strand(
 
     w0 = jnp.clip(cand_diag - pad, 0, T - W)
     flat_w0 = w0.reshape(-1)
-    window = text[flat_w0[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]]
+    window = _extract_windows(text2d, flat_w0, W)
     read_rep = jnp.repeat(codes, top_k, axis=0)
     len_rep = jnp.repeat(read_len, top_k)
     score, start_off, end_off, matches = _banded_extend(
@@ -238,16 +277,17 @@ def _candidates_for_strand(
 
 @partial(jax.jit, static_argnames=("cfg_static",))
 def _query_batch(
-    text, seed_keys, seed_pos, tstart, tnode, codes_fwd, codes_rev, read_len, cfg_static
+    text2d, seed_keys, seed_pos, bucket_lo, tstart, tnode,
+    codes_fwd, codes_rev, read_len, cfg_static
 ):
-    (k, density_bits, s_max, hits, top_k, pad, match, mismatch, gap,
+    (k, density_bits, bucket_bits, s_max, hits, top_k, pad, match, mismatch, gap,
      mapq_scale, min_score_frac) = cfg_static
-    inner = (k, density_bits, s_max, hits, top_k, pad, match, mismatch, gap)
+    inner = (k, density_bits, bucket_bits, s_max, hits, top_k, pad, match, mismatch, gap)
     sf, tsf, tef, mf = _candidates_for_strand(
-        text, seed_keys, seed_pos, codes_fwd, read_len, inner
+        text2d, seed_keys, seed_pos, bucket_lo, codes_fwd, read_len, inner
     )
     sr, tsr, ter, mr = _candidates_for_strand(
-        text, seed_keys, seed_pos, codes_rev, read_len, inner
+        text2d, seed_keys, seed_pos, bucket_lo, codes_rev, read_len, inner
     )
     B, K = sf.shape
     scores = jnp.concatenate([sf, sr], axis=1)
@@ -290,20 +330,36 @@ def _query_batch(
 _RC = np.array([3, 2, 1, 0, 4], dtype=np.int8)
 
 
+def build_bucket_table(seed_keys: np.ndarray) -> tuple[int, np.ndarray]:
+    """Host-side prefix table: bucket_lo[b] = first index in the sorted key
+    table whose key >= (b << (32 - bits)).  Sized so the average bucket run is
+    about 1 key (capped at 2^24 buckets = 64MB)."""
+    n = max(len(seed_keys), 1)
+    bits = int(np.clip(int(np.ceil(np.log2(n))) + 1, 12, 24))
+    size = 1 << bits
+    bounds = np.arange(size + 1, dtype=np.uint64) << np.uint64(32 - bits)
+    lo = np.searchsorted(seed_keys.astype(np.uint64), bounds).astype(np.int32)
+    return bits, lo
+
+
 class Aligner:
     def __init__(self, index: AlignIndex, cfg: AlignConfig | None = None):
         self.index = index
         self.cfg = cfg or AlignConfig()
-        self.text_d = jnp.asarray(index.text)
+        assert index.text_len % 256 == 0, "index text must be 256-padded (rebuild the align index)"
+        self.text_d = jnp.asarray(index.text.reshape(-1, 256))
         self.seed_keys_d = jnp.asarray(index.seed_keys)
         self.seed_pos_d = jnp.asarray(index.seed_pos)
         self.tstart_d = jnp.asarray(index.tstart.astype(np.int32))
         self.tnode_d = jnp.asarray(index.tnode.astype(np.int32))
+        self.bucket_bits, bucket_lo = build_bucket_table(index.seed_keys)
+        self.bucket_lo_d = jnp.asarray(bucket_lo)
 
     def _static(self) -> tuple:
         c = self.cfg
         return (
-            self.index.k, self.index.density_bits, c.max_seeds, c.hits_per_seed,
+            self.index.k, self.index.density_bits, self.bucket_bits,
+            c.max_seeds, c.hits_per_seed,
             c.max_candidates, c.extension_band, c.match, c.mismatch, c.gap_extend,
             c.mapq_scale, c.min_score_frac,
         )
@@ -321,8 +377,8 @@ class Aligner:
             4,
         ).astype(np.int8)
         out = _query_batch(
-            self.text_d, self.seed_keys_d, self.seed_pos_d, self.tstart_d,
-            self.tnode_d, jnp.asarray(codes), jnp.asarray(rev),
+            self.text_d, self.seed_keys_d, self.seed_pos_d, self.bucket_lo_d,
+            self.tstart_d, self.tnode_d, jnp.asarray(codes), jnp.asarray(rev),
             jnp.asarray(lens.astype(np.int32)), self._static(),
         )
         ts, te, score, matches, mapq, strand, aligned = (np.asarray(x) for x in out)

@@ -30,7 +30,13 @@ from ..db.construct import DatabasePaths
 from ..graph.core import load_species_range
 from .encode import encode_seq, kmer_hashes, sample_positions
 
+
+class StaleIndexError(RuntimeError):
+    pass
+
 INDEX_FILE = "align_index.npz"
+# bump whenever the on-disk layout changes; stale caches are rebuilt
+FORMAT_VERSION = 2
 
 
 @dataclass
@@ -80,12 +86,20 @@ class AlignIndex:
             tstart=self.tstart,
             tnode=self.tnode,
             tlen=self.tlen,
-            params=np.array([self.k, self.density_bits], dtype=np.int64),
+            params=np.array(
+                [self.k, self.density_bits, FORMAT_VERSION], dtype=np.int64
+            ),
         )
 
     @classmethod
     def load(cls, path: str | os.PathLike) -> "AlignIndex":
         with np.load(os.fspath(path)) as z:
+            params = z["params"]
+            if len(params) < 3 or int(params[2]) != FORMAT_VERSION:
+                raise StaleIndexError(
+                    f"{path}: index format {params[2] if len(params) > 2 else 1}"
+                    f" != {FORMAT_VERSION}"
+                )
             return cls(
                 text=z["text"],
                 hap_offsets=z["hap_offsets"],
@@ -111,7 +125,13 @@ def build_align_index(
     """Build (or load cached) alignment index for a database."""
     cache = db.root / INDEX_FILE
     if save and cache.exists():
-        return AlignIndex.load(cache)
+        try:
+            return AlignIndex.load(cache)
+        except StaleIndexError as e:
+            import logging
+
+            logging.getLogger(__name__).warning("rebuilding stale index: %s", e)
+            cache.unlink()
 
     ranges = load_species_range(db.range_file)
     text_parts: list[np.ndarray] = []
@@ -138,6 +158,12 @@ def build_align_index(
             hap_names.append(name)
             hap_species.append(r.species)
 
+    # trailing sentinel pad lets fixed-size window fetches run off the last
+    # haplotype without bounds handling, and rounds the text to a multiple of
+    # 256 for the device's [rows, 256] view (aligner window extraction)
+    text_parts.append(np.full(1024, 4, dtype=np.int8))
+    total = sum(len(t) for t in text_parts)
+    text_parts.append(np.full((-total) % 256, 4, dtype=np.int8))
     text = np.concatenate(text_parts)
     tstart = np.concatenate(tstart_parts)
     tnode = np.concatenate(tnode_parts)
