@@ -1,0 +1,140 @@
+// pantax_tpu native data plane: the host-side hot loops that feed the TPU.
+//
+// The reference offloads this work to needletail/rust-htslib (SURVEY.md §2.1);
+// here it is a small C++ library exposed through ctypes:
+//   - fastx_parse:      FASTA/FASTQ buffer -> concatenated base codes +
+//                       per-record offsets + id spans (single pass)
+//   - kmer_hash_sample: rolling canonical k-mer hashing + open sampling,
+//                       bit-identical to pantax_tpu.align.encode (the seed
+//                       index build is O(k) numpy passes otherwise)
+//
+// Build: g++ -O3 -shared -fPIC pantax_native.cpp -o pantax_native.so
+// (done on demand by pantax_tpu.utils.native).
+
+#include <cstdint>
+#include <cstddef>
+
+extern "C" {
+
+static inline int8_t base_code(uint8_t c) {
+    switch (c) {
+        case 'A': case 'a': return 0;
+        case 'C': case 'c': return 1;
+        case 'G': case 'g': return 2;
+        case 'T': case 't': return 3;
+        default: return 4;
+    }
+}
+
+// Parse FASTA ('>') or FASTQ ('@') from a decompressed buffer.
+// Outputs:
+//   out_codes    [<= buf_len]       concatenated per-record base codes
+//   out_offsets  [max_records + 1]  running offsets into out_codes
+//   out_id_spans [2 * max_records]  (start, end) byte spans of ids in buf
+// Returns the number of records parsed (< 0 on format error).
+long long fastx_parse(
+    const uint8_t* buf, long long len,
+    int8_t* out_codes, long long* out_offsets,
+    long long* out_id_spans, long long max_records)
+{
+    if (len == 0) return 0;
+    const bool fastq = buf[0] == '@';
+    if (!fastq && buf[0] != '>') return -1;
+
+    long long pos = 0, n = 0, w = 0;
+    out_offsets[0] = 0;
+    while (pos < len && n < max_records) {
+        if (buf[pos] != (fastq ? '@' : '>')) return -2;
+        ++pos;
+        long long id_start = pos;
+        while (pos < len && buf[pos] != '\n' && buf[pos] != ' ' &&
+               buf[pos] != '\t' && buf[pos] != '\r') ++pos;
+        out_id_spans[2 * n] = id_start;
+        out_id_spans[2 * n + 1] = pos;
+        while (pos < len && buf[pos] != '\n') ++pos;  // rest of header
+        ++pos;
+        if (fastq) {
+            while (pos < len && buf[pos] != '\n')
+                out_codes[w++] = base_code(buf[pos++]);
+            ++pos;                                        // end of seq line
+            while (pos < len && buf[pos] != '\n') ++pos;  // '+' line
+            ++pos;
+            while (pos < len && buf[pos] != '\n') ++pos;  // quality line
+            ++pos;
+        } else {
+            while (pos < len && buf[pos] != '>') {
+                uint8_t c = buf[pos];
+                if (c == '\n' || c == '\r') { ++pos; continue; }
+                out_codes[w++] = base_code(c);
+                ++pos;
+            }
+        }
+        out_offsets[++n] = w;
+    }
+    return n;
+}
+
+static inline uint32_t mix32(uint32_t h) {
+    h ^= h >> 16;
+    h *= 0x85EBCA6Bu;
+    h ^= h >> 13;
+    h *= 0xC2B2AE35u;
+    h ^= h >> 16;
+    return h;
+}
+
+// Rolling canonical k-mer hashing with open sampling (single pass).
+//   codes [n]: 0..3 bases, 4 invalid; k <= 64.
+// Writes sampled (hash, position) pairs; returns their count.
+// Matches pantax_tpu.align.encode exactly:
+//   hf = sum_i c[p+i] * B^(k-1-i);  hr = sum_i (3-c[p+i]) * B^i  (mod 2^32)
+//   key = mix32(min(hf, hr)); sampled iff key % 2^density_bits == 0.
+// Rolling updates:
+//   hf' = (hf - c_out * B^(k-1)) * B + c_in
+//   hr' = (hr - (3 - c_out)) * invB + (3 - c_in) * B^(k-1)
+// where invB is the modular inverse of B mod 2^32 (B odd).
+long long kmer_hash_sample(
+    const int8_t* codes, long long n, int k, int density_bits,
+    uint32_t* out_hash, long long* out_pos, long long cap)
+{
+    if (n < k || k > 64) return 0;
+    const uint32_t B = 0x9E3779B1u;
+    uint32_t pows[64];
+    pows[0] = 1;
+    for (int i = 1; i < k; ++i) pows[i] = pows[i - 1] * B;
+    uint32_t invB = B;  // Newton iteration: x *= 2 - B*x
+    for (int it = 0; it < 5; ++it) invB *= 2u - B * invB;
+    const uint32_t mask = (1u << density_bits) - 1u;
+
+    uint32_t hf = 0, hr = 0;
+    long long last_invalid = -1;
+    for (int i = 0; i < k; ++i) {
+        uint32_t c = (uint32_t)codes[i];
+        if (codes[i] == 4) last_invalid = i;
+        hf += c * pows[k - 1 - i];
+        hr += (3u - c) * pows[i];
+    }
+
+    long long count = 0;
+    for (long long p = 0; p + k <= n; ++p) {
+        if (last_invalid < p) {
+            uint32_t canon = hf < hr ? hf : hr;
+            uint32_t key = mix32(canon);
+            if ((key & mask) == 0) {
+                if (count >= cap) return -count;  // caller retries with more
+                out_hash[count] = key;
+                out_pos[count] = p;
+                ++count;
+            }
+        }
+        if (p + k >= n) break;
+        uint32_t c_out = (uint32_t)codes[p];
+        uint32_t c_in = (uint32_t)codes[p + k];
+        hf = (hf - c_out * pows[k - 1]) * B + c_in;
+        hr = (hr - (3u - c_out)) * invB + (3u - c_in) * pows[k - 1];
+        if (codes[p + k] == 4) last_invalid = p + k;
+    }
+    return count;
+}
+
+}  // extern "C"

@@ -384,6 +384,48 @@ class Aligner:
         ts, te, score, matches, mapq, strand, aligned = (np.asarray(x) for x in out)
         return BatchResult(ts, te, score, matches, mapq, strand, aligned)
 
+    def align_file(
+        self, path, batch_size: int = 4096
+    ) -> list[GafRecord]:
+        """Align every read in a FASTA/FASTQ file (gzip ok).  Uses the native
+        C++ parser when available; falls back to the Python reader."""
+        import gzip as _gzip
+
+        from ..utils.native import fastx_parse_native
+
+        raw = open(path, "rb").read()
+        if raw[:2] == b"\x1f\x8b":
+            raw = _gzip.decompress(raw)
+        parsed = fastx_parse_native(raw)
+        if parsed is None:
+            from ..io.fastx import iter_fastx
+
+            return self.align_reads(list(iter_fastx(path)), batch_size)
+        codes_flat, offsets, ids = parsed
+        lens_all = np.diff(offsets)
+        n = len(ids)
+        if n == 0:
+            return []
+        pad_len = _round_up(int(lens_all.max()))
+        out: list[GafRecord] = []
+        for lo in range(0, n, batch_size):
+            hi = min(lo + batch_size, n)
+            codes = np.full((batch_size, pad_len), 4, dtype=np.int8)
+            lens = np.zeros(batch_size, dtype=np.int64)
+            for i in range(lo, hi):
+                L = int(lens_all[i])
+                codes[i - lo, :L] = codes_flat[offsets[i] : offsets[i] + L]
+                lens[i - lo] = L
+            res = self.align_codes(codes, lens)
+            chunk = [(ids[i], None) for i in range(lo, hi)]
+            out.extend(self._emit_gaf_lens(chunk, lens, res))
+        return out
+
+    def _emit_gaf_lens(self, chunk, lens, res: BatchResult) -> list[GafRecord]:
+        """GAF emission when only read lengths (not sequences) are at hand."""
+        fake = [(rid, b"x" * int(lens[i])) for i, (rid, _) in enumerate(chunk)]
+        return self._emit_gaf(fake, res)
+
     def align_reads(
         self, reads: list[tuple[str, bytes]], batch_size: int = 512
     ) -> list[GafRecord]:

@@ -169,9 +169,19 @@ def build_align_index(
     tnode = np.concatenate(tnode_parts)
     tlen = np.concatenate(tlen_parts)
 
-    hashes, valid = kmer_hashes(text, k)
-    pos = sample_positions(hashes, valid, density_bits)
-    keys = hashes[pos]
+    native = None
+    try:
+        from ..utils.native import kmer_hash_sample_native
+
+        native = kmer_hash_sample_native(text, k, density_bits)
+    except Exception:  # pragma: no cover - fallback path
+        native = None
+    if native is not None:
+        keys, pos = native
+    else:
+        hashes, valid = kmer_hashes(text, k)
+        pos = sample_positions(hashes, valid, density_bits)
+        keys = hashes[pos]
     order = np.argsort(keys, kind="stable")
     keys = keys[order]
     pos = pos[order].astype(np.int32)

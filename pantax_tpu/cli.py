@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="--fast mode: min coverage-adjusted ANI to keep a genome")
     c.add_argument("--syldb", default=None,
                    help="genome sketch cache directory (built on first use)")
+    c.add_argument("--gfa-dir", default=None,
+                   help="directory of externally built <taxid>.gfa species "
+                        "graphs (e.g. pggb) to import instead of constructing")
 
     a = p.add_argument_group("alignment")
     a.add_argument("--long-read-type", default="hifi",
@@ -135,7 +138,7 @@ def main(argv: list[str] | None = None) -> int:
         db = build_database(
             genomes_info, db_path, threads=args.threads,
             force=args.force and not DatabasePaths(db_path).is_complete(),
-            base_dir=args.base_dir,
+            base_dir=args.base_dir, gfa_dir=args.gfa_dir,
         )
     else:
         db = load_database(db_path)
@@ -170,23 +173,24 @@ def main(argv: list[str] | None = None) -> int:
         gaf = read_gaf(gaf_file)
     else:
         from .align.aligner import Aligner
-        from .io.fastx import iter_fastx
 
-        reads = []
-        for rf in args.reads:
-            reads.extend(iter_fastx(rf))
-        log.info("- Aligning %d reads...", len(reads))
         aligner = Aligner(index)
         with stage_timer("alignment"), device_trace(args.trace_dir):
             if args.short_read:
-                gaf = aligner.align_reads(reads, batch_size=args.batch_size)
+                gaf = []
+                for rf in args.reads:
+                    gaf.extend(aligner.align_file(rf, batch_size=args.batch_size))
             else:
                 from .align.long_read import align_long_reads
+                from .io.fastx import iter_fastx
 
+                reads = []
+                for rf in args.reads:
+                    reads.extend(iter_fastx(rf))
                 gaf = align_long_reads(aligner, reads, batch_size=args.batch_size)
                 gaf = filter_best_long_read_alignments(gaf)
         write_gaf(gaf_file, gaf)
-        log.info("- Aligned %d/%d reads", len(gaf), len(reads))
+        log.info("- Aligned %d reads", len(gaf))
 
     from .config import ProfilingConfig
     from .pipeline import profile_from_gaf

@@ -73,13 +73,28 @@ def _genome_seq(gi: GenomeInfo, base_dir: str) -> bytes:
     return b"".join(seq for _, seq in iter_fastx(gi.resolved_path(base_dir)))
 
 
+def _import_gfa_graph(gfa_file: str) -> SpeciesGraph:
+    """Import an externally built (e.g. pggb/vg) species GFA as the graph
+    (construct.rs keeps pggb output authoritative; here GFA import is the
+    interop path so existing reference databases remain usable)."""
+    from ..io.gfa import read_gfa
+
+    parsed = read_gfa(gfa_file, keep_seq=True)
+    return SpeciesGraph.from_paths(parsed.nodes_len, parsed.paths, parsed.node_seqs)
+
+
 def _build_species_graph(
     taxid: str,
     genomes: list[GenomeInfo],
     base_dir: str,
     chunk_size: int,
     pan_chunk_size: int,
+    gfa_dir: str | None = None,
 ) -> SpeciesGraph:
+    if gfa_dir is not None:
+        gfa_file = os.path.join(gfa_dir, f"{taxid}.gfa")
+        if os.path.exists(gfa_file):
+            return _import_gfa_graph(gfa_file)
     if len(genomes) == 1:
         return build_chain_graph(
             genomes[0].resolved_path(base_dir),
@@ -98,11 +113,14 @@ def build_database(
     threads: int = 8,
     force: bool = False,
     base_dir: str | os.PathLike | None = None,
+    gfa_dir: str | os.PathLike | None = None,
 ) -> DatabasePaths:
     """Relative genome paths in genomes_info resolve against ``base_dir``
     (default: the current working directory — reference parity, where paths
     like ``../genomes/...`` are relative to where pantax runs,
-    /root/reference/test/pantax.sh)."""
+    /root/reference/test/pantax.sh).  When ``gfa_dir`` holds a
+    ``<taxid>.gfa`` (e.g. built by pggb), it is imported instead of running
+    the anchor-partition constructor."""
     db = DatabasePaths(Path(db_dir))
     if db.is_complete() and not force:
         log.info("database %s exists, skipping construction", db.root)
@@ -141,7 +159,9 @@ def build_database(
                 graph = SpeciesGraph.load(gp)
             else:
                 graph = _build_species_graph(
-                    taxid, by_species[taxid], base_dir, chunk_size, pan_chunk_size
+                    taxid, by_species[taxid], base_dir, chunk_size,
+                    pan_chunk_size,
+                    os.fspath(gfa_dir) if gfa_dir is not None else None,
                 )
                 graph.save(gp)
             lo, hi = graph.local_range()

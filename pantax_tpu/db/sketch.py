@@ -40,16 +40,29 @@ class Sketch:
             return cls(z["hashes"], int(z["meta"][0]), int(z["meta"][1]))
 
 
+def _sampled_hashes(codes: np.ndarray, k: int, density_bits: int) -> np.ndarray:
+    try:
+        from ..utils.native import kmer_hash_sample_native
+
+        res = kmer_hash_sample_native(codes, k, density_bits)
+        if res is not None:
+            return res[0]
+    except Exception:  # pragma: no cover - fallback path
+        pass
+    h, valid = kmer_hashes(codes, k)
+    mask = np.uint32((1 << density_bits) - 1)
+    return h[valid & ((h & mask) == 0)]
+
+
 def sketch_seqs(
     seqs: list[bytes], k: int = DEFAULT_K, density_bits: int = DEFAULT_DENSITY_BITS
 ) -> Sketch:
     parts = []
     total = 0
-    mask = np.uint32((1 << density_bits) - 1)
     for seq in seqs:
-        h, valid = kmer_hashes(encode_seq(seq), k)
-        total += int(valid.sum())
-        parts.append(h[valid & ((h & mask) == 0)])
+        codes = encode_seq(seq)
+        total += max(len(codes) - k + 1, 0)
+        parts.append(_sampled_hashes(codes, k, density_bits))
     hashes = (
         np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.uint32)
     )
@@ -95,11 +108,7 @@ def sketch_seqs_with_counts(
     seqs: list[bytes], k: int = DEFAULT_K, density_bits: int = DEFAULT_DENSITY_BITS
 ) -> tuple[np.ndarray, np.ndarray]:
     """(sorted unique hashes, multiplicities) over sampled k-mers."""
-    parts = []
-    mask = np.uint32((1 << density_bits) - 1)
-    for seq in seqs:
-        h, valid = kmer_hashes(encode_seq(seq), k)
-        parts.append(h[valid & ((h & mask) == 0)])
+    parts = [_sampled_hashes(encode_seq(seq), k, density_bits) for seq in seqs]
     if not parts:
         return np.zeros(0, np.uint32), np.zeros(0, np.int64)
     allh = np.concatenate(parts)

@@ -184,3 +184,45 @@ def test_rg_driver(tmp_path, species_genomes):
     # strain taxids disambiguated
     taxids = [g.strain_taxid for g in curated]
     assert len(set(taxids)) == len(taxids)
+
+
+def test_gfa_import_into_database(tmp_path):
+    """Externally built species GFA (pggb-style) is imported as-is."""
+    from pantax_tpu.db.construct import build_database
+    from pantax_tpu.io.gfa import write_gfa
+
+    rng = np.random.default_rng(21)
+    # two haplotypes sharing a bubble graph: s1 -> (a|b) -> s2
+    s1, a, b, s2 = (
+        _random_genome(rng, 300), _random_genome(rng, 40),
+        _random_genome(rng, 44), _random_genome(rng, 300),
+    )
+    gfa_dir = tmp_path / "gfa"
+    gfa_dir.mkdir()
+    write_gfa(
+        gfa_dir / "77.gfa",
+        [s1, a, b, s2],
+        walks=[
+            ("GCF_x.1", "0", "c", 640, np.array([0, 1, 3])),
+            ("GCF_y.1", "0", "c", 644, np.array([0, 2, 3])),
+        ],
+    )
+    # genomes_info must still name the species; genome files spell the paths
+    infos = []
+    for name, seq in [("GCF_x.1_g_genomic.fna", s1 + a + s2),
+                      ("GCF_y.1_g_genomic.fna", s1 + b + s2)]:
+        write_fasta(tmp_path / name, [("c", seq)])
+        acc = name.split("_g_")[0]
+        infos.append(GenomeInfo(acc + "_g", acc, "77", "org", name))
+    from pantax_tpu.io.metadata import write_genomes_info
+    info_file = tmp_path / "info.txt"
+    write_genomes_info(info_file, infos)
+
+    db = build_database(info_file, tmp_path / "db", base_dir=tmp_path,
+                        gfa_dir=gfa_dir)
+    g = db.load_graph("77")
+    assert g.num_nodes == 4
+    assert g.path_seq(0).tobytes() in (s1 + a + s2, s1 + b + s2)
+    from pantax_tpu.graph.core import load_species_range
+    r = load_species_range(db.range_file)[0]
+    assert (r.start, r.end, r.is_pan) == (1, 4, 1)
