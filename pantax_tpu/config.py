@@ -39,6 +39,10 @@ class ProfilingConfig:
     full: bool = True
     # 'admm' (JAX/TPU) or 'highs' (scipy host oracle)
     solver: str = "admm"
+    # coverage engine: 'host' (NumPy), 'device' (jitted TPU path), or 'auto'
+    # (device above auto_device_reads reads per species)
+    coverage: str = "auto"
+    auto_device_reads: int = 100_000
     # shift mode scales the trio-fraction threshold by the trio coverage mean
     # (defaults on iff the DB range table is empty, main.rs:118-124 quirk)
     shift: bool = False

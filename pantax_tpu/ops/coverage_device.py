@@ -1,0 +1,219 @@
+"""Full-parity device coverage: node bases, exact per-base counts, and
+trio-node coverage as one jitted JAX computation.
+
+This is the TPU port of profile/coverage.py (itself the oracle for the
+reference's get_node_abundances, /root/reference/pantax/src/profile.rs:742-1026):
+
+  - per-(read, position) base allocation with first-occurrence dedup (sorting
+    node ids within each read row — rows are independent, so axis-1 sorts
+    replace the host lexsort);
+  - exact per-base coverage via a scatter-add diff array over the flat base
+    space and a segment-sum back to nodes;
+  - trio windows matched against a sorted hash table of the unique trios
+    (canonical orientation, linear probe with equality verification).
+
+Padded shapes are static: bucket reads by max path length L before calling.
+When the read batch is sharded over a mesh axis, the three dense outputs are
+cross-shard reductions XLA lowers to psums.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _mix3(a, b, c):
+    """32-bit hash of a canonical (a, b, c) node triple."""
+    h = a.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+    h = (h ^ b.astype(jnp.uint32)) * jnp.uint32(0x85EBCA6B)
+    h = (h ^ c.astype(jnp.uint32)) * jnp.uint32(0xC2B2AE35)
+    return h ^ (h >> 16)
+
+
+@dataclass
+class DeviceGraphCoverageTables:
+    """Static per-species device arrays for coverage computation."""
+
+    nodes_len: jnp.ndarray      # int32 [N]
+    base_offset: jnp.ndarray    # int32 [N + 1]
+    base_node: jnp.ndarray      # int32 [TB] node id of every base
+    trio_hash_sorted: jnp.ndarray  # uint32 [U]
+    trio_order: jnp.ndarray        # int32 [U] -> original trio index
+    trio_abc_sorted: jnp.ndarray   # int32 [U, 3] canonical triples, hash order
+
+    @classmethod
+    def build(cls, nodes_len: np.ndarray, trio_nodes: np.ndarray):
+        nodes_len = np.asarray(nodes_len, dtype=np.int32)
+        base_offset = np.zeros(len(nodes_len) + 1, dtype=np.int32)
+        np.cumsum(nodes_len, out=base_offset[1:])
+        base_node = np.repeat(
+            np.arange(len(nodes_len), dtype=np.int32), nodes_len
+        )
+        tn = np.asarray(trio_nodes, dtype=np.int64).reshape(-1, 3)
+        h = np.asarray(
+            _mix3(jnp.asarray(tn[:, 0]), jnp.asarray(tn[:, 1]), jnp.asarray(tn[:, 2]))
+        ) if len(tn) else np.zeros(0, np.uint32)
+        order = np.argsort(h, kind="stable").astype(np.int32)
+        return cls(
+            nodes_len=jnp.asarray(nodes_len),
+            base_offset=jnp.asarray(base_offset),
+            base_node=jnp.asarray(base_node),
+            trio_hash_sorted=jnp.asarray(h[order]),
+            trio_order=jnp.asarray(order),
+            trio_abc_sorted=jnp.asarray(tn[order].astype(np.int32)),
+        )
+
+
+@partial(jax.jit, static_argnames=("num_nodes", "total_bases", "num_trios"))
+def device_node_abundances(
+    nodes,          # int32 [R, L] local node ids, -1 pad
+    lengths,        # int32 [R]
+    read_start,     # int32 [R]
+    read_end,       # int32 [R]
+    nodes_len,      # int32 [N]
+    base_offset,    # int32 [N + 1]
+    base_node,      # int32 [TB]
+    trio_hash_sorted,   # uint32 [U]
+    trio_order,         # int32 [U]
+    trio_abc_sorted,    # int32 [U, 3]
+    trio_len,           # int32 [U] (original order)
+    num_nodes: int,
+    total_bases: int,
+    num_trios: int,
+):
+    R, L = nodes.shape
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    valid = pos < lengths[:, None]
+    node_ids = jnp.where(valid, nodes, 0)
+    nlen = nodes_len[node_ids].astype(jnp.int32)
+
+    is_first = pos == 0
+    is_last = pos == (lengths - 1)[:, None]
+    target = (read_end - read_start)[:, None]
+    single = lengths[:, None] == 1
+
+    first_alloc = nlen - read_start[:, None]
+    alloc_nolast = jnp.where(is_first, first_alloc, nlen)
+    alloc_tmp = jnp.where(valid, alloc_nolast, 0)
+    seen_before = jnp.cumsum(alloc_tmp, axis=1) - alloc_tmp
+    last_alloc = jnp.maximum(target - seen_before, 0)
+    alloc = jnp.where(is_last, last_alloc, alloc_nolast)
+    alloc = jnp.where(single, target, alloc)
+    start_idx = jnp.where(is_first | single, read_start[:, None], 0)
+    dropped = single[:, 0] & (target[:, 0] < 0)
+    valid = valid & ~dropped[:, None]
+    alloc = jnp.where(valid, alloc, 0)
+
+    # first occurrence + broadcast of the first-occurrence allocation:
+    # rows are independent -> sort (node, pos) within each row
+    sort_node = jnp.where(valid, node_ids, num_nodes)  # pads group at the end
+    key = sort_node * jnp.int32(L) + pos
+    order = jnp.argsort(key, axis=1)
+    node_sorted = jnp.take_along_axis(sort_node, order, axis=1)
+    alloc_sorted = jnp.take_along_axis(alloc, order, axis=1)
+    is_start = jnp.concatenate(
+        [jnp.ones((R, 1), bool), node_sorted[:, 1:] != node_sorted[:, :-1]],
+        axis=1,
+    )
+    # first value of each group propagated forward: cumulative trick
+    grp = jnp.cumsum(is_start.astype(jnp.int32), axis=1)
+    first_val_sorted = jnp.where(is_start, alloc_sorted, 0)
+    # propagate via segment-max style scan: since only group starts are
+    # nonzero, a prefix "carry" works: carry[i] = value at the latest start
+    def carry_scan(c, x):
+        v, s = x
+        c = jnp.where(s, v, c)
+        return c, c
+    _, bcast_sorted = jax.lax.scan(
+        carry_scan,
+        jnp.zeros(R, dtype=alloc.dtype),
+        (first_val_sorted.T, is_start.T),
+    )
+    bcast_sorted = bcast_sorted.T
+    inv = jnp.argsort(order, axis=1)
+    first_occ = jnp.take_along_axis(is_start, inv, axis=1) & valid
+    per_pos_val = jnp.take_along_axis(bcast_sorted, inv, axis=1)
+    per_pos_val = jnp.where(valid, per_pos_val, 0)
+
+    # bases per node (first occurrences only)
+    contrib = jnp.where(first_occ, alloc, 0).astype(jnp.float32)
+    bases_per_node = jax.ops.segment_sum(
+        contrib.reshape(-1), node_ids.reshape(-1), num_segments=num_nodes
+    )
+
+    # exact per-base coverage
+    lo_in = jnp.clip(start_idx, 0, nlen)
+    hi_in = jnp.clip(start_idx + alloc, lo_in, nlen)
+    iv_lo = base_offset[node_ids] + lo_in
+    iv_hi = base_offset[node_ids] + hi_in
+    in_bounds = (read_start < read_end)[:, None] & (read_end[:, None] <= nlen)
+    keep = valid & (~single | in_bounds)
+    lo = jnp.where(keep, iv_lo, total_bases).reshape(-1)
+    hi = jnp.where(keep, iv_hi, total_bases).reshape(-1)
+    diff = jnp.zeros(total_bases + 1, dtype=jnp.int32)
+    diff = diff.at[lo].add(1).at[hi].add(-1)
+    covered = (jnp.cumsum(diff[:-1]) > 0).astype(jnp.float32)
+    node_base_cov = jax.ops.segment_sum(covered, base_node, num_segments=num_nodes)
+
+    # trio windows
+    if num_trios > 0 and L >= 3:
+        w_valid = ((pos[:, : L - 2] + 2) < lengths[:, None]) & (
+            lengths >= 3
+        )[:, None]
+        wa, wb, wc = node_ids[:, :-2], node_ids[:, 1:-1], node_ids[:, 2:]
+        flip = wa > wc
+        ca = jnp.where(flip, wc, wa)
+        cc = jnp.where(flip, wa, wc)
+        h = _mix3(ca, wb, cc)
+        win_sum = (
+            per_pos_val[:, :-2] + per_pos_val[:, 1:-1] + per_pos_val[:, 2:]
+        ).astype(jnp.float32)
+        idx0 = jnp.searchsorted(trio_hash_sorted, h.reshape(-1))
+        # linear probe (hash collisions): check up to 4 slots
+        match = jnp.full(idx0.shape, -1, dtype=jnp.int32)
+        caf, wbf, ccf = ca.reshape(-1), wb.reshape(-1), cc.reshape(-1)
+        for probe in range(4):
+            cand = jnp.clip(idx0 + probe, 0, num_trios - 1)
+            abc = trio_abc_sorted[cand]
+            hit = (
+                (abc[:, 0] == caf) & (abc[:, 1] == wbf) & (abc[:, 2] == ccf)
+                & (match < 0)
+            )
+            match = jnp.where(hit, trio_order[cand], match)
+        wvf = w_valid.reshape(-1)
+        seg = jnp.where(wvf & (match >= 0), match, num_trios)
+        trio_bases = jax.ops.segment_sum(
+            jnp.where(wvf, win_sum.reshape(-1), 0.0),
+            seg,
+            num_segments=num_trios + 1,
+        )[:num_trios]
+    else:
+        trio_bases = jnp.zeros(max(num_trios, 1), dtype=jnp.float32)[:num_trios]
+
+    node_abundance = bases_per_node / jnp.maximum(nodes_len, 1)
+    trio_abundance = trio_bases / jnp.maximum(trio_len.astype(jnp.float32), 1.0)
+    return node_abundance, trio_abundance, node_base_cov.astype(jnp.int32)
+
+
+def node_abundances_device(packed, nodes_len, trio_index):
+    """Convenience wrapper over numpy inputs (PackedReads + TrioIndex)."""
+    tables = DeviceGraphCoverageTables.build(nodes_len, trio_index.trio_nodes)
+    N = len(nodes_len)
+    TB = int(np.asarray(tables.base_offset)[-1])
+    U = trio_index.num_unique
+    na, ta, bc = device_node_abundances(
+        jnp.asarray(packed.nodes.astype(np.int32)),
+        jnp.asarray(packed.lengths.astype(np.int32)),
+        jnp.asarray(packed.read_start.astype(np.int32)),
+        jnp.asarray(packed.read_end.astype(np.int32)),
+        tables.nodes_len, tables.base_offset, tables.base_node,
+        tables.trio_hash_sorted, tables.trio_order, tables.trio_abc_sorted,
+        jnp.asarray(trio_index.trio_len.astype(np.int32)),
+        num_nodes=N, total_bases=TB, num_trios=U,
+    )
+    return np.asarray(na, dtype=np.float64), np.asarray(ta, dtype=np.float64), np.asarray(bc)

@@ -46,9 +46,20 @@ def optimize_otu(
 ) -> list[HapMetrics]:
     paths = graph.paths_dict()
     trio_index = build_trio_index(graph.nodes_len, paths)
-    node_abund, trio_abund, node_base_cov = node_abundances(
-        reads, graph.nodes_len, trio_index, range_start
+    use_device = cfg.coverage == "device" or (
+        cfg.coverage == "auto" and len(reads) >= cfg.auto_device_reads
     )
+    if use_device:
+        from ..ops.coverage_device import node_abundances_device
+        from .coverage import pack_reads
+
+        node_abund, trio_abund, node_base_cov = node_abundances_device(
+            pack_reads(reads, range_start), graph.nodes_len, trio_index
+        )
+    else:
+        node_abund, trio_abund, node_base_cov = node_abundances(
+            reads, graph.nodes_len, trio_index, range_start
+        )
     nvert = range_end - (range_start - 1)
     if nvert != graph.num_nodes:
         log.warning(

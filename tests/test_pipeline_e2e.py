@@ -101,3 +101,27 @@ def test_profile_single_strain_species(example_db, tmp_path):
                      dtype={"species_taxid": str})
     assert list(st["genome_ID"]) == [target.genome_id]
     assert st["predicted_abundance"].iloc[0] == pytest.approx(1.0)
+
+
+def test_device_coverage_profile_matches_host(example_db, tmp_path):
+    """Strain profiling with the device coverage engine reproduces the host
+    engine's report."""
+    import pandas as pd
+
+    infos = read_genomes_info(EXAMPLE_INFO)
+    hap_ids = [i.hap_id for i in infos]
+    weights = {hap_ids[0]: 3.0, hap_ids[1]: 1.0, hap_ids[2]: 2.0, hap_ids[3]: 1.0}
+    reads = simulate_reads(example_db, weights, n_reads=3000, read_len=150, seed=9)
+    gaf = [r.truth for r in reads]
+    outs = {}
+    for mode in ("host", "device"):
+        cfg = ProfilingConfig.for_read_type("short", coverage=mode)
+        out = tmp_path / f"out_{mode}"
+        profile_from_gaf(gaf, example_db, cfg, out)
+        outs[mode] = pd.read_csv(out / "strain_abundance.txt", sep="\t",
+                                 dtype={"species_taxid": str})
+    h, d = outs["host"], outs["device"]
+    assert list(h["genome_ID"]) == list(d["genome_ID"])
+    np.testing.assert_allclose(
+        h["predicted_coverage"], d["predicted_coverage"], rtol=1e-4
+    )

@@ -186,3 +186,35 @@ def test_trio_reverse_orientation_match():
 
 def test_path_windows_short():
     assert path_windows(np.array([1, 2])).shape == (0, 3)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_device_coverage_matches_host(seed):
+    """The jitted device coverage path reproduces the host implementation."""
+    from pantax_tpu.ops.coverage_device import node_abundances_device
+    from pantax_tpu.profile.coverage import pack_reads
+
+    rng = np.random.default_rng(300 + seed)
+    nodes_len, paths, reads, range_start = random_case(rng)
+    ti = build_trio_index(nodes_len, paths)
+    h_node, h_trio, h_base = node_abundances(reads, nodes_len, ti, range_start)
+    packed = pack_reads(reads, range_start)
+    d_node, d_trio, d_base = node_abundances_device(packed, nodes_len, ti)
+    np.testing.assert_allclose(d_node, h_node, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(d_trio, h_trio, rtol=1e-6, atol=1e-9)
+    np.testing.assert_array_equal(d_base, h_base)
+
+
+def test_device_coverage_no_trios():
+    from pantax_tpu.ops.coverage_device import node_abundances_device
+    from pantax_tpu.profile.coverage import pack_reads
+
+    nodes_len = np.array([100, 50], dtype=np.int64)
+    ti = build_trio_index(nodes_len, {"h": np.array([0, 1])})
+    reads = [ReadRecord("r", np.array([1, 2]), 150, 10, 120, "s")]
+    d_node, d_trio, d_base = node_abundances_device(
+        pack_reads(reads, 1), nodes_len, ti
+    )
+    h_node, h_trio, h_base = node_abundances(reads, nodes_len, ti, 1)
+    np.testing.assert_allclose(d_node, h_node)
+    np.testing.assert_array_equal(d_base, h_base)
