@@ -1,8 +1,12 @@
 #!/usr/bin/env python
-"""Benchmark: short-read alignment throughput per chip on the reference's own
-example workload (21,300 real 150bp reads from /root/reference/example/ngs).
+"""Benchmark: short-read alignment throughput per chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Default config: the reference's own example workload (21,300 real 150bp reads
+against the example-genome database — BASELINE.md config 1), tiled to 4 full
+batches.  Set PANTAX_TPU_BENCH_SCALE=1 for the synthetic 10-species /
+30-strain community with 1M simulated reads (config 4).
 
 Baseline: the reference pipeline's aligner (vg giraffe) sustains on the order
 of 250 reads/s/core for short reads on CPU; BASELINE.md's target is >= 10x the
@@ -26,23 +30,17 @@ import numpy as np
 from pantax_tpu.align.aligner import Aligner
 from pantax_tpu.align.encode import encode_seq
 from pantax_tpu.align.index import build_align_index
-from pantax_tpu.db.construct import DatabasePaths, build_database
+from pantax_tpu.benchmarks import (
+    EXAMPLE_READS, example_db, run_alignment_benchmark, scale_db,
+)
 from pantax_tpu.io.fastx import iter_fastx
 
-EXAMPLE_INFO = "/root/reference/example/example_genomes_info.txt"
-EXAMPLE_BASE = "/root/reference/example/ngs"
-EXAMPLE_READS = "/root/reference/example/ngs/short_reads.fq.gz"
-BENCH_DB = os.environ.get("PANTAX_TPU_BENCH_DB", "/tmp/pantax_tpu_bench_db")
 BATCH = int(os.environ.get("PANTAX_TPU_BENCH_BATCH", 16384))
 BASELINE_READS_PER_S = 2500.0  # 10x a ~250 reads/s/core CPU graph aligner
 
 
-def main() -> None:
-    db = (
-        DatabasePaths(__import__("pathlib").Path(BENCH_DB))
-        if os.path.exists(os.path.join(BENCH_DB, "species_range.txt"))
-        else build_database(EXAMPLE_INFO, BENCH_DB, base_dir=EXAMPLE_BASE)
-    )
+def bench_example() -> float:
+    db = example_db(os.environ.get("PANTAX_TPU_BENCH_DB", "/tmp/pantax_tpu_bench_db"))
     index = build_align_index(db)
     aligner = Aligner(index)
 
@@ -54,30 +52,44 @@ def main() -> None:
         codes_all[i, : min(len(s), L)] = encode_seq(s)[:L]
         lens_all[i] = min(len(s), L)
 
-    # tile up to an exact number of batches
     n_batches = 4
     total = BATCH * n_batches
     reps = (total + len(reads) - 1) // len(reads)
     codes = np.tile(codes_all, (reps, 1))[:total]
     lens = np.tile(lens_all, reps)[:total]
 
-    # warmup / compile
-    aligner.align_codes(codes[:BATCH], lens[:BATCH])
-
+    aligner.align_codes(codes[:BATCH], lens[:BATCH])  # warmup/compile
     t0 = time.time()
-    aligned = 0
     for b in range(n_batches):
-        res = aligner.align_codes(
+        aligner.align_codes(
             codes[b * BATCH : (b + 1) * BATCH], lens[b * BATCH : (b + 1) * BATCH]
         )
-        aligned += int(res.aligned.sum())
-    dt = time.time() - t0
-    rate = total / dt
+    return total / (time.time() - t0)
 
+
+def bench_scale() -> float:
+    db = scale_db(os.environ.get("PANTAX_TPU_SCALE_DIR", "/tmp/pantax_tpu_scale"))
+    stats = run_alignment_benchmark(db, n_reads=1_000_000, batch=BATCH)
+    print(
+        f"# scale: {stats['total_reads']} reads, aligned "
+        f"{stats['aligned_frac']:.3f}, species acc {stats['species_acc']:.3f}, "
+        f"{stats['wall_s']:.1f}s",
+        file=sys.stderr,
+    )
+    return stats["reads_per_s"]
+
+
+def main() -> None:
+    scale = os.environ.get("PANTAX_TPU_BENCH_SCALE") == "1"
+    rate = bench_scale() if scale else bench_example()
+    metric = (
+        "scale_1M_reads_aligned_per_sec_per_chip"
+        if scale else "ngs_reads_aligned_per_sec_per_chip"
+    )
     print(
         json.dumps(
             {
-                "metric": "ngs_reads_aligned_per_sec_per_chip",
+                "metric": metric,
                 "value": round(rate, 1),
                 "unit": "reads/s",
                 "vs_baseline": round(rate / BASELINE_READS_PER_S, 3),

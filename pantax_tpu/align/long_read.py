@@ -20,6 +20,16 @@ from ..io.gaf import GafRecord
 from .aligner import Aligner
 from .encode import encode_seq
 
+# chunk sizes per read technology: higher error rates need shorter chunks so
+# per-chunk indel drift stays inside the DP band (the role GraphAligner's
+# --precise-clipping per-type presets play, alignment.rs:144-165)
+LONG_READ_PRESETS = {
+    "hifi": 512,
+    "ontr10": 384,
+    "ontr9": 256,
+    "clr": 256,
+}
+
 
 def align_long_reads(
     aligner: Aligner,

@@ -1,0 +1,134 @@
+"""Benchmark workloads (BASELINE.md measurement configs).
+
+config "example": the reference's own 21,300-read NGS workload (config 1).
+config "scale":   synthetic 10-species / 30-strain community, 1M 150bp reads
+                  at 1% error (config 4), built once and cached on disk.
+"""
+from __future__ import annotations
+
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+
+from .align.aligner import Aligner
+from .align.encode import encode_seq
+from .align.index import build_align_index
+from .db.construct import DatabasePaths, build_database, load_database
+from .io.fastx import write_fasta
+from .io.metadata import GenomeInfo, write_genomes_info
+
+EXAMPLE_INFO = "/root/reference/example/example_genomes_info.txt"
+EXAMPLE_BASE = "/root/reference/example/ngs"
+EXAMPLE_READS = "/root/reference/example/ngs/short_reads.fq.gz"
+
+
+def example_db(path: str) -> DatabasePaths:
+    if os.path.exists(os.path.join(path, "species_range.txt")):
+        return load_database(path)
+    return build_database(EXAMPLE_INFO, path, base_dir=EXAMPLE_BASE)
+
+
+def scale_db(
+    path: str, n_species: int = 10, strains_per: int = 3,
+    genome_len: int = 1_000_000, snp_rate: float = 0.01, seed: int = 7,
+) -> DatabasePaths:
+    """Synthetic community database (cached)."""
+    root = Path(path)
+    if (root / "db" / "species_range.txt").exists():
+        return load_database(root / "db")
+    root.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    infos = []
+    for sp in range(n_species):
+        ref = bases[rng.integers(0, 4, size=genome_len)]
+        for st in range(strains_per):
+            g = ref.copy()
+            m = rng.random(genome_len) < snp_rate
+            g[m] = bases[rng.integers(0, 4, size=int(m.sum()))]
+            name = f"GCF_{900 + sp}{chr(97 + st)}.1_x_genomic.fna"
+            write_fasta(root / name, [(f"c{sp}{st}", g.tobytes())])
+            infos.append(
+                GenomeInfo(f"GCF_{900 + sp}{chr(97 + st)}.1_x",
+                           f"{900 + sp}.{st + 1}", str(900 + sp),
+                           "synthetic", name)
+            )
+    info_file = root / "genomes_info.txt"
+    write_genomes_info(info_file, infos)
+    return build_database(info_file, root / "db", base_dir=root)
+
+
+def simulate_read_batch(
+    index, n_reads: int, read_len: int, error_rate: float, seed: int = 0
+):
+    """Vectorized read simulation straight from the index text.
+
+    Returns (codes [n, Lr+pad], lens, truth_species_idx) where species idx is
+    the haplotype each read was drawn from."""
+    rng = np.random.default_rng(seed)
+    H = len(index.hap_names)
+    hap = rng.integers(0, H, size=n_reads)
+    spans = np.diff(index.hap_offsets) - 1  # exclude separator
+    starts = (
+        index.hap_offsets[hap]
+        + rng.integers(0, np.maximum(spans[hap] - read_len, 1))
+    ).astype(np.int64)
+    L = ((read_len + 31) // 32) * 32
+    cols = np.arange(read_len)
+    codes = np.full((n_reads, L), 4, dtype=np.int8)
+    codes[:, :read_len] = index.text[starts[:, None] + cols[None, :]]
+    if error_rate > 0:
+        m = rng.random(codes[:, :read_len].shape) < error_rate
+        codes[:, :read_len] = np.where(
+            m, rng.integers(0, 4, size=m.shape, dtype=np.int8),
+            codes[:, :read_len],
+        )
+    # reverse-complement half
+    flip = rng.random(n_reads) < 0.5
+    rc = 3 - codes[flip][:, ::-1]
+    rc = np.where(rc < 0, 4, rc)  # pad 4 -> -1 -> back to 4
+    # left-align: padding was on the right before reversal
+    codes[flip] = np.roll(rc, read_len - L, axis=1)
+    lens = np.full(n_reads, read_len, dtype=np.int64)
+    return codes, lens, hap
+
+
+def run_alignment_benchmark(
+    db: DatabasePaths, n_reads: int, batch: int, error_rate: float = 0.01
+):
+    """Returns dict with reads/s, aligned fraction, species accuracy."""
+    index = build_align_index(db)
+    aligner = Aligner(index)
+    codes, lens, hap = simulate_read_batch(index, n_reads, 150, error_rate)
+    # warmup/compile
+    aligner.align_codes(codes[:batch], lens[:batch])
+
+    n_batches = n_reads // batch
+    t0 = time.time()
+    aligned = 0
+    correct = 0
+    # species of each hap as an index
+    species_names = sorted(set(index.hap_species))
+    sp_idx = {s: i for i, s in enumerate(species_names)}
+    hap_sp = np.array([sp_idx[s] for s in index.hap_species])
+    for bidx in range(n_batches):
+        sl = slice(bidx * batch, (bidx + 1) * batch)
+        res = aligner.align_codes(codes[sl], lens[sl])
+        aligned += int(res.aligned.sum())
+        # classification check: hap of the alignment vs truth hap's species
+        pred_hap = np.searchsorted(index.hap_offsets, res.text_start,
+                                   side="right") - 1
+        pred_hap = np.clip(pred_hap, 0, len(hap_sp) - 1)
+        ok = res.aligned & (hap_sp[pred_hap] == hap_sp[hap[sl]])
+        correct += int(ok.sum())
+    dt = time.time() - t0
+    total = n_batches * batch
+    return {
+        "reads_per_s": total / dt,
+        "aligned_frac": aligned / total,
+        "species_acc": correct / max(aligned, 1),
+        "wall_s": dt,
+        "total_reads": total,
+    }

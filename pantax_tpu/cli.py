@@ -56,8 +56,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     a = p.add_argument_group("alignment")
     a.add_argument("--long-read-type", default="hifi",
-                   choices=["hifi", "ontr10", "ontr9", "clr"])
+                   choices=["hifi", "ontr10", "ontr9", "clr"],
+                   help="sets chunking and DP band width (GraphAligner's "
+                        "--precise-clipping analog, alignment.rs:144-165)")
     a.add_argument("--batch-size", type=int, default=4096)
+    a.add_argument("--coverage", default="auto",
+                   choices=["auto", "host", "device"],
+                   help="strain coverage engine (device = jitted TPU path)")
 
     q = p.add_argument_group("profiling")
     q.add_argument("-a", dest="min_species_abundance", type=float, default=1e-4)
@@ -181,13 +186,16 @@ def main(argv: list[str] | None = None) -> int:
                 for rf in args.reads:
                     gaf.extend(aligner.align_file(rf, batch_size=args.batch_size))
             else:
-                from .align.long_read import align_long_reads
+                from .align.long_read import LONG_READ_PRESETS, align_long_reads
                 from .io.fastx import iter_fastx
 
                 reads = []
                 for rf in args.reads:
                     reads.extend(iter_fastx(rf))
-                gaf = align_long_reads(aligner, reads, batch_size=args.batch_size)
+                chunk = LONG_READ_PRESETS[args.long_read_type]
+                gaf = align_long_reads(
+                    aligner, reads, chunk=chunk, batch_size=args.batch_size
+                )
                 gaf = filter_best_long_read_alignments(gaf)
         write_gaf(gaf_file, gaf)
         log.info("- Aligned %d reads", len(gaf))
@@ -225,6 +233,7 @@ def main(argv: list[str] | None = None) -> int:
         ),
         mode=args.smode,
         solver=args.solver,
+        coverage=args.coverage,
         shift=shift,
         read_type=read_type,
     )

@@ -88,12 +88,30 @@ def _admm_solve(A, b, ub, rho, iters: int):
     return xf, obj
 
 
+def _bucket(n: int, quantum: int = 4096) -> int:
+    """Round up to a power-of-two multiple of quantum so species of different
+    sizes share compiled ADMM shapes (per-shape jit compiles dominate
+    otherwise).  Zero-padded rows contribute |0 - 0| = 0 to the objective and
+    padded columns are discarded, so the optimum is unchanged."""
+    m = quantum
+    while m < n:
+        m *= 2
+    return m
+
+
 def _solve_admm(A: np.ndarray, b: np.ndarray, ub: float, iters: int = 1500) -> PaoResult:
-    A_j = jnp.asarray(A, dtype=jnp.float32)
-    b_j = jnp.asarray(b, dtype=jnp.float32)
+    n, p = A.shape
+    n_pad = _bucket(max(n, 1))
+    p_pad = max(4, -(-p // 4) * 4)
+    A_pad = np.zeros((n_pad, p_pad), dtype=np.float32)
+    A_pad[:n, :p] = A
+    b_pad = np.zeros(n_pad, dtype=np.float32)
+    b_pad[:n] = b
+    A_j = jnp.asarray(A_pad)
+    b_j = jnp.asarray(b_pad)
     scale = float(np.max(b)) if len(b) and np.max(b) > 0 else 1.0
     x, obj = _admm_solve(A_j, b_j / scale, ub / scale, jnp.float32(1.0), iters)
-    x = np.asarray(x, dtype=np.float64) * scale
+    x = np.asarray(x, dtype=np.float64)[:p] * scale
     # polish: per-coordinate exact line search (coordinate descent on the LP)
     x = _polish(A.astype(np.float64), b.astype(np.float64), x, ub)
     obj = float(np.abs(A @ x - b).sum() / max(len(b), 1))
@@ -103,10 +121,11 @@ def _solve_admm(A: np.ndarray, b: np.ndarray, ub: float, iters: int = 1500) -> P
 def _polish(A: np.ndarray, b: np.ndarray, x: np.ndarray, ub: float, sweeps: int = 8) -> np.ndarray:
     """Coordinate-wise exact minimization of ||Ax - b||_1 within the box.
 
-    For one coordinate j, the objective as a function of x_j is piecewise
-    linear with breakpoints at (b - A x + A_j x_j) / A_j over rows with
-    A[v,j] != 0; the optimum is a weighted median.  This turns the ADMM
-    near-solution into an exact LP vertex in a few sweeps.
+    Along one coordinate, sum_v |r_v + c_v t| is convex piecewise linear with
+    breakpoints -r_v / c_v and slopes |c_v|; the unconstrained minimizer is
+    the weighted median of the breakpoints, and the boxed optimum is its clip
+    to [-x_j, ub - x_j] (convexity).  O(n log n) per coordinate, turning the
+    ADMM near-solution into an exact LP vertex in a few sweeps.
     """
     n, p = A.shape
     if n == 0 or p == 0:
@@ -118,14 +137,14 @@ def _polish(A: np.ndarray, b: np.ndarray, x: np.ndarray, ub: float, sweeps: int 
             col = A[:, j]
             nz = col != 0
             if not nz.any():
-                x[j] = 0.0 if 0.0 <= ub else ub
                 continue
-            # objective along x_j: sum_v |r_v + col_v * t| where t = delta
             breaks = -(r[nz] / col[nz])
-            cand = np.clip(np.sort(breaks), -x[j], ub - x[j])
-            cand = np.unique(np.concatenate([cand, [-x[j], ub - x[j]]]))
-            vals = np.abs(r[nz, None] + col[nz, None] * cand[None, :]).sum(axis=0)
-            t = cand[np.argmin(vals)]
+            w = np.abs(col[nz])
+            order = np.argsort(breaks)
+            cw = np.cumsum(w[order])
+            half = cw[-1] / 2.0
+            t_star = breaks[order][int(np.searchsorted(cw, half))]
+            t = float(np.clip(t_star, -x[j], ub - x[j]))
             if t != 0.0:
                 x[j] += t
                 r += col * t
