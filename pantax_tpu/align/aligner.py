@@ -81,14 +81,22 @@ def _kmer_hashes_j(codes, k: int):
 
 
 def _select_seeds(hashes, valid, density_bits: int, s_max: int):
-    """Up to s_max sampled seed positions per read (padded with -1)."""
+    """Up to s_max sampled seed positions per read (padded with -1).
+
+    Sort-free: the r-th selected seed is the position whose running count of
+    sampled positions equals r+1 — a one-hot reduction over the rank, which is
+    dense VPU work instead of a lane argsort."""
     mask = valid & ((hashes & jnp.uint32((1 << density_bits) - 1)) == 0)
     B, n = mask.shape
     pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (B, n))
-    order = jnp.argsort(jnp.where(mask, pos, n), axis=1)[:, :s_max]
-    sel_valid = jnp.take_along_axis(mask, order, axis=1)
-    sel_pos = jnp.where(sel_valid, order.astype(jnp.int32), -1)
-    sel_hash = jnp.take_along_axis(hashes, order, axis=1)
+    rank = jnp.cumsum(mask.astype(jnp.int32), axis=1)  # 1-based at sampled pos
+    slots = jnp.arange(1, s_max + 1, dtype=jnp.int32)
+    hit = mask[:, :, None] & (rank[:, :, None] == slots[None, None, :])
+    sel_pos = jnp.max(jnp.where(hit, pos[:, :, None], -1), axis=1)
+    sel_hash = jnp.max(
+        jnp.where(hit, hashes[:, :, None], jnp.uint32(0)), axis=1
+    )
+    sel_valid = sel_pos >= 0
     return sel_pos, sel_hash, sel_valid
 
 
@@ -108,7 +116,7 @@ def _lookup_hits(
     hi = bucket_lo[b + 1]
     # within-bucket offset of the first exact match: count keys < query
     # over a capped probe window
-    offs = jnp.arange(hits_per_seed * 4, dtype=jnp.int32)
+    offs = jnp.arange(hits_per_seed * 2, dtype=jnp.int32)
     probe_idx = jnp.clip(lo[..., None] + offs, 0, S_len - 1)
     probe_keys = seed_keys[probe_idx]
     in_run = (lo[..., None] + offs) < hi[..., None]
@@ -148,13 +156,24 @@ def _vote_diagonals(diags, valid, band: int, top_k: int):
     return jnp.stack(cand_d, axis=1), jnp.stack(cand_v, axis=1)
 
 
-# Packed DP cell: ((score + _BIAS) << 13) | (matches << 5) | start_band.
+# Packed DP cell: ((score + bias) << sh_score) | (matches << 5) | start_band.
 # max() over packed cells = lexicographic (score, matches, start) — one int32
 # array of state instead of three, which keeps the scan HLO small and every
-# update a plain vector max on the VPU.
-_SH_SCORE = 13
+# update a plain vector max on the VPU.  Field widths depend on the padded
+# read length (matches can reach Lr; scores span roughly +-2*Lr).
 _SH_MATCH = 5
-_BIAS = 1 << 12
+
+
+def packed_layout(Lr: int) -> tuple[int, int]:
+    """(sh_score, bias) for reads of padded length Lr (Lr <= 8192)."""
+    if Lr > 8192:
+        raise ValueError(f"read length {Lr} exceeds the packed-cell DP limit")
+    m_bits = int(Lr + 1).bit_length()
+    sh_score = _SH_MATCH + m_bits
+    bias_bits = int(2 * Lr + 64).bit_length()
+    if sh_score + bias_bits + 1 > 31:
+        raise ValueError(f"packed DP cell overflow for Lr={Lr}")
+    return sh_score, 1 << bias_bits
 
 
 def _banded_extend(window, read, read_len, pad: int, match: int, mismatch: int, gap: int):
@@ -165,6 +184,7 @@ def _banded_extend(window, read, read_len, pad: int, match: int, mismatch: int, 
     Layout: band on the leading (sublane) axis, reads on the lane axis.
     """
     N, Lr = read.shape
+    sh_score, bias = packed_layout(Lr)
     Wb = 2 * pad + 1
     # Materialize the gathered window before the scan: without the barrier XLA
     # fuses the text gather into the scan body and re-executes it every step
@@ -173,7 +193,7 @@ def _banded_extend(window, read, read_len, pad: int, match: int, mismatch: int, 
     readT = jax.lax.optimization_barrier(read.T)  # [Lr, N]
     neg = jnp.int32(NEG)
 
-    d_score = jnp.int32(1 << _SH_SCORE)
+    d_score = jnp.int32(1 << sh_score)
     gap_p = jnp.int32(gap) * d_score
     band = jnp.arange(Wb, dtype=jnp.int32)[:, None]  # [Wb, 1]
     decay = band * gap_p  # for prefix-max with gap penalty per left step
@@ -185,7 +205,7 @@ def _banded_extend(window, read, read_len, pad: int, match: int, mismatch: int, 
         delta = jnp.where(ok, match, mismatch).astype(jnp.int32) * d_score
         return delta + (ok.astype(jnp.int32) << _SH_MATCH)
 
-    init_cell = (jnp.int32(_BIAS) << _SH_SCORE) + band  # score 0, start = b
+    init_cell = (jnp.int32(bias) << sh_score) + band  # score 0, start = b
     state = init_cell + sub_packed(0)  # [Wb, N] after consuming read[0]
     out = jnp.where((read_len[None, :] == 1), state, neg)
 
@@ -212,8 +232,8 @@ def _banded_extend(window, read, read_len, pad: int, match: int, mismatch: int, 
     )
     b_best = jnp.argmax(out, axis=0)  # [N]
     cell = jnp.max(out, axis=0)
-    best = (cell >> _SH_SCORE) - _BIAS
-    mcnt = (cell >> _SH_MATCH) & ((1 << (_SH_SCORE - _SH_MATCH)) - 1)
+    best = (cell >> sh_score) - bias
+    mcnt = (cell >> _SH_MATCH) & ((1 << (sh_score - _SH_MATCH)) - 1)
     start_off = cell & ((1 << _SH_MATCH) - 1)
     end_off = (read_len - 1) + b_best.astype(jnp.int32) + 1
     return best, start_off, end_off, mcnt
@@ -335,7 +355,7 @@ def build_bucket_table(seed_keys: np.ndarray) -> tuple[int, np.ndarray]:
     table whose key >= (b << (32 - bits)).  Sized so the average bucket run is
     about 1 key (capped at 2^24 buckets = 64MB)."""
     n = max(len(seed_keys), 1)
-    bits = int(np.clip(int(np.ceil(np.log2(n))) + 1, 12, 24))
+    bits = int(np.clip(int(np.ceil(np.log2(n))) + 3, 12, 24))
     size = 1 << bits
     bounds = np.arange(size + 1, dtype=np.uint64) << np.uint64(32 - bits)
     lo = np.searchsorted(seed_keys.astype(np.uint64), bounds).astype(np.int32)
@@ -406,6 +426,11 @@ class Aligner:
         n = len(ids)
         if n == 0:
             return []
+        if lens_all.max() > 1000:
+            raise ValueError(
+                f"reads up to {int(lens_all.max())}bp in {path}: the short-read "
+                "engine handles <= ~1kb; use the long-read path (-l)"
+            )
         pad_len = _round_up(int(lens_all.max()))
         out: list[GafRecord] = []
         for lo in range(0, n, batch_size):

@@ -24,10 +24,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..align.aligner import packed_layout
+
 NEG = -(10**6)
-_SH_SCORE = 13
 _SH_MATCH = 5
-_BIAS = 1 << 12
 FETCH = 2048  # aligned bytes DMA'd per candidate (window + max offset 1024)
 
 
@@ -67,6 +67,8 @@ def _dp_kernel(
     match: int,
     mismatch: int,
     gap: int,
+    sh_score: int,
+    bias: int,
 ):
     blk = pl.program_id(0)
     Wb = 2 * pad + 1
@@ -114,7 +116,7 @@ def _dp_kernel(
         )
     rlen = len_ref[:, 0][None, :]  # [1, NB]
 
-    d_score = jnp.int32(1 << _SH_SCORE)
+    d_score = jnp.int32(1 << sh_score)
     gap_p = jnp.int32(gap) * d_score
     band = jax.lax.broadcasted_iota(jnp.int32, (Wb, NB), 0)
     decay = band * gap_p
@@ -122,14 +124,14 @@ def _dp_kernel(
 
     # arithmetic form (no i1 vectors — Mosaic relayout of 17-sublane bool
     # vectors is unsupported): mismatch*d + ok * ((match-mismatch)*d + 1<<5)
-    ok_gain = jnp.int32((match - mismatch) * (1 << _SH_SCORE) + (1 << _SH_MATCH))
+    ok_gain = jnp.int32((match - mismatch) * (1 << sh_score) + (1 << _SH_MATCH))
     mis_base = jnp.int32(mismatch) * d_score
 
     def sub_packed(i):
         ok = ok_ref[i].astype(jnp.int32)  # [Wb, NB] 0/1
         return mis_base + ok * ok_gain
 
-    init_cell = (jnp.int32(_BIAS) << _SH_SCORE) + band
+    init_cell = (jnp.int32(bias) << sh_score) + band
     state0 = init_cell + sub_packed(0)
     out0 = jnp.where(rlen == 1, state0, neg)
 
@@ -184,9 +186,11 @@ def banded_extend_pallas(
     base = w0 & jnp.int32(~1023)
     off = w0 - base
     grid = N // block
+    sh_score, bias = packed_layout(Lr)
     kernel = partial(
         _dp_kernel, NB=block, W=W, Lr=Lr, pad=pad,
         match=match, mismatch=mismatch, gap=gap,
+        sh_score=sh_score, bias=bias,
     )
     cell, bband = pl.pallas_call(
         kernel,
@@ -221,8 +225,137 @@ def banded_extend_pallas(
         interpret=interpret,
     )(base, text, off[:, None], reads, read_len.astype(jnp.int32)[:, None])
 
-    score = (cell >> _SH_SCORE) - _BIAS
-    matches = (cell >> _SH_MATCH) & ((1 << (_SH_SCORE - _SH_MATCH)) - 1)
+    score = (cell >> sh_score) - bias
+    matches = (cell >> _SH_MATCH) & ((1 << (sh_score - _SH_MATCH)) - 1)
+    start_off = cell & ((1 << _SH_MATCH) - 1)
+    end_off = (read_len - 1) + bband + 1
+    return score, start_off, end_off, matches
+
+
+# ---------------------------------------------------------------------------
+# DP-only variant: windows are an input (XLA row-gather extraction feeds it)
+# ---------------------------------------------------------------------------
+def _dp_only_kernel(
+    win_ref,           # int8 [NB, W] block in VMEM
+    read_ref,          # int8 [NB, Lr] block in VMEM
+    len_ref,           # int32 [NB, 1] block in VMEM
+    cell_ref,          # int32 [NB]
+    bband_ref,         # int32 [NB]
+    ok_ref,            # int8 [Lr, Wb, NB] scratch
+    *,
+    NB: int,
+    W: int,
+    Lr: int,
+    pad: int,
+    match: int,
+    mismatch: int,
+    gap: int,
+    sh_score: int,
+    bias: int,
+):
+    Wb = 2 * pad + 1
+    # int32 comparisons: v5e Mosaic rejects int8 vector compares here
+    winT = win_ref[:].astype(jnp.int32).T    # [W, NB]
+    readT = read_ref[:].astype(jnp.int32).T  # [Lr, NB]
+    read_ok = (readT < 4).astype(jnp.int32)
+    for b in range(Wb):
+        row = winT[b : b + Lr]
+        ok_ref[:, b, :] = (
+            (row == readT).astype(jnp.int32) * read_ok * (row < 4).astype(jnp.int32)
+        ).astype(jnp.int8)
+    rlen = len_ref[:, 0][None, :]
+
+    d_score = jnp.int32(1 << sh_score)
+    gap_p = jnp.int32(gap) * d_score
+    band = jax.lax.broadcasted_iota(jnp.int32, (Wb, NB), 0)
+    decay = band * gap_p
+    neg = jnp.int32(NEG)
+    ok_gain = jnp.int32((match - mismatch) * (1 << sh_score) + (1 << _SH_MATCH))
+    mis_base = jnp.int32(mismatch) * d_score
+
+    def sub_packed(i):
+        ok = ok_ref[i].astype(jnp.int32)
+        return mis_base + ok * ok_gain
+
+    init_cell = (jnp.int32(bias) << sh_score) + band
+    state0 = init_cell + sub_packed(0)
+    out0 = jnp.where(rlen == 1, state0, neg)
+
+    def step(i, carry):
+        state, out = carry
+        up = jnp.concatenate(
+            [state[1:], jnp.full((1, NB), neg, jnp.int32)], axis=0
+        )
+        v = jnp.maximum(state + sub_packed(i), up + gap_p)
+        u = v - decay
+        for sh in (1, 2, 4, 8, 16):
+            if sh >= Wb:
+                break
+            sh_arr = jnp.concatenate(
+                [jnp.full((sh, NB), neg, jnp.int32), u[:-sh]], axis=0
+            )
+            u = jnp.maximum(u, sh_arr)
+        v = u + decay
+        live = i < rlen
+        state = jnp.where(live, v, state)
+        out = jnp.where(i == rlen - 1, state, out)
+        return state, out
+
+    _, out = jax.lax.fori_loop(1, Lr, step, (state0, out0))
+    best = jnp.max(out, axis=0)
+    cell_ref[:] = best
+    bband_ref[:] = jnp.min(
+        jnp.where(out == best[None, :], band, jnp.int32(Wb)), axis=0
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("pad", "match", "mismatch", "gap", "block", "interpret"),
+)
+def banded_extend_pallas_dponly(
+    windows, reads, read_len,
+    pad: int, match: int, mismatch: int, gap: int,
+    block: int = 1024, interpret: bool = False,
+):
+    """Pallas DP over pre-extracted windows [N, W]; same outputs as
+    aligner._banded_extend."""
+    N, Lr = reads.shape
+    W = windows.shape[1]
+    grid = N // block
+    sh_score, bias = packed_layout(Lr)
+    kernel = partial(
+        _dp_only_kernel, NB=block, W=W, Lr=Lr, pad=pad,
+        match=match, mismatch=mismatch, gap=gap,
+        sh_score=sh_score, bias=bias,
+    )
+    cell, bband = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((block, W), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, Lr), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block,), lambda b: (b,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block,), lambda b: (b,), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Lr, 2 * pad + 1, block), jnp.int8),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N,), jnp.int32),
+            jax.ShapeDtypeStruct((N,), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(windows, reads, read_len.astype(jnp.int32)[:, None])
+
+    score = (cell >> sh_score) - bias
+    matches = (cell >> _SH_MATCH) & ((1 << (sh_score - _SH_MATCH)) - 1)
     start_off = cell & ((1 << _SH_MATCH) - 1)
     end_off = (read_len - 1) + bband + 1
     return score, start_off, end_off, matches

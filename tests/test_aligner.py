@@ -136,3 +136,39 @@ def test_full_pipeline_with_aligner(db, aligner, tmp_path):
     total = 4.0 + 2.0 + 1.0 + 1.0
     top = st.iloc[0]
     assert top["predicted_abundance"] == pytest.approx(4.0 / total, abs=0.08)
+
+
+def test_long_reads_with_indels(db, aligner):
+    """Chunked long-read alignment survives indels (HiFi-like error model)."""
+    from pantax_tpu.align.long_read import align_long_reads
+
+    rng = np.random.default_rng(11)
+    g = db.load_graph("562")
+    seq = g.path_seq(0).tobytes()
+    reads = []
+    for i in range(20):
+        s = int(rng.integers(0, len(seq) - 8000))
+        piece = bytearray(seq[s : s + 8000])
+        # ~0.3% indels + 0.5% substitutions
+        for _ in range(24):
+            p = int(rng.integers(0, len(piece) - 2))
+            if rng.random() < 0.5:
+                del piece[p]
+            else:
+                piece.insert(p, ord("ACGT"[rng.integers(4)]))
+        reads.append((f"L{i}", bytes(piece)))
+    gaf = align_long_reads(aligner, reads, chunk=512, batch_size=512)
+    assert len(gaf) >= 18
+    ranges = load_species_range(db.range_file)
+    from pantax_tpu.profile.rcls import classify_reads
+    species = classify_reads([np.array(g.path_nodes()) for g in gaf], ranges)
+    assert all(s == "562" for s in species)
+    # spans cover most of the read
+    assert np.mean([(g.path_end - g.path_start) / g.read_len for g in gaf]) > 0.9
+
+
+def test_short_engine_rejects_long_reads(aligner, tmp_path):
+    p = tmp_path / "long.fq"
+    p.write_bytes(b"@r1\n" + b"A" * 2000 + b"\n+\n" + b"I" * 2000 + b"\n")
+    with pytest.raises(ValueError, match="long-read"):
+        aligner.align_file(p)
