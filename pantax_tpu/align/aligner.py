@@ -413,7 +413,10 @@ class Aligner:
 
         from ..utils.native import fastx_parse_native
 
-        raw = open(path, "rb").read()
+        # whole-file parse; files beyond ~4GB decompressed should stream
+        # through align_reads(iter_fastx(...)) instead
+        with open(path, "rb") as f:
+            raw = f.read()
         if raw[:2] == b"\x1f\x8b":
             raw = _gzip.decompress(raw)
         parsed = fastx_parse_native(raw)

@@ -172,3 +172,33 @@ def test_short_engine_rejects_long_reads(aligner, tmp_path):
     p.write_bytes(b"@r1\n" + b"A" * 2000 + b"\n+\n" + b"I" * 2000 + b"\n")
     with pytest.raises(ValueError, match="long-read"):
         aligner.align_file(p)
+
+
+@pytest.mark.parametrize("sub,indel,chunk", [
+    (0.015, 0.005, 384),   # ONT R10-like
+    (0.04, 0.02, 256),     # ONT R9-like
+])
+def test_long_reads_high_error(db, aligner, sub, indel, chunk):
+    from pantax_tpu.align.long_read import align_long_reads
+
+    rng = np.random.default_rng(13)
+    g = db.load_graph("562")
+    seq = g.path_seq(0).tobytes()
+    reads = []
+    for i in range(15):
+        s = int(rng.integers(0, len(seq) - 5000))
+        piece = bytearray(seq[s : s + 5000])
+        for _ in range(int(sub * len(piece))):
+            p = int(rng.integers(len(piece)))
+            piece[p] = ord("ACGT"[rng.integers(4)])
+        for _ in range(int(indel * len(piece))):
+            p = int(rng.integers(len(piece) - 2))
+            if rng.random() < 0.5:
+                del piece[p]
+            else:
+                piece.insert(p, ord("ACGT"[rng.integers(4)]))
+        reads.append((f"E{i}", bytes(piece)))
+    gaf = align_long_reads(aligner, reads, chunk=chunk, batch_size=512)
+    assert len(gaf) >= 13
+    spans = [(g.path_end - g.path_start) / g.read_len for g in gaf]
+    assert np.mean(spans) > 0.9
