@@ -101,35 +101,33 @@ def _select_seeds(hashes, valid, density_bits: int, s_max: int):
 
 
 def _lookup_hits(
-    seed_keys, seed_pos, bucket_lo, bucket_bits: int,
+    seed_table, bucket_lo, bucket_bits: int,
     sel_hash, sel_valid, hits_per_seed: int,
 ):
     """Text positions for each read seed: [B, S, C] (+validity).
 
-    bucket_lo[h >> (32 - bucket_bits)] pre-resolves the binary search to a
-    short run of the sorted key table (built host-side in the Aligner), so a
-    lookup is two gathers instead of a 16-round searchsorted."""
-    S_len = seed_pos.shape[0]
+    seed_table int32 [S, 2] interleaves (key, pos), so one row gather serves
+    both the key verification and the hit position.  bucket_lo pre-resolves
+    the binary search; buckets are sized so runs are almost always <= C, so
+    the probe starts at the bucket head (seeds sharing a bucket with a
+    smaller foreign key may lose tail hits — ~2^-3 of seeds at the chosen
+    bucket density, immaterial to the diagonal vote)."""
+    S_len = seed_table.shape[0]
     shift = jnp.uint32(32 - bucket_bits)
     b = (sel_hash >> shift).astype(jnp.int32)
     lo = bucket_lo[b]
     hi = bucket_lo[b + 1]
-    # within-bucket offset of the first exact match: count keys < query
-    # over a capped probe window
-    offs = jnp.arange(hits_per_seed * 2, dtype=jnp.int32)
-    probe_idx = jnp.clip(lo[..., None] + offs, 0, S_len - 1)
-    probe_keys = seed_keys[probe_idx]
-    in_run = (lo[..., None] + offs) < hi[..., None]
-    below = ((probe_keys < sel_hash[..., None]) & in_run).sum(axis=-1)
-    first = lo + below
-    idx = first[..., None] + jnp.arange(hits_per_seed, dtype=jnp.int32)
+    idx = lo[..., None] + jnp.arange(hits_per_seed, dtype=jnp.int32)
     idx_c = jnp.clip(idx, 0, S_len - 1)
+    rows = seed_table[idx_c]  # [B, S, C, 2]
+    keys_i32 = rows[..., 0]
+    sel_i32 = sel_hash.astype(jnp.int32)  # bitcast-equal comparison
     hit_valid = (
-        (seed_keys[idx_c] == sel_hash[..., None])
+        (keys_i32 == sel_i32[..., None])
         & (idx < hi[..., None])
         & sel_valid[..., None]
     )
-    return seed_pos[idx_c], hit_valid
+    return rows[..., 1], hit_valid
 
 
 def _vote_diagonals(diags, valid, band: int, top_k: int):
@@ -256,7 +254,7 @@ def _extract_windows(text2d, w0, W: int):
 
 
 def _candidates_for_strand(
-    text2d, seed_keys, seed_pos, bucket_lo, codes, read_len, cfg_static
+    text2d, seed_table, bucket_lo, codes, read_len, cfg_static
 ):
     """Score top-K candidate locations for one strand of a read batch."""
     (k, density_bits, bucket_bits, s_max, hits, top_k, pad, match, mismatch, gap) = cfg_static
@@ -268,7 +266,7 @@ def _candidates_for_strand(
     hashes, valid = _kmer_hashes_j(codes, k)
     sel_pos, sel_hash, sel_valid = _select_seeds(hashes, valid, density_bits, s_max)
     hit_pos, hit_valid = _lookup_hits(
-        seed_keys, seed_pos, bucket_lo, bucket_bits, sel_hash, sel_valid, hits
+        seed_table, bucket_lo, bucket_bits, sel_hash, sel_valid, hits
     )
     diags = hit_pos - sel_pos[..., None]
     diags = diags.reshape(B, -1)
@@ -297,23 +295,24 @@ def _candidates_for_strand(
 
 @partial(jax.jit, static_argnames=("cfg_static",))
 def _query_batch(
-    text2d, seed_keys, seed_pos, bucket_lo, tstart, tnode,
+    text2d, seed_table, bucket_lo, tstart, tnode,
     codes_fwd, codes_rev, read_len, cfg_static
 ):
     (k, density_bits, bucket_bits, s_max, hits, top_k, pad, match, mismatch, gap,
      mapq_scale, min_score_frac) = cfg_static
     inner = (k, density_bits, bucket_bits, s_max, hits, top_k, pad, match, mismatch, gap)
-    sf, tsf, tef, mf = _candidates_for_strand(
-        text2d, seed_keys, seed_pos, bucket_lo, codes_fwd, read_len, inner
+    B = codes_fwd.shape[0]
+    # both strands in one pass: [2B, L] batch, candidates re-folded to [B, 2K]
+    codes_all = jnp.concatenate([codes_fwd, codes_rev], axis=0)
+    len_all = jnp.concatenate([read_len, read_len], axis=0)
+    s_all, ts_all, te_all, m_all = _candidates_for_strand(
+        text2d, seed_table, bucket_lo, codes_all, len_all, inner
     )
-    sr, tsr, ter, mr = _candidates_for_strand(
-        text2d, seed_keys, seed_pos, bucket_lo, codes_rev, read_len, inner
-    )
-    B, K = sf.shape
-    scores = jnp.concatenate([sf, sr], axis=1)
-    ts = jnp.concatenate([tsf, tsr], axis=1)
-    te = jnp.concatenate([tef, ter], axis=1)
-    matches = jnp.concatenate([mf, mr], axis=1)
+    K = s_all.shape[1]
+    scores = jnp.concatenate([s_all[:B], s_all[B:]], axis=1)
+    ts = jnp.concatenate([ts_all[:B], ts_all[B:]], axis=1)
+    te = jnp.concatenate([te_all[:B], te_all[B:]], axis=1)
+    matches = jnp.concatenate([m_all[:B], m_all[B:]], axis=1)
     strand = jnp.concatenate(
         [jnp.zeros((B, K), jnp.int8), jnp.ones((B, K), jnp.int8)], axis=1
     )
@@ -368,8 +367,11 @@ class Aligner:
         self.cfg = cfg or AlignConfig()
         assert index.text_len % 256 == 0, "index text must be 256-padded (rebuild the align index)"
         self.text_d = jnp.asarray(index.text.reshape(-1, 256))
-        self.seed_keys_d = jnp.asarray(index.seed_keys)
-        self.seed_pos_d = jnp.asarray(index.seed_pos)
+        seed_table = np.stack(
+            [index.seed_keys.view(np.int32), index.seed_pos.astype(np.int32)],
+            axis=1,
+        )
+        self.seed_table_d = jnp.asarray(seed_table)
         self.tstart_d = jnp.asarray(index.tstart.astype(np.int32))
         self.tnode_d = jnp.asarray(index.tnode.astype(np.int32))
         self.bucket_bits, bucket_lo = build_bucket_table(index.seed_keys)
@@ -397,7 +399,7 @@ class Aligner:
             4,
         ).astype(np.int8)
         out = _query_batch(
-            self.text_d, self.seed_keys_d, self.seed_pos_d, self.bucket_lo_d,
+            self.text_d, self.seed_table_d, self.bucket_lo_d,
             self.tstart_d, self.tnode_d, jnp.asarray(codes), jnp.asarray(rev),
             jnp.asarray(lens.astype(np.int32)), self._static(),
         )

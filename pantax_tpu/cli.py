@@ -59,7 +59,7 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["hifi", "ontr10", "ontr9", "clr"],
                    help="sets chunking and DP band width (GraphAligner's "
                         "--precise-clipping analog, alignment.rs:144-165)")
-    a.add_argument("--batch-size", type=int, default=4096)
+    a.add_argument("--batch-size", type=int, default=16384)
     a.add_argument("--coverage", default="auto",
                    choices=["auto", "host", "device"],
                    help="strain coverage engine (device = jitted TPU path)")

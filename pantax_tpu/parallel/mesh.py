@@ -38,13 +38,13 @@ def make_mesh(n_devices: int | None = None, graph_axis: int = 1) -> Mesh:
 
 
 def profile_step(
-    text2d, seed_keys, seed_pos, bucket_lo, tstart, tnode, tlen,
+    text2d, seed_table, bucket_lo, tstart, tnode, tlen,
     codes_fwd, codes_rev, read_len, A, ub,
     cfg_static, num_nodes: int, max_span: int, admm_iters: int,
 ):
     """Full profiling step: align -> coverage -> PAO (pure function, shardable)."""
     ts, te, score, matches, mapq, strand, aligned = _query_batch(
-        text2d, seed_keys, seed_pos, bucket_lo, tstart, tnode,
+        text2d, seed_table, bucket_lo, tstart, tnode,
         codes_fwd, codes_rev, read_len, cfg_static,
     )
     coverage = interval_node_coverage(
@@ -102,9 +102,9 @@ class ShardedProfiler:
                 admm_iters=admm_iters,
             ),
             in_shardings=(
-                repl, repl, repl, repl, repl, repl, repl,  # index arrays
-                reads_sh, reads_sh, reads_sh,              # read batch
-                repl, repl,                                # A, ub
+                repl, repl, repl, repl, repl, repl,  # index arrays
+                reads_sh, reads_sh, reads_sh,        # read batch
+                repl, repl,                          # A, ub
             ),
             out_shardings=(repl, graph_sh, reads_sh, reads_sh),
         )

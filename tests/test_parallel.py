@@ -43,7 +43,8 @@ def test_coverage_totals_match_alignment_spans():
     codes, lens = g._reads_from_index(index, 128, 128, seed=5)
     rev = _RC[codes[:, ::-1]]
     ts, te, *_rest = _query_batch(
-        index.text.reshape(-1, 256), index.seed_keys, index.seed_pos, bucket_lo,
+        index.text.reshape(-1, 256),
+        np.stack([index.seed_keys.view(np.int32), index.seed_pos.astype(np.int32)], axis=1), bucket_lo,
         index.tstart.astype(np.int32), index.tnode.astype(np.int32),
         codes, rev, lens, cfg_static,
     )
