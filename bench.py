@@ -59,12 +59,15 @@ def bench_example() -> float:
     lens = np.tile(lens_all, reps)[:total]
 
     aligner.align_codes(codes[:BATCH], lens[:BATCH])  # warmup/compile
-    t0 = time.time()
+    times = []
     for b in range(n_batches):
+        t0 = time.time()
         aligner.align_codes(
             codes[b * BATCH : (b + 1) * BATCH], lens[b * BATCH : (b + 1) * BATCH]
         )
-    return total / (time.time() - t0)
+        times.append(time.time() - t0)
+    # median batch time: robust to tunnel-latency outliers
+    return BATCH / sorted(times)[len(times) // 2]
 
 
 def bench_scale() -> float:

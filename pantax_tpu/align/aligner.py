@@ -226,7 +226,7 @@ def _banded_extend(window, read, read_len, pad: int, match: int, mismatch: int, 
         return (state, out), None
 
     (state, out), _ = jax.lax.scan(
-        step, (state, out), jnp.arange(1, Lr, dtype=jnp.int32)
+        step, (state, out), jnp.arange(1, Lr, dtype=jnp.int32), unroll=4
     )
     b_best = jnp.argmax(out, axis=0)  # [N]
     cell = jnp.max(out, axis=0)
@@ -386,8 +386,10 @@ class Aligner:
             c.mapq_scale, c.min_score_frac,
         )
 
-    def align_codes(self, codes: np.ndarray, lens: np.ndarray) -> BatchResult:
-        """codes int8 [B, Lr] padded with 4; lens int32 [B]."""
+    def dispatch_codes(self, codes: np.ndarray, lens: np.ndarray):
+        """Launch the query asynchronously; returns device arrays.  Use
+        collect() to materialize a BatchResult — keeping several batches in
+        flight pipelines host work against device compute."""
         rev = _RC[codes[:, ::-1]]
         # left-align the reverse complement (padding was on the right)
         B, Lr = codes.shape
@@ -398,13 +400,20 @@ class Aligner:
             rev[np.arange(B)[:, None], np.minimum(cols + shift, Lr - 1)],
             4,
         ).astype(np.int8)
-        out = _query_batch(
+        return _query_batch(
             self.text_d, self.seed_table_d, self.bucket_lo_d,
             self.tstart_d, self.tnode_d, jnp.asarray(codes), jnp.asarray(rev),
             jnp.asarray(lens.astype(np.int32)), self._static(),
         )
+
+    @staticmethod
+    def collect(out) -> BatchResult:
         ts, te, score, matches, mapq, strand, aligned = (np.asarray(x) for x in out)
         return BatchResult(ts, te, score, matches, mapq, strand, aligned)
+
+    def align_codes(self, codes: np.ndarray, lens: np.ndarray) -> BatchResult:
+        """codes int8 [B, Lr] padded with 4; lens int32 [B]."""
+        return self.collect(self.dispatch_codes(codes, lens))
 
     def align_file(
         self, path, batch_size: int = 4096
@@ -437,7 +446,17 @@ class Aligner:
                 "engine handles <= ~1kb; use the long-read path (-l)"
             )
         pad_len = _round_up(int(lens_all.max()))
+        # two-deep pipeline: batch i+1 runs on device while batch i's GAF
+        # records are emitted on the host
+        pending: list[tuple[int, int, np.ndarray, object]] = []
         out: list[GafRecord] = []
+
+        def drain(entry):
+            lo, hi, lens, dev = entry
+            res = self.collect(dev)
+            chunk = [(ids[i], None) for i in range(lo, hi)]
+            out.extend(self._emit_gaf_lens(chunk, lens, res))
+
         for lo in range(0, n, batch_size):
             hi = min(lo + batch_size, n)
             codes = np.full((batch_size, pad_len), 4, dtype=np.int8)
@@ -446,9 +465,11 @@ class Aligner:
                 L = int(lens_all[i])
                 codes[i - lo, :L] = codes_flat[offsets[i] : offsets[i] + L]
                 lens[i - lo] = L
-            res = self.align_codes(codes, lens)
-            chunk = [(ids[i], None) for i in range(lo, hi)]
-            out.extend(self._emit_gaf_lens(chunk, lens, res))
+            pending.append((lo, hi, lens, self.dispatch_codes(codes, lens)))
+            if len(pending) > 1:
+                drain(pending.pop(0))
+        for entry in pending:
+            drain(entry)
         return out
 
     def _emit_gaf_lens(self, chunk, lens, res: BatchResult) -> list[GafRecord]:

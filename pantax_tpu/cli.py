@@ -25,6 +25,10 @@ def build_parser() -> argparse.ArgumentParser:
         prog="pantax-tpu",
         description="TPU-native pangenome-graph strain-level metagenomic profiler",
     )
+    from . import __version__
+
+    p.add_argument("--version", action="version",
+                   version=f"pantax-tpu {__version__}")
     g = p.add_argument_group("general")
     g.add_argument("-f", "--genomesInformation", dest="genomes_info",
                    help="genomes_info.txt (5 tab columns with header)")
@@ -103,6 +107,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    try:
+        return _main(argv)
+    except FileNotFoundError as e:
+        print(f"pantax-tpu: file not found: {e}", file=sys.stderr)
+        return 1
+    except ValueError as e:
+        print(f"pantax-tpu: {e}", file=sys.stderr)
+        return 1
+
+
+def _main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     from .utils import enable_compilation_cache
     from .utils.logging import device_trace, setup_logging, stage_timer
