@@ -61,15 +61,20 @@ def scale_db(
 
 
 def simulate_read_batch(
-    index, n_reads: int, read_len: int, error_rate: float, seed: int = 0
+    index, n_reads: int, read_len: int, error_rate: float, seed: int = 0,
+    hap_weights=None,
 ):
     """Vectorized read simulation straight from the index text.
 
-    Returns (codes [n, Lr+pad], lens, truth_species_idx) where species idx is
-    the haplotype each read was drawn from."""
+    Returns (codes [n, Lr+pad], lens, truth_hap_idx).  hap_weights (optional,
+    [H]) draws reads coverage-proportionally."""
     rng = np.random.default_rng(seed)
     H = len(index.hap_names)
-    hap = rng.integers(0, H, size=n_reads)
+    if hap_weights is None:
+        hap = rng.integers(0, H, size=n_reads)
+    else:
+        w = np.asarray(hap_weights, dtype=np.float64)
+        hap = rng.choice(H, size=n_reads, p=w / w.sum())
     spans = np.diff(index.hap_offsets) - 1  # exclude separator
     starts = (
         index.hap_offsets[hap]
@@ -131,4 +136,66 @@ def run_alignment_benchmark(
         "species_acc": correct / max(aligned, 1),
         "wall_s": dt,
         "total_reads": total,
+    }
+
+
+def accuracy_benchmark(
+    db: DatabasePaths, n_reads: int = 262144, batch: int = 16384,
+    error_rate: float = 0.01, seed: int = 11, out_dir: str = "/tmp/pantax_tpu_acc",
+):
+    """End-to-end strain-abundance accuracy: staggered 1:3:9 strain weights
+    per species, full align -> profile pipeline, L1 error vs truth.
+
+    Returns dict with l1_error, detected/total strains, per-strain table.
+    """
+    import pandas as pd
+
+    from .config import ProfilingConfig
+    from .pipeline import profile_from_gaf
+
+    index = build_align_index(db)
+    aligner = Aligner(index)
+    H = len(index.hap_names)
+    weights = np.array([1.0 * (3 ** (i % 3)) for i in range(H)])
+    codes, lens, hap = simulate_read_batch(
+        index, n_reads, 150, error_rate, seed=seed, hap_weights=weights
+    )
+    gaf = []
+    pending = []
+    for lo in range(0, n_reads, batch):
+        dev = aligner.dispatch_codes(codes[lo : lo + batch], lens[lo : lo + batch])
+        pending.append((lo, dev))
+        if len(pending) > 1:
+            lo0, dev0 = pending.pop(0)
+            res = aligner.collect(dev0)
+            chunk = [(f"R{lo0 + i}", None) for i in range(batch)]
+            gaf.extend(aligner._emit_gaf_lens(chunk, lens[lo0 : lo0 + batch], res))
+    for lo0, dev0 in pending:
+        res = aligner.collect(dev0)
+        chunk = [(f"R{lo0 + i}", None) for i in range(batch)]
+        gaf.extend(aligner._emit_gaf_lens(chunk, lens[lo0 : lo0 + batch], res))
+
+    profile_from_gaf(gaf, db, ProfilingConfig.for_read_type("short"), out_dir,
+                     force=True)
+    st = pd.read_csv(f"{out_dir}/strain_abundance.txt", sep="\t",
+                     dtype={"species_taxid": str, "strain_taxid": str})
+    # truth: every genome has (almost) equal length, so abundance ~ weight
+    from .io.metadata import read_genomes_info
+
+    infos = read_genomes_info(db.genomes_info_file)
+    name_to_hidx = {n: i for i, n in enumerate(index.hap_names)}
+    truth = {}
+    for gi in infos:
+        truth[gi.genome_id] = weights[name_to_hidx[gi.hap_id]]
+    tot = sum(truth.values())
+    truth = {k: v / tot for k, v in truth.items()}
+    pred = dict(zip(st["genome_ID"], st["predicted_abundance"]))
+    l1 = sum(abs(pred.get(g, 0.0) - t) for g, t in truth.items())
+    l1 += sum(p for g, p in pred.items() if g not in truth)
+    return {
+        "l1_error": l1,
+        "detected": len(st),
+        "total": len(truth),
+        "pred": pred,
+        "truth": truth,
     }

@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="--fast mode: min coverage-adjusted ANI to keep a genome")
     c.add_argument("--syldb", default=None,
                    help="genome sketch cache directory (built on first use)")
+    c.add_argument("--export-gfa", default=None, metavar="PATH",
+                   help="write the combined pangenome GFA (global node ids) "
+                        "and exit (reference_pangenome.gfa interop)")
     c.add_argument("--gfa-dir", default=None,
                    help="directory of externally built <taxid>.gfa species "
                         "graphs (e.g. pggb) to import instead of constructing")
@@ -162,6 +165,10 @@ def _main(argv: list[str] | None = None) -> int:
         )
     else:
         db = load_database(db_path)
+    if args.export_gfa:
+        db.export_gfa(args.export_gfa)
+        log.info("combined GFA written to %s", args.export_gfa)
+        return 0
     if args.create:
         log.info("database ready at %s (%.1fs)", db.root, time.time() - t0)
         return 0

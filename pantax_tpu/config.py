@@ -42,7 +42,7 @@ class ProfilingConfig:
     # coverage engine: 'host' (NumPy), 'device' (jitted TPU path), or 'auto'
     # (device above auto_device_reads reads per species)
     coverage: str = "auto"
-    auto_device_reads: int = 100_000
+    auto_device_reads: int = 500_000
     # shift mode scales the trio-fraction threshold by the trio coverage mean
     # (defaults on iff the DB range table is empty, main.rs:118-124 quirk)
     shift: bool = False

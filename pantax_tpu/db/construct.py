@@ -66,6 +66,36 @@ class DatabasePaths:
     def is_complete(self) -> bool:
         return self.range_file.exists() and self.stats_file.exists()
 
+    def export_gfa(self, out_path) -> None:
+        """Write the combined pangenome GFA with global node ids — the
+        interop artifact matching the reference DB's reference_pangenome.gfa
+        (construct.rs:156-208, vg combine semantics: species concatenated in
+        range order with offset node ids)."""
+        from ..graph.core import load_species_range
+
+        with open(out_path, "wb") as f:
+            f.write(b"H\tVN:Z:1.1\n")
+            for r in load_species_range(self.range_file):
+                g = self.load_graph(r.species)
+                base = r.start  # global 1-based id of local node 0
+                for i in range(g.num_nodes):
+                    f.write(b"S\t%d\t%s\n" % (base + i, g.node_seq(i)))
+                edges = set()
+                for hi in range(g.num_paths):
+                    p = g.path(hi)
+                    for a, b in zip(p[:-1], p[1:]):
+                        edges.add((int(a), int(b)))
+                for a, b in sorted(edges):
+                    f.write(b"L\t%d\t+\t%d\t+\t0M\n" % (base + a, base + b))
+                for hi, name in enumerate(g.path_names):
+                    p = g.path(hi)
+                    walk = b"".join(b">%d" % (base + n) for n in p)
+                    span = int(g.nodes_len[p].sum())
+                    f.write(
+                        b"W\t%s\t0\tmerged\t0\t%d\t%s\n"
+                        % (name.encode(), span, walk)
+                    )
+
 
 def _genome_seq(gi: GenomeInfo, base_dir: str) -> bytes:
     """Concatenated contig sequence of a genome (chromosome merge parity,

@@ -125,3 +125,16 @@ def test_device_coverage_profile_matches_host(example_db, tmp_path):
     np.testing.assert_allclose(
         h["predicted_coverage"], d["predicted_coverage"], rtol=1e-4
     )
+
+
+def test_small_community_accuracy(tmp_path):
+    """Scaled-down accuracy benchmark: staggered strains, full align+profile,
+    L1 error bound (CPU-sized version of benchmarks.accuracy_benchmark)."""
+    from pantax_tpu.benchmarks import accuracy_benchmark, scale_db
+
+    db = scale_db(tmp_path / "scale", n_species=3, strains_per=3,
+                  genome_len=60_000, snp_rate=0.01, seed=3)
+    r = accuracy_benchmark(db, n_reads=16384, batch=2048,
+                           out_dir=str(tmp_path / "acc"))
+    assert r["detected"] == r["total"] == 9
+    assert r["l1_error"] < 0.12

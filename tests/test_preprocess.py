@@ -226,3 +226,38 @@ def test_gfa_import_into_database(tmp_path):
     from pantax_tpu.graph.core import load_species_range
     r = load_species_range(db.range_file)[0]
     assert (r.start, r.end, r.is_pan) == (1, 4, 1)
+
+
+def test_export_combined_gfa(tmp_path):
+    """Round-trip: exported combined GFA re-imports with identical structure."""
+    from pantax_tpu.db.construct import build_database
+    from pantax_tpu.io.gfa import read_gfa
+    from pantax_tpu.graph.core import load_species_range
+
+    rng = np.random.default_rng(31)
+    infos = []
+    for sp in ("11", "22"):
+        seq = _random_genome(rng, 6000)
+        name = f"GCF_{sp}.1_x_genomic.fna"
+        write_fasta(tmp_path / name, [("c", seq)])
+        infos.append(GenomeInfo(f"GCF_{sp}.1_x", f"{sp}.1", sp, "org", name))
+    from pantax_tpu.io.metadata import write_genomes_info
+    info_file = tmp_path / "info.txt"
+    write_genomes_info(info_file, infos)
+    db = build_database(info_file, tmp_path / "db", base_dir=tmp_path)
+
+    out = tmp_path / "combined.gfa"
+    db.export_gfa(out)
+    parsed = read_gfa(out)
+    ranges = load_species_range(db.range_file)
+    assert parsed.num_nodes == ranges[-1].end
+    # every species' haplotype path survives with global ids
+    for r in ranges:
+        g = db.load_graph(r.species)
+        for hi, name in enumerate(g.path_names):
+            np.testing.assert_array_equal(
+                parsed.paths[name], g.path(hi) + r.start - 1
+            )
+    # sequences identical
+    g0 = db.load_graph(ranges[0].species)
+    assert parsed.node_seqs[0] == g0.node_seq(0)
