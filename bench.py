@@ -52,7 +52,7 @@ def bench_example() -> float:
         codes_all[i, : min(len(s), L)] = encode_seq(s)[:L]
         lens_all[i] = min(len(s), L)
 
-    n_batches = 4
+    n_batches = 8
     total = BATCH * n_batches
     reps = (total + len(reads) - 1) // len(reads)
     codes = np.tile(codes_all, (reps, 1))[:total]
