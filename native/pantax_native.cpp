@@ -138,3 +138,50 @@ long long kmer_hash_sample(
 }
 
 }  // extern "C"
+
+#include <algorithm>
+#include <vector>
+
+extern "C" {
+
+// Unique k-mer positions (2-bit packed keys, k <= 31; k-mers containing N are
+// skipped).  Sort-based: emits (key, pos) for k-mers occurring EXACTLY once,
+// sorted by key.  Returns the count (<= cap; larger inputs return -needed).
+// Replaces the per-genome Python dict scan in the anchor-partition pangenome
+// constructor (graph/pangenome.py).
+long long unique_kmer_positions(
+    const int8_t* codes, long long n, int k,
+    uint64_t* out_key, long long* out_pos, long long cap)
+{
+    if (n < k || k > 31) return 0;
+    std::vector<std::pair<uint64_t, long long>> kp;
+    kp.reserve((size_t)(n - k + 1));
+    const uint64_t mask = (k == 32) ? ~0ull : ((1ull << (2 * k)) - 1);
+    uint64_t cur = 0;
+    long long last_invalid = -1;
+    for (long long i = 0; i < n; ++i) {
+        uint64_t c = (uint64_t)codes[i];
+        if (codes[i] == 4) { last_invalid = i; c = 0; }
+        cur = ((cur << 2) | c) & mask;
+        long long p = i - k + 1;
+        if (p >= 0 && last_invalid < p)
+            kp.emplace_back(cur, p);
+    }
+    std::sort(kp.begin(), kp.end());
+    long long count = 0;
+    size_t m = kp.size();
+    for (size_t i = 0; i < m;) {
+        size_t j = i + 1;
+        while (j < m && kp[j].first == kp[i].first) ++j;
+        if (j == i + 1) {
+            if (count >= cap) { ++count; i = j; continue; }
+            out_key[count] = kp[i].first;
+            out_pos[count] = kp[i].second;
+            ++count;
+        }
+        i = j;
+    }
+    return count <= cap ? count : -count;
+}
+
+}  // extern "C"

@@ -36,12 +36,27 @@ DEFAULT_K = 31
 DEFAULT_PAN_CHUNK = 64
 
 
-def _kmer_positions(seq: bytes, k: int) -> dict[bytes, int]:
-    """k-mer -> position for k-mers occurring exactly once (others dropped)."""
+def _unique_kmers(seq: bytes, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted keys, positions) of k-mers occurring exactly once.
+
+    Native single-pass scan when available (utils/native.py); Python dict
+    fallback otherwise.  N-containing k-mers are excluded."""
+    from ..align.encode import encode_seq
+
+    try:
+        from ..utils.native import unique_kmer_positions_native
+
+        res = unique_kmer_positions_native(encode_seq(seq), k)
+        if res is not None:
+            return res
+    except Exception:  # pragma: no cover - fallback path
+        pass
     seen: dict[bytes, int] = {}
     dup: set[bytes] = set()
     for i in range(len(seq) - k + 1):
         kmer = seq[i : i + k]
+        if b"N" in kmer:
+            continue
         if kmer in dup:
             continue
         if kmer in seen:
@@ -49,7 +64,18 @@ def _kmer_positions(seq: bytes, k: int) -> dict[bytes, int]:
             dup.add(kmer)
         else:
             seen[kmer] = i
-    return seen
+    # pack to 2-bit keys for a sorted representation matching the native path
+    codes = encode_seq(seq)
+    keys = np.empty(len(seen), dtype=np.uint64)
+    poss = np.empty(len(seen), dtype=np.int64)
+    for j, (kmer, p) in enumerate(seen.items()):
+        key = np.uint64(0)
+        for c in codes[p : p + k]:
+            key = (key << np.uint64(2)) | np.uint64(c)
+        keys[j] = key
+        poss[j] = p
+    order = np.argsort(keys)
+    return keys[order], poss[order]
 
 
 def _lis_indices(values: list[int]) -> list[int]:
@@ -78,28 +104,34 @@ def find_universal_anchors(seqs: list[bytes], k: int = DEFAULT_K) -> list[list[i
     """Anchor positions per genome: k-mers unique in every genome, made
     collinear (LIS per genome, anchored to genome 0 order), then thinned so
     consecutive anchors don't overlap (>= k apart in every genome)."""
-    maps = [_kmer_positions(s, k) for s in seqs]
-    common = set(maps[0])
-    for m in maps[1:]:
-        common &= set(m)
-    if not common:
+    uniq = [_unique_kmers(s, k) for s in seqs]
+    common = uniq[0][0]
+    for keys, _ in uniq[1:]:
+        common = np.intersect1d(common, keys, assume_unique=True)
+    if len(common) == 0:
         return [[] for _ in seqs]
-    anchors = sorted(common, key=lambda km: maps[0][km])
-    # iteratively enforce increasing order in every other genome
+    # positions of the common anchors in every genome
+    pos = []
+    for keys, poss in uniq:
+        idx = np.searchsorted(keys, common)
+        pos.append(poss[idx])
+    order0 = np.argsort(pos[0], kind="stable")
+    pos = [p[order0] for p in pos]
+    keep_idx = np.arange(len(common))
     for g in range(1, len(seqs)):
-        vals = [maps[g][km] for km in anchors]
-        keep = _lis_indices(vals)
-        anchors = [anchors[i] for i in keep]
-        if not anchors:
+        keep = _lis_indices(pos[g][keep_idx].tolist())
+        keep_idx = keep_idx[keep]
+        if len(keep_idx) == 0:
             break
     # thin overlapping anchors
-    thinned: list[bytes] = []
-    last = [-(10**18)] * len(seqs)
-    for km in anchors:
-        if all(maps[g][km] >= last[g] + k for g in range(len(seqs))):
-            thinned.append(km)
-            last = [maps[g][km] for g in range(len(seqs))]
-    return [[maps[g][km] for km in thinned] for g in range(len(seqs))]
+    thinned: list[int] = []
+    last = np.full(len(seqs), -(10**18), dtype=np.int64)
+    for i in keep_idx:
+        cur = np.array([pos[g][i] for g in range(len(seqs))])
+        if (cur >= last + k).all():
+            thinned.append(int(i))
+            last = cur
+    return [[int(pos[g][i]) for i in thinned] for g in range(len(seqs))]
 
 
 def build_pangenome_graph(

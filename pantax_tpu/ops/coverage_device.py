@@ -200,20 +200,67 @@ def device_node_abundances(
     return node_abundance, trio_abundance, node_base_cov.astype(jnp.int32)
 
 
+def _pow2(n: int, lo: int = 256) -> int:
+    m = lo
+    while m < n:
+        m *= 2
+    return m
+
+
 def node_abundances_device(packed, nodes_len, trio_index):
-    """Convenience wrapper over numpy inputs (PackedReads + TrioIndex)."""
-    tables = DeviceGraphCoverageTables.build(nodes_len, trio_index.trio_nodes)
+    """Convenience wrapper over numpy inputs (PackedReads + TrioIndex).
+
+    All static dimensions (reads, path length, nodes, bases, trios) are padded
+    to power-of-two buckets so different species share compiled shapes.
+    Padding is inert: pad nodes have length 1 and are never referenced by
+    reads; pad trios carry sentinel hashes; pad reads have length 0.
+    """
     N = len(nodes_len)
-    TB = int(np.asarray(tables.base_offset)[-1])
     U = trio_index.num_unique
+    N_pad = _pow2(N + 1)
+    nodes_len_p = np.ones(N_pad, dtype=np.int64)
+    nodes_len_p[:N] = nodes_len
+    tables = DeviceGraphCoverageTables.build(nodes_len_p, trio_index.trio_nodes)
+    TB = int(np.asarray(tables.base_offset)[-1])
+    TB_pad = _pow2(TB)
+    base_node = np.asarray(tables.base_node)
+    base_node_p = np.full(TB_pad, N_pad - 1, dtype=np.int32)
+    base_node_p[:TB] = base_node
+
+    U_pad = _pow2(U, lo=64)
+    trio_hash = np.full(U_pad, np.iinfo(np.uint32).max, dtype=np.uint32)
+    trio_hash[:U] = np.asarray(tables.trio_hash_sorted)
+    trio_order = np.zeros(U_pad, dtype=np.int32)
+    trio_order[:U] = np.asarray(tables.trio_order)
+    trio_abc = np.full((U_pad, 3), -1, dtype=np.int32)
+    trio_abc[:U] = np.asarray(tables.trio_abc_sorted)
+    trio_len = np.ones(U_pad, dtype=np.int32)
+    trio_len[:U] = trio_index.trio_len
+
+    R, L = packed.nodes.shape
+    R_pad = _pow2(R)
+    L_pad = _pow2(max(L, 4), lo=4)
+    nodes_p = np.full((R_pad, L_pad), -1, dtype=np.int32)
+    nodes_p[:R, :L] = packed.nodes
+    lengths_p = np.zeros(R_pad, dtype=np.int32)
+    lengths_p[:R] = packed.lengths
+    rs_p = np.zeros(R_pad, dtype=np.int32)
+    rs_p[:R] = packed.read_start
+    re_p = np.zeros(R_pad, dtype=np.int32)
+    re_p[:R] = packed.read_end
+
     na, ta, bc = device_node_abundances(
-        jnp.asarray(packed.nodes.astype(np.int32)),
-        jnp.asarray(packed.lengths.astype(np.int32)),
-        jnp.asarray(packed.read_start.astype(np.int32)),
-        jnp.asarray(packed.read_end.astype(np.int32)),
-        tables.nodes_len, tables.base_offset, tables.base_node,
-        tables.trio_hash_sorted, tables.trio_order, tables.trio_abc_sorted,
-        jnp.asarray(trio_index.trio_len.astype(np.int32)),
-        num_nodes=N, total_bases=TB, num_trios=U,
+        jnp.asarray(nodes_p), jnp.asarray(lengths_p),
+        jnp.asarray(rs_p), jnp.asarray(re_p),
+        tables.nodes_len,
+        tables.base_offset,
+        jnp.asarray(base_node_p),
+        jnp.asarray(trio_hash), jnp.asarray(trio_order), jnp.asarray(trio_abc),
+        jnp.asarray(trio_len),
+        num_nodes=N_pad, total_bases=TB_pad, num_trios=U_pad,
     )
-    return np.asarray(na, dtype=np.float64), np.asarray(ta, dtype=np.float64), np.asarray(bc)
+    return (
+        np.asarray(na, dtype=np.float64)[:N],
+        np.asarray(ta, dtype=np.float64)[:U],
+        np.asarray(bc)[:N],
+    )

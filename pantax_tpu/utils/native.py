@@ -51,6 +51,11 @@ def load_native() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_longlong,
         ]
+        lib.unique_kmer_positions.restype = ctypes.c_longlong
+        lib.unique_kmer_positions.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+        ]
         lib.kmer_hash_sample.restype = ctypes.c_longlong
         lib.kmer_hash_sample.argtypes = [
             ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
@@ -111,3 +116,24 @@ def kmer_hash_sample_native(codes: np.ndarray, k: int, density_bits: int):
         if m >= 0:
             return out_hash[:m].copy(), out_pos[:m].copy()
         cap = max(cap * 4, 1024)  # overflowed at -m entries; retry larger
+
+
+def unique_kmer_positions_native(codes: np.ndarray, k: int):
+    """(sorted 2-bit-packed keys uint64, positions int64) of k-mers occurring
+    exactly once (N-containing k-mers skipped); None if unavailable."""
+    lib = load_native()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    n = len(codes)
+    cap = max(n, 64)
+    out_key = np.empty(cap, dtype=np.uint64)
+    out_pos = np.empty(cap, dtype=np.int64)
+    m = lib.unique_kmer_positions(
+        codes.ctypes.data_as(ctypes.c_void_p), n, k,
+        out_key.ctypes.data_as(ctypes.c_void_p),
+        out_pos.ctypes.data_as(ctypes.c_void_p), cap,
+    )
+    if m < 0:
+        return None
+    return out_key[:m].copy(), out_pos[:m].copy()
