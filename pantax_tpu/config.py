@@ -72,7 +72,7 @@ class AlignConfig:
     mismatch: int = -1
     gap_extend: int = -2        # linear gap cost
     min_score_frac: float = 0.6   # min score / read_len to report
-    long_read_chunk: int = 1024   # blockwise DP chunk for long reads
+    # long-read chunk sizes live in align.long_read.LONG_READ_PRESETS
     # one distinguishing SNP (score gap 2) ~ mapq 20; >= 3 SNPs saturate at 60
     mapq_scale: float = 10.0
 
