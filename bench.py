@@ -71,8 +71,16 @@ def bench_example() -> float:
 
 
 def bench_scale() -> float:
-    db = scale_db(os.environ.get("PANTAX_TPU_SCALE_DIR", "/tmp/pantax_tpu_scale"))
-    stats = run_alignment_benchmark(db, n_reads=1_000_000, batch=BATCH)
+    if os.environ.get("PANTAX_TPU_BENCH_SCALE") == "2":
+        # BASELINE config 5 (single-chip slice): 34 species x 3 = 102 strains
+        db = scale_db(
+            os.environ.get("PANTAX_TPU_SCALE2_DIR", "/tmp/pantax_tpu_scale2"),
+            n_species=34, strains_per=3,
+        )
+        stats = run_alignment_benchmark(db, n_reads=2_000_000, batch=BATCH)
+    else:
+        db = scale_db(os.environ.get("PANTAX_TPU_SCALE_DIR", "/tmp/pantax_tpu_scale"))
+        stats = run_alignment_benchmark(db, n_reads=1_000_000, batch=BATCH)
     print(
         f"# scale: {stats['total_reads']} reads, aligned "
         f"{stats['aligned_frac']:.3f}, species acc {stats['species_acc']:.3f}, "
@@ -83,12 +91,13 @@ def bench_scale() -> float:
 
 
 def main() -> None:
-    scale = os.environ.get("PANTAX_TPU_BENCH_SCALE") == "1"
+    scale = os.environ.get("PANTAX_TPU_BENCH_SCALE") in ("1", "2")
     rate = bench_scale() if scale else bench_example()
-    metric = (
-        "scale_1M_reads_aligned_per_sec_per_chip"
-        if scale else "ngs_reads_aligned_per_sec_per_chip"
-    )
+    metric = "ngs_reads_aligned_per_sec_per_chip"
+    if os.environ.get("PANTAX_TPU_BENCH_SCALE") == "1":
+        metric = "scale_1M_reads_aligned_per_sec_per_chip"
+    elif os.environ.get("PANTAX_TPU_BENCH_SCALE") == "2":
+        metric = "community102_2M_reads_aligned_per_sec_per_chip"
     print(
         json.dumps(
             {
