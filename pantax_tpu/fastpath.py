@@ -1,0 +1,222 @@
+"""Array-native profiling: alignment arrays -> abundance tables without GAF
+text round-trips.
+
+The GAF file stays the interop/resume artifact (pipeline.profile_from_gaf),
+but per-read string building caps throughput near 10M reads.  This path keeps
+everything as arrays: text intervals from the aligner are projected onto graph
+nodes with vectorized reduceat/searchsorted, classification and read grouping
+are numpy, and the per-species engine receives PackedReads directly.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from .align.index import AlignIndex
+from .config import ProfilingConfig
+from .db.construct import DatabasePaths
+from .graph.core import load_species_range
+from .profile.coverage import PackedReads
+from .profile.engine import optimize_otu
+from .profile.rcls import classify_min_max
+from .profile.report import abundance_constraint, abundance_est
+from .profile.species import SpeciesProfile, read_species_mean_len, species_profiling
+
+
+@dataclass
+class AlignmentArrays:
+    """Batch-concatenated aligner outputs (aligned reads only)."""
+
+    read_ids: list[str]
+    ts: np.ndarray        # int64 text start
+    te: np.ndarray        # int64 text end (exclusive)
+    mapq: np.ndarray      # int64
+    read_len: np.ndarray  # int64
+
+
+def collect_alignment_arrays(aligner, codes, lens, batch: int) -> AlignmentArrays:
+    """Align a codes matrix in pipelined batches, keeping results as arrays."""
+    n = len(lens)
+    parts = []
+    pending = []
+
+    def drain(entry):
+        lo, hi, dev = entry
+        res = aligner.collect(dev)
+        m = hi - lo
+        keep = res.aligned[:m]
+        parts.append((lo, keep, res.text_start[:m][keep], res.text_end[:m][keep],
+                      res.mapq[:m][keep]))
+
+    for lo in range(0, n, batch):
+        hi = min(lo + batch, n)
+        b_codes = codes[lo:hi]
+        b_lens = lens[lo:hi]
+        if hi - lo < batch:  # pad the tail batch
+            b_codes = np.vstack(
+                [b_codes, np.full((batch - (hi - lo), codes.shape[1]), 4, np.int8)]
+            )
+            b_lens = np.concatenate([b_lens, np.zeros(batch - (hi - lo), b_lens.dtype)])
+        pending.append((lo, hi, aligner.dispatch_codes(b_codes, b_lens)))
+        if len(pending) > 1:
+            drain(pending.pop(0))
+    for e in pending:
+        drain(e)
+
+    ids = []
+    ts, te, mq, rl = [], [], [], []
+    for lo, keep, a, b, q in parts:
+        idxs = np.flatnonzero(keep) + lo
+        ids.extend(f"R{i}" for i in idxs)
+        ts.append(a)
+        te.append(b)
+        mq.append(q)
+        rl.append(lens[idxs])
+    return AlignmentArrays(
+        read_ids=ids,
+        ts=np.concatenate(ts).astype(np.int64) if ts else np.zeros(0, np.int64),
+        te=np.concatenate(te).astype(np.int64) if te else np.zeros(0, np.int64),
+        mapq=np.concatenate(mq).astype(np.int64) if mq else np.zeros(0, np.int64),
+        read_len=np.concatenate(rl).astype(np.int64) if rl else np.zeros(0, np.int64),
+    )
+
+
+def profile_from_alignments(
+    arrays: AlignmentArrays,
+    index: AlignIndex,
+    db: DatabasePaths,
+    cfg: ProfilingConfig,
+    out_dir: str | os.PathLike,
+) -> None:
+    """Full species+strain profiling from alignment arrays (no GAF text)."""
+    out = os.fspath(out_dir)
+    os.makedirs(out, exist_ok=True)
+    ranges = load_species_range(db.range_file)
+
+    # project text intervals onto node index spans
+    i0 = np.searchsorted(index.tstart, arrays.ts, side="right") - 1
+    i1 = np.searchsorted(index.tstart, np.maximum(arrays.te - 1, arrays.ts),
+                         side="right") - 1
+    # per-read min/max node id over tnode[i0..i1] (reduceat over span pairs)
+    n = len(i0)
+    if n:
+        bounds = np.empty(2 * n, dtype=np.int64)
+        bounds[0::2] = i0
+        bounds[1::2] = i1 + 1
+        # sentinel tail element: keeps every even-slot span [i0, i1+1) exact
+        # even when i1+1 == len(tnode), and gives the final odd slot a target
+        tnode_ext = np.append(index.tnode, index.tnode[-1])
+        mins = np.minimum.reduceat(tnode_ext, bounds)[0::2]
+        maxs = np.maximum.reduceat(tnode_ext, bounds)[0::2]
+    else:
+        mins = maxs = np.zeros(0, dtype=np.int64)
+
+    ridx = classify_min_max(mins, maxs, ranges)
+    species = np.array(
+        [ranges[i].species if i >= 0 else "U" for i in ridx], dtype=object
+    )
+
+    # reads_classification.tsv (one fast join)
+    with open(os.path.join(out, "reads_classification.tsv"), "w") as f:
+        f.write("\n".join(
+            f"{rid}\t{q}\t{sp}\t{rl}" for rid, q, sp, rl in zip(
+                arrays.read_ids, arrays.mapq, species, arrays.read_len
+            )
+        ))
+        if n:
+            f.write("\n")
+
+    keep = ridx >= 0
+    profile = species_profiling(
+        species[keep], arrays.read_len[keep], arrays.mapq[keep],
+        read_species_mean_len(db.stats_file), filtered=cfg.filtered,
+    )
+    profile.save(os.path.join(out, "species_abundance.txt"))
+    if not cfg.strain:
+        return
+
+    # strain profiling per abundant species, PackedReads built by projection
+    abundant = {
+        str(row["species_taxid"]): float(row["predicted_abundance"])
+        for _, row in profile.df.iterrows()
+    }
+    from .io.metadata import read_genomes_info
+
+    metrics = []
+    for rsel, r in enumerate(ranges):
+        if cfg.mode == 0 and r.is_pan != 0:
+            continue
+        if cfg.mode == 1 and r.is_pan != 1:
+            continue
+        if cfg.designated_species and r.species not in cfg.designated_species:
+            continue
+        if abundant.get(r.species, 0.0) <= cfg.min_species_abundance:
+            continue
+        sel = keep & (ridx == rsel)
+        if not sel.any():
+            continue
+        s_i0 = i0[sel]
+        s_i1 = i1[sel]
+        span = s_i1 - s_i0 + 1
+        R = len(s_i0)
+        L = int(span.max())
+        nodes = np.full((R, L), -1, dtype=np.int64)
+        cols = np.arange(L)
+        take = s_i0[:, None] + cols[None, :]
+        valid = cols[None, :] < span[:, None]
+        take = np.clip(take, 0, len(index.tnode) - 1)
+        nodes[valid] = (index.tnode[take] - r.start)[valid]
+        packed = PackedReads(
+            nodes=nodes,
+            lengths=span.astype(np.int64),
+            read_start=(arrays.ts[sel] - index.tstart[s_i0]).astype(np.int64),
+            read_end=(
+                arrays.ts[sel] - index.tstart[s_i0] + arrays.te[sel] - arrays.ts[sel]
+            ).astype(np.int64),
+        )
+        graph = db.load_graph(r.species)
+        m = _optimize_packed(cfg, r.species, graph, r.start, packed)
+        if m:
+            abundance_constraint(profile, m)
+            metrics.extend(m)
+
+    genomes_info = read_genomes_info(db.genomes_info_file)
+    abundance_est(cfg, metrics, genomes_info, out)
+
+
+def _optimize_packed(cfg, otu, graph, range_start, packed: PackedReads):
+    """optimize_otu over pre-packed reads (mirrors profile/engine.optimize_otu
+    without the ReadRecord detour)."""
+    from .graph.trio import build_trio_index
+    from .ops.coverage_device import node_abundances_device
+    from .profile.engine import _solve_two_stage
+    from .profile.filters import HapMetrics, OtuState, first_filter_paths
+
+    paths = graph.paths_dict()
+    trio_index = build_trio_index(graph.nodes_len, paths)
+    use_device = cfg.coverage == "device" or (
+        cfg.coverage == "auto" and len(packed.lengths) >= cfg.auto_device_reads
+    )
+    if use_device:
+        node_abund, trio_abund, node_base_cov = node_abundances_device(
+            packed, graph.nodes_len, trio_index
+        )
+    else:
+        from .profile.coverage import node_abundances_packed
+
+        node_abund, trio_abund, node_base_cov = node_abundances_packed(
+            packed, graph.nodes_len, trio_index
+        )
+    node_abund_opt = np.where(node_abund > cfg.min_depth, node_abund, 0.0)
+    state = OtuState(otu=otu, hap_metrics=[HapMetrics() for _ in paths])
+    first_filter_paths(
+        state, paths, trio_index.hap_matrix, trio_abund, node_abund_opt, cfg
+    )
+    if state.possible_paths_idx:
+        _solve_two_stage(
+            state, graph.num_nodes, paths, node_abund, node_base_cov,
+            graph.nodes_len, cfg,
+        )
+    return state.hap_metrics

@@ -152,8 +152,16 @@ def node_abundances(
             np.zeros(len(trio_index.trio_len)),
             np.zeros(N, dtype=np.int64),
         )
+    return node_abundances_packed(pack_reads(reads, range_start), nodes_len, trio_index)
 
-    packed = pack_reads(reads, range_start)
+
+def node_abundances_packed(
+    packed: PackedReads,
+    nodes_len: np.ndarray,
+    trio_index: TrioIndex,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """node_abundances over already-packed padded read arrays."""
+    N = len(nodes_len)
     alloc, start_idx, first_occ, per_pos_val, valid = _per_read_node_alloc(
         packed, nodes_len
     )

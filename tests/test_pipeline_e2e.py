@@ -138,3 +138,47 @@ def test_small_community_accuracy(tmp_path):
                            out_dir=str(tmp_path / "acc"))
     assert r["detected"] == r["total"] == 9
     assert r["l1_error"] < 0.12
+
+
+def test_fastpath_matches_gaf_pipeline(example_db, tmp_path):
+    """Array-native profiling (no GAF text) reproduces the GAF pipeline."""
+    import pandas as pd
+    from pantax_tpu.align.aligner import Aligner
+    from pantax_tpu.align.encode import encode_seq
+    from pantax_tpu.align.index import build_align_index
+    from pantax_tpu.fastpath import collect_alignment_arrays, profile_from_alignments
+
+    infos = read_genomes_info(EXAMPLE_INFO)
+    hap_ids = [i.hap_id for i in infos]
+    weights = {hap_ids[0]: 3.0, hap_ids[1]: 1.0, hap_ids[2]: 2.0, hap_ids[3]: 1.0}
+    reads = simulate_reads(example_db, weights, n_reads=4000, read_len=150, seed=21)
+    index = build_align_index(example_db)
+    aligner = Aligner(index)
+
+    # GAF route
+    gaf = aligner.align_reads([(r.read_id, r.seq) for r in reads], batch_size=1024)
+    cfg = ProfilingConfig.for_read_type("short")
+    out_gaf = tmp_path / "gafroute"
+    profile_from_gaf(gaf, example_db, cfg, out_gaf)
+
+    # array route (same reads -> codes matrix)
+    L = 160
+    codes = np.full((len(reads), L), 4, dtype=np.int8)
+    lens = np.zeros(len(reads), dtype=np.int64)
+    for i, r in enumerate(reads):
+        codes[i, : len(r.seq)] = encode_seq(r.seq)
+        lens[i] = len(r.seq)
+    arrays = collect_alignment_arrays(aligner, codes, lens, batch=1024)
+    out_arr = tmp_path / "arrroute"
+    profile_from_alignments(arrays, index, example_db, cfg, out_arr)
+
+    for fname in ("species_abundance.txt", "strain_abundance.txt"):
+        a = pd.read_csv(out_gaf / fname, sep="\t", dtype={"species_taxid": str})
+        b = pd.read_csv(out_arr / fname, sep="\t", dtype={"species_taxid": str})
+        assert len(a) == len(b)
+        key = "species_taxid" if "genome_ID" not in a else "genome_ID"
+        a = a.sort_values(key).reset_index(drop=True)
+        b = b.sort_values(key).reset_index(drop=True)
+        np.testing.assert_allclose(
+            a["predicted_coverage"], b["predicted_coverage"], rtol=1e-6
+        )
