@@ -83,6 +83,33 @@ def collect_alignment_arrays(aligner, codes, lens, batch: int) -> AlignmentArray
     )
 
 
+def _span_min_max(tnode: np.ndarray, i0: np.ndarray, i1: np.ndarray):
+    """Per-read min/max of tnode[i0..i1] — masked gather for the typical
+    short spans, ufunc.reduceat fallback for the rare long ones (reduceat is
+    slow enough to dominate profiling when used for every read)."""
+    span = i1 - i0 + 1
+    CAP = 32
+    short = span <= CAP
+    mins = np.empty(len(i0), dtype=np.int64)
+    maxs = np.empty(len(i0), dtype=np.int64)
+    if short.any():
+        s0 = i0[short]
+        take = np.clip(s0[:, None] + np.arange(CAP)[None, :], 0, len(tnode) - 1)
+        vals = tnode[take]
+        mask = np.arange(CAP)[None, :] < span[short][:, None]
+        mins[short] = np.where(mask, vals, np.iinfo(np.int64).max).min(axis=1)
+        maxs[short] = np.where(mask, vals, -1).max(axis=1)
+    if (~short).any():
+        idx = np.flatnonzero(~short)
+        bounds = np.empty(2 * len(idx), dtype=np.int64)
+        bounds[0::2] = i0[idx]
+        bounds[1::2] = i1[idx] + 1
+        ext = np.append(tnode, tnode[-1])
+        mins[idx] = np.minimum.reduceat(ext, bounds)[0::2]
+        maxs[idx] = np.maximum.reduceat(ext, bounds)[0::2]
+    return mins, maxs
+
+
 def profile_from_alignments(
     arrays: AlignmentArrays,
     index: AlignIndex,
@@ -102,14 +129,7 @@ def profile_from_alignments(
     # per-read min/max node id over tnode[i0..i1] (reduceat over span pairs)
     n = len(i0)
     if n:
-        bounds = np.empty(2 * n, dtype=np.int64)
-        bounds[0::2] = i0
-        bounds[1::2] = i1 + 1
-        # sentinel tail element: keeps every even-slot span [i0, i1+1) exact
-        # even when i1+1 == len(tnode), and gives the final odd slot a target
-        tnode_ext = np.append(index.tnode, index.tnode[-1])
-        mins = np.minimum.reduceat(tnode_ext, bounds)[0::2]
-        maxs = np.maximum.reduceat(tnode_ext, bounds)[0::2]
+        mins, maxs = _span_min_max(index.tnode, i0, i1)
     else:
         mins = maxs = np.zeros(0, dtype=np.int64)
 
