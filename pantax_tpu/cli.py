@@ -70,6 +70,9 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--coverage", default="auto",
                    choices=["auto", "host", "device"],
                    help="strain coverage engine (device = jitted TPU path)")
+    a.add_argument("--fastpath", action="store_true",
+                   help="short reads: array-native profiling without writing "
+                        "the GAF artifact (fastest; no alignment resume file)")
 
     q = p.add_argument_group("profiling")
     q.add_argument("-a", dest="min_species_abundance", type=float, default=1e-4)
@@ -193,6 +196,9 @@ def _main(argv: list[str] | None = None) -> int:
     tmp.mkdir(parents=True, exist_ok=True)
     gaf_file = tmp / "gfa_mapped.gaf"
 
+    if args.fastpath and args.short_read:
+        return _run_fastpath(args, db, index, tmp, t0)
+
     from .io.gaf import filter_best_long_read_alignments, read_gaf, write_gaf
 
     if gaf_file.exists() and not args.force:
@@ -268,6 +274,85 @@ def _main(argv: list[str] | None = None) -> int:
         _copy(tmp / "species_abundance.txt", Path(f"{prefix}species_abundance.txt"))
     if args.strain:
         _copy(tmp / "strain_abundance.txt", Path(f"{prefix}strains_abundance.txt" if prefix else "strain_abundance.txt"))
+    if args.pantax_report:
+        _copy(tmp / "reads_classification.tsv", Path(args.pantax_report))
+    if not args.next_for_strain and not args.debug:
+        shutil.rmtree(tmp, ignore_errors=True)
+    log.info("- Done in %.1fs", time.time() - t0)
+    return 0
+
+
+def _run_fastpath(args, db, index, tmp: Path, t0: float) -> int:
+    """Array-native short-read flow: parse -> align -> profile, no GAF."""
+    import gzip as _gzip
+
+    import numpy as np
+
+    from .align.aligner import Aligner, _round_up
+    from .config import ProfilingConfig
+    from .fastpath import AlignmentArrays, collect_alignment_arrays, profile_from_alignments
+    from .utils.logging import stage_timer
+    from .utils.native import fastx_parse_native
+
+    aligner = Aligner(index)
+    all_arrays = []
+    with stage_timer("alignment"):
+        for rf in args.reads:
+            raw = open(rf, "rb").read()
+            if raw[:2] == b"\x1f\x8b":
+                raw = _gzip.decompress(raw)
+            parsed = fastx_parse_native(raw)
+            if parsed is None:
+                log.error("--fastpath requires the native parser; rerun without it")
+                return 1
+            codes_flat, offsets, ids = parsed
+            lens = np.diff(offsets)
+            pad = _round_up(int(lens.max()))
+            codes = np.full((len(ids), pad), 4, dtype=np.int8)
+            for i in range(len(ids)):
+                L = int(lens[i])
+                codes[i, :L] = codes_flat[offsets[i] : offsets[i] + L]
+            arrays = collect_alignment_arrays(
+                aligner, codes, lens.astype(np.int64), batch=args.batch_size
+            )
+            arrays.read_ids = [ids[int(r[1:])] for r in arrays.read_ids]
+            all_arrays.append(arrays)
+    merged = AlignmentArrays(
+        read_ids=[r for a in all_arrays for r in a.read_ids],
+        ts=np.concatenate([a.ts for a in all_arrays]),
+        te=np.concatenate([a.te for a in all_arrays]),
+        mapq=np.concatenate([a.mapq for a in all_arrays]),
+        read_len=np.concatenate([a.read_len for a in all_arrays]),
+    )
+    log.info("- Aligned %d reads", len(merged.read_ids))
+
+    fr = args.unique_trio_nodes_fraction or 0.3
+    cfg = ProfilingConfig(
+        db=db.root, wd=tmp,
+        min_species_abundance=args.min_species_abundance,
+        unique_trio_nodes_fraction=fr,
+        unique_trio_nodes_mean_count_f=args.unique_trio_nodes_count,
+        single_cov_ratio=args.single_cov_ratio,
+        single_cov_diff=args.single_cov_diff,
+        min_cov=args.min_cov, min_depth=args.min_depth,
+        species=True, strain=args.strain or not args.species,
+        filtered=not args.no_filter,
+        sample_nodes=args.sample_nodes, sample_test=args.sample_test,
+        designated_species=(
+            [s.strip() for s in args.designated_species.split(",") if s.strip()]
+            if args.designated_species else None
+        ),
+        mode=args.smode, solver=args.solver, coverage=args.coverage,
+        read_type="short",
+    )
+    with stage_timer("profiling"):
+        profile_from_alignments(merged, index, db, cfg, tmp)
+
+    prefix = f"{args.pantax_output}_" if args.pantax_output else ""
+    _copy(tmp / "species_abundance.txt", Path(f"{prefix}species_abundance.txt"))
+    if cfg.strain:
+        _copy(tmp / "strain_abundance.txt",
+              Path(f"{prefix}strains_abundance.txt" if prefix else "strain_abundance.txt"))
     if args.pantax_report:
         _copy(tmp / "reads_classification.tsv", Path(args.pantax_report))
     if not args.next_for_strain and not args.debug:

@@ -65,3 +65,21 @@ def test_cli_resume_with_next(workdir):
 def test_cli_error_cases(workdir):
     assert main(["-d", "db", "-s"]) == 2          # no reads
     assert main(["-d", "db", "-r", "x.fq"]) == 2  # no read type
+
+
+def test_cli_fastpath_matches_default(workdir):
+    _subset_fastq(NGS, "subf.fq", 3000)
+    rc = main(["-d", "db", "-s", "-r", "subf.fq", "--species", "--strain",
+               "-o", "fp", "-T", "tmpfp", "--fastpath", "--batch-size", "1024"])
+    assert rc == 0
+    import pandas as pd
+    a = pd.read_csv("t1_species_abundance.txt", sep="\t",
+                    dtype={"species_taxid": str})
+    b = pd.read_csv("fp_species_abundance.txt", sep="\t",
+                    dtype={"species_taxid": str})
+    # same reads as test_cli_short_reads -> same species profile
+    merged = a.merge(b, on="species_taxid", suffixes=("_a", "_b"))
+    import numpy as np
+    np.testing.assert_allclose(merged["predicted_coverage_a"],
+                               merged["predicted_coverage_b"], rtol=1e-9)
+    assert len(pd.read_csv("fp_strains_abundance.txt", sep="\t")) >= 3
