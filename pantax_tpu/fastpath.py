@@ -19,10 +19,9 @@ from .config import ProfilingConfig
 from .db.construct import DatabasePaths
 from .graph.core import load_species_range
 from .profile.coverage import PackedReads
-from .profile.engine import optimize_otu
 from .profile.rcls import classify_min_max
 from .profile.report import abundance_constraint, abundance_est
-from .profile.species import SpeciesProfile, read_species_mean_len, species_profiling
+from .profile.species import read_species_mean_len, species_profiling
 
 
 @dataclass
