@@ -79,56 +79,91 @@ def align_long_reads(
         aligned[lo:hi] = res.aligned[:m]
 
     hap_of = np.searchsorted(idx.hap_offsets, ts, side="right") - 1
+    read_idx = np.array([m[0] for m in chunk_meta], dtype=np.int64)
+    chunk_off = np.array([m[1] for m in chunk_meta], dtype=np.int64)
+    n_reads = len(reads)
+    total_chunks = np.bincount(read_idx, minlength=n_reads)
 
+    # majority (hap, strand) per read over aligned chunks — vectorized
+    # groupby: count (read, key) pairs, then pick per read the key with the
+    # highest count (smallest key on ties, matching np.unique+argmax order)
+    a_sel = np.flatnonzero(aligned)
+    H = len(idx.hap_names)
     out: list[GafRecord] = []
-    by_read: dict[int, list[int]] = {}
-    for ci, (ri, _) in enumerate(chunk_meta):
-        by_read.setdefault(ri, []).append(ci)
+    if len(a_sel) == 0:
+        return out
+    key = hap_of[a_sel] * 2 + strand[a_sel]
+    pairs = read_idx[a_sel] * (2 * H) + key
+    uniq_pairs, pair_counts = np.unique(pairs, return_counts=True)
+    u_read = uniq_pairs // (2 * H)
+    u_key = uniq_pairs % (2 * H)
+    order = np.lexsort((u_key.max() - u_key if len(u_key) else u_key,
+                        pair_counts, u_read))
+    last_of_read = np.ones(len(order), dtype=bool)
+    sr = u_read[order]
+    last_of_read[:-1] = sr[:-1] != sr[1:]
+    winners = order[last_of_read]
+    win_key = np.full(n_reads, -1, dtype=np.int64)
+    win_key[u_read[winners]] = u_key[winners]
+    aligned_per_read = np.bincount(read_idx[a_sel], minlength=n_reads)
 
-    for ri, (read_id, seq) in enumerate(reads):
-        cis = [ci for ci in by_read.get(ri, []) if aligned[ci]]
-        n_chunks = len(by_read.get(ri, []))
-        if not cis or len(cis) < min_chunk_frac * n_chunks:
-            continue
-        # majority haplotype (strand-aware)
-        keys = [(int(hap_of[ci]), int(strand[ci])) for ci in cis]
-        vals, counts = np.unique(np.array(keys), axis=0, return_counts=True)
-        best_hap, best_strand = vals[np.argmax(counts)]
-        members = [
-            ci for ci in cis
-            if hap_of[ci] == best_hap and strand[ci] == best_strand
-        ]
-        mts = int(min(ts[ci] for ci in members))
-        mte = int(max(te[ci] for ci in members))
-        # clip to the winning haplotype's span (ragged merges near separators)
-        h0, h1 = int(idx.hap_offsets[best_hap]), int(idx.hap_offsets[best_hap + 1]) - 1
-        mts, mte = max(mts, h0), min(mte, h1)
-        if mte <= mts:
-            continue
-        i0, i1, off = idx.project(np.array([mts]), np.array([mte]))
-        nodes = idx.path_nodes(int(i0[0]), int(i1[0]))
-        path_len = int(idx.tlen[int(i0[0]) : int(i1[0]) + 1].sum())
-        span = mte - mts
-        m_sum = int(sum(matches[ci] for ci in members))
-        q_offs = [chunk_meta[ci][1] for ci in members]
-        q_start = min(q_offs)
-        q_end = min(max(q_offs) + chunk, len(seq))
-        read_mapq = int(np.mean([mapq[ci] for ci in members]))
+    # member chunks = aligned chunks matching the winner key
+    member = aligned & (hap_of * 2 + strand == win_key[read_idx])
+    m_sel = np.flatnonzero(member)
+    mr = read_idx[m_sel]
+    BIG = np.int64(2**62)
+    mts = np.full(n_reads, BIG)
+    np.minimum.at(mts, mr, ts[m_sel])
+    mte = np.full(n_reads, -BIG)
+    np.maximum.at(mte, mr, te[m_sel])
+    m_sum = np.zeros(n_reads, dtype=np.int64)
+    np.add.at(m_sum, mr, matches[m_sel])
+    q_sum = np.zeros(n_reads, dtype=np.int64)
+    np.add.at(q_sum, mr, mapq[m_sel])
+    q_off_min = np.full(n_reads, BIG)
+    np.minimum.at(q_off_min, mr, chunk_off[m_sel])
+    q_off_max = np.full(n_reads, -BIG)
+    np.maximum.at(q_off_max, mr, chunk_off[m_sel])
+    member_count = np.bincount(mr, minlength=n_reads)
+
+    # clip to the winning haplotype's span (ragged merges near separators)
+    win_hap = np.maximum(win_key // 2, 0)
+    h0 = idx.hap_offsets[win_hap]
+    h1 = idx.hap_offsets[np.minimum(win_hap + 1, len(idx.hap_names))] - 1
+    mts = np.maximum(mts, h0)
+    mte = np.minimum(mte, h1)
+
+    emit = (
+        (win_key >= 0)
+        & (aligned_per_read >= np.maximum(min_chunk_frac * total_chunks, 1))
+        & (mte > mts)
+    )
+    e_sel = np.flatnonzero(emit)
+    if len(e_sel) == 0:
+        return out
+    i0, i1, off = idx.project(mts[e_sel], mte[e_sel])
+    for j, ri in enumerate(e_sel):
+        read_id, seq = reads[ri]
+        nodes = idx.path_nodes(int(i0[j]), int(i1[j]))
+        path_len = int(idx.tlen[int(i0[j]) : int(i1[j]) + 1].sum())
+        span = int(mte[ri] - mts[ri])
+        q_start = int(q_off_min[ri])
+        q_end = min(int(q_off_max[ri]) + chunk, len(seq))
         out.append(
             GafRecord(
                 read_id=read_id,
                 read_len=len(seq),
                 query_start=q_start,
                 query_end=q_end,
-                strand="+" if best_strand == 0 else "-",
+                strand="+" if win_key[ri] % 2 == 0 else "-",
                 path="".join(f">{nd}" for nd in nodes),
                 path_len=path_len,
-                path_start=int(off[0]),
-                path_end=int(off[0]) + span,
-                matches=m_sum,
+                path_start=int(off[j]),
+                path_end=int(off[j]) + span,
+                matches=int(m_sum[ri]),
                 block_len=q_end - q_start,
-                mapq=read_mapq,
-                identity=m_sum / max(q_end - q_start, 1),
+                mapq=int(q_sum[ri] // max(member_count[ri], 1)),
+                identity=int(m_sum[ri]) / max(q_end - q_start, 1),
             )
         )
     return out
