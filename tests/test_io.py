@@ -107,3 +107,28 @@ def test_genomes_info_example_file():
     # gz path: stem strips .gz then .fna
     gz = [i for i in infos if i.path.endswith(".gz")][0]
     assert gz.hap_id == "GCF_006400955.1"
+
+
+def test_gaf_write_read_roundtrip(tmp_path):
+    from pantax_tpu.io.gaf import read_gaf, write_gaf
+
+    recs = [
+        GafRecord("r1", 150, 0, 150, "+", ">5>6>7", 300, 10, 160, 148, 150, 60, 0.987),
+        GafRecord("r2", 151, 0, 151, "-", ">8", 100, 2, 153, 140, 151, 12, 0.93),
+    ]
+    p = tmp_path / "x.gaf"
+    write_gaf(p, recs)
+    back = read_gaf(p)
+    assert len(back) == 2
+    for a, b in zip(recs, back):
+        assert a.read_id == b.read_id and a.path == b.path
+        assert a.path_start == b.path_start and a.path_end == b.path_end
+        assert a.mapq == b.mapq and abs(a.identity - b.identity) < 1e-6
+        assert a.path_nodes() == b.path_nodes()
+
+
+def test_gaf_star_fields():
+    rec = parse_gaf_line("r\t150\t0\t150\t+\t*\t*\t*\t*\t*\t*\t*")
+    assert rec is not None
+    assert rec.path_nodes() == []
+    assert rec.mapq == 0
