@@ -261,3 +261,53 @@ def test_export_combined_gfa(tmp_path):
     # sequences identical
     g0 = db.load_graph(ranges[0].species)
     assert parsed.node_seqs[0] == g0.node_seq(0)
+
+
+def test_export_import_cycle_profiles_identically(tmp_path):
+    """DB -> combined GFA -> species GFAs -> new DB profiles identically."""
+    import pandas as pd
+    from pantax_tpu.config import ProfilingConfig
+    from pantax_tpu.db.construct import build_database
+    from pantax_tpu.io.gfa import read_gfa, write_gfa
+    from pantax_tpu.io.metadata import write_genomes_info
+    from pantax_tpu.pipeline import profile_from_gaf
+    from pantax_tpu.sim import simulate_reads
+
+    rng = np.random.default_rng(41)
+    base = _random_genome(rng, 20000)
+    infos = []
+    for i, seq in enumerate([base, _mutate(base, rng, 0.01)]):
+        name = f"GCF_7{i}.1_x_genomic.fna"
+        write_fasta(tmp_path / name, [("c", seq)])
+        infos.append(GenomeInfo(f"GCF_7{i}.1_x", f"7.{i+1}", "7", "org", name))
+    info_file = tmp_path / "info.txt"
+    write_genomes_info(info_file, infos)
+    db1 = build_database(info_file, tmp_path / "db1", base_dir=tmp_path)
+
+    # export each species GFA (from the per-species graphs, local ids)
+    gfa_dir = tmp_path / "gfas"
+    gfa_dir.mkdir()
+    g = db1.load_graph("7")
+    write_gfa(
+        gfa_dir / "7.gfa",
+        [g.node_seq(i) for i in range(g.num_nodes)],
+        walks=[
+            (name, "0", "c", int(g.nodes_len[g.path(hi)].sum()), g.path(hi))
+            for hi, name in enumerate(g.path_names)
+        ],
+    )
+    db2 = build_database(info_file, tmp_path / "db2", base_dir=tmp_path,
+                         gfa_dir=gfa_dir)
+
+    reads = simulate_reads(db1, {g.path_names[0]: 2.0, g.path_names[1]: 1.0},
+                           3000, 150, seed=5)
+    cfg = ProfilingConfig.for_read_type("short")
+    outs = []
+    for db, od in ((db1, "o1"), (db2, "o2")):
+        profile_from_gaf([r.truth for r in reads], db, cfg, tmp_path / od)
+        outs.append(pd.read_csv(tmp_path / od / "strain_abundance.txt",
+                                sep="\t", dtype={"species_taxid": str}))
+    a, b = outs
+    assert list(a["genome_ID"]) == list(b["genome_ID"])
+    np.testing.assert_allclose(a["predicted_coverage"], b["predicted_coverage"],
+                               rtol=1e-9)
