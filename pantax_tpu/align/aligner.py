@@ -182,6 +182,13 @@ def _banded_extend(window, read, read_len, pad: int, match: int, mismatch: int, 
     Layout: band on the leading (sublane) axis, reads on the lane axis.
     """
     N, Lr = read.shape
+    if 2 * pad >= 1 << _SH_MATCH:
+        # start_off spans [0, 2*pad]; wider bands would overflow the 5-bit
+        # start field into the matches bits and silently corrupt the DP.
+        raise ValueError(
+            f"extension band {pad} too wide for the packed cell layout "
+            f"(needs 2*band < {1 << _SH_MATCH})"
+        )
     sh_score, bias = packed_layout(Lr)
     Wb = 2 * pad + 1
     # Materialize the gathered window before the scan: without the barrier XLA

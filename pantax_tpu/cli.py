@@ -228,43 +228,11 @@ def _main(argv: list[str] | None = None) -> int:
         write_gaf(gaf_file, gaf)
         log.info("- Aligned %d reads", len(gaf))
 
-    from .config import ProfilingConfig
     from .pipeline import profile_from_gaf
 
     read_type = "short" if args.short_read else "long"
-    fr = args.unique_trio_nodes_fraction
-    if fr is None:
-        fr = 0.3 if read_type == "short" else 0.5
-    shift = False
-    if args.shift is not None:
-        shift = args.shift == "true"
-    else:
-        shift = not any(True for _ in open(db.range_file))
-    cfg = ProfilingConfig(
-        db=db.root,
-        wd=tmp,
-        min_species_abundance=args.min_species_abundance,
-        unique_trio_nodes_fraction=fr,
-        unique_trio_nodes_mean_count_f=args.unique_trio_nodes_count,
-        single_cov_ratio=args.single_cov_ratio,
-        single_cov_diff=args.single_cov_diff,
-        min_cov=args.min_cov,
-        min_depth=args.min_depth,
-        species=args.species,
-        strain=args.strain,
-        filtered=not args.no_filter,
-        sample_nodes=args.sample_nodes,
-        sample_test=args.sample_test,
-        designated_species=(
-            [s.strip() for s in args.designated_species.split(",") if s.strip()]
-            if args.designated_species else None
-        ),
-        mode=args.smode,
-        solver=args.solver,
-        coverage=args.coverage,
-        shift=shift,
-        read_type=read_type,
-    )
+    cfg = _profiling_config(args, db, tmp, read_type,
+                            species=args.species, strain=args.strain)
     with stage_timer("profiling"):
         profile_from_gaf(gaf, db, cfg, tmp, force=args.force)
 
@@ -282,6 +250,51 @@ def _main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def _profiling_config(args, db, tmp: Path, read_type: str, *,
+                      species: bool, strain: bool):
+    """Shared ProfilingConfig construction for the GAF and fastpath flows.
+
+    Resolves the data-dependent defaults exactly once so both paths agree:
+    fr = 0.3 short / 0.5 long when unset (explicit --fr 0.0 is honored), and
+    the reference's shift quirk — shift on iff the range file is empty —
+    unless --shift overrides (main.rs:107-124 parity).
+    """
+    from .config import ProfilingConfig
+
+    fr = args.unique_trio_nodes_fraction
+    if fr is None:
+        fr = 0.3 if read_type == "short" else 0.5
+    if args.shift is not None:
+        shift = args.shift == "true"
+    else:
+        shift = not any(True for _ in open(db.range_file))
+    return ProfilingConfig(
+        db=db.root,
+        wd=tmp,
+        min_species_abundance=args.min_species_abundance,
+        unique_trio_nodes_fraction=fr,
+        unique_trio_nodes_mean_count_f=args.unique_trio_nodes_count,
+        single_cov_ratio=args.single_cov_ratio,
+        single_cov_diff=args.single_cov_diff,
+        min_cov=args.min_cov,
+        min_depth=args.min_depth,
+        species=species,
+        strain=strain,
+        filtered=not args.no_filter,
+        sample_nodes=args.sample_nodes,
+        sample_test=args.sample_test,
+        designated_species=(
+            [s.strip() for s in args.designated_species.split(",") if s.strip()]
+            if args.designated_species else None
+        ),
+        mode=args.smode,
+        solver=args.solver,
+        coverage=args.coverage,
+        shift=shift,
+        read_type=read_type,
+    )
+
+
 def _run_fastpath(args, db, index, tmp: Path, t0: float) -> int:
     """Array-native short-read flow: parse -> align -> profile, no GAF."""
     import gzip as _gzip
@@ -289,7 +302,6 @@ def _run_fastpath(args, db, index, tmp: Path, t0: float) -> int:
     import numpy as np
 
     from .align.aligner import Aligner, _round_up
-    from .config import ProfilingConfig
     from .fastpath import AlignmentArrays, collect_alignment_arrays, profile_from_alignments
     from .utils.logging import stage_timer
     from .utils.native import fastx_parse_native
@@ -326,25 +338,9 @@ def _run_fastpath(args, db, index, tmp: Path, t0: float) -> int:
     )
     log.info("- Aligned %d reads", len(merged.read_ids))
 
-    fr = args.unique_trio_nodes_fraction or 0.3
-    cfg = ProfilingConfig(
-        db=db.root, wd=tmp,
-        min_species_abundance=args.min_species_abundance,
-        unique_trio_nodes_fraction=fr,
-        unique_trio_nodes_mean_count_f=args.unique_trio_nodes_count,
-        single_cov_ratio=args.single_cov_ratio,
-        single_cov_diff=args.single_cov_diff,
-        min_cov=args.min_cov, min_depth=args.min_depth,
-        species=True, strain=args.strain or not args.species,
-        filtered=not args.no_filter,
-        sample_nodes=args.sample_nodes, sample_test=args.sample_test,
-        designated_species=(
-            [s.strip() for s in args.designated_species.split(",") if s.strip()]
-            if args.designated_species else None
-        ),
-        mode=args.smode, solver=args.solver, coverage=args.coverage,
-        read_type="short",
-    )
+    cfg = _profiling_config(args, db, tmp, "short",
+                            species=True,
+                            strain=args.strain or not args.species)
     with stage_timer("profiling"):
         profile_from_alignments(merged, index, db, cfg, tmp)
 

@@ -51,12 +51,21 @@ def _unique_kmers(seq: bytes, k: int) -> tuple[np.ndarray, np.ndarray]:
             return res
     except Exception:  # pragma: no cover - fallback path
         pass
+    # Mirror the native last_invalid logic: skip windows containing any
+    # ambiguity code (code 4 covers N plus lowercase/IUPAC bases), not just
+    # uppercase b'N' — code 4 would overflow the 2-bit key shift and make
+    # keys non-injective (spurious cross-genome anchor matches).
+    codes = encode_seq(seq)
+    invalid = np.flatnonzero(codes == 4)
+    bad = np.zeros(max(len(seq) - k + 1, 0), dtype=bool)
+    for p in invalid:
+        bad[max(p - k + 1, 0) : p + 1] = True
     seen: dict[bytes, int] = {}
     dup: set[bytes] = set()
     for i in range(len(seq) - k + 1):
-        kmer = seq[i : i + k]
-        if b"N" in kmer:
+        if bad[i]:
             continue
+        kmer = seq[i : i + k]
         if kmer in dup:
             continue
         if kmer in seen:
@@ -65,7 +74,6 @@ def _unique_kmers(seq: bytes, k: int) -> tuple[np.ndarray, np.ndarray]:
         else:
             seen[kmer] = i
     # pack to 2-bit keys for a sorted representation matching the native path
-    codes = encode_seq(seq)
     keys = np.empty(len(seen), dtype=np.uint64)
     poss = np.empty(len(seen), dtype=np.int64)
     for j, (kmer, p) in enumerate(seen.items()):

@@ -61,6 +61,12 @@ def parse_gaf_line(line: str) -> GafRecord | None:
     fields = line.rstrip("\n").split("\t")
     if len(fields) < 12:
         return None
+    # Unaligned rows carry '*' in path_len/path_start/path_end; the reference
+    # drops them before strain profiling (profile.rs:380-399 null-row drop) —
+    # keeping them with 0s would wrongly contribute full intermediate-node
+    # base allocations in coverage.
+    if fields[6] == "*" or fields[7] == "*" or fields[8] == "*":
+        return None
 
     def _int(s: str) -> int:
         return 0 if s == "*" else int(s)

@@ -112,7 +112,9 @@ def device_node_abundances(
     # first occurrence + broadcast of the first-occurrence allocation:
     # rows are independent -> sort (node, pos) within each row
     sort_node = jnp.where(valid, node_ids, num_nodes)  # pads group at the end
-    key = sort_node * jnp.int32(L) + pos
+    # int64 key: N_pad * L_pad can exceed 2^31 on large species graphs with
+    # long paths; an int32 key would wrap negative and corrupt the argsort.
+    key = sort_node.astype(jnp.int64) * jnp.int64(L) + pos.astype(jnp.int64)
     order = jnp.argsort(key, axis=1)
     node_sorted = jnp.take_along_axis(sort_node, order, axis=1)
     alloc_sorted = jnp.take_along_axis(alloc, order, axis=1)

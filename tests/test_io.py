@@ -128,7 +128,10 @@ def test_gaf_write_read_roundtrip(tmp_path):
 
 
 def test_gaf_star_fields():
+    # Unaligned rows ('*' path_len/start/end) are dropped entirely, matching
+    # the reference's null-row drop before profiling (profile.rs:380-399).
     rec = parse_gaf_line("r\t150\t0\t150\t+\t*\t*\t*\t*\t*\t*\t*")
-    assert rec is not None
-    assert rec.path_nodes() == []
-    assert rec.mapq == 0
+    assert rec is None
+    # '*' in tag-only columns still parses
+    rec = parse_gaf_line("r\t150\t0\t150\t+\t>1>2\t300\t10\t160\t140\t150\t60")
+    assert rec is not None and rec.path_nodes() == [1, 2]
