@@ -369,20 +369,43 @@ def build_bucket_table(seed_keys: np.ndarray) -> tuple[int, np.ndarray]:
 
 
 class Aligner:
-    def __init__(self, index: AlignIndex, cfg: AlignConfig | None = None):
+    def __init__(self, index: AlignIndex, cfg: AlignConfig | None = None,
+                 mesh=None):
+        from ..parallel import default_mesh
+
         self.index = index
         self.cfg = cfg or AlignConfig()
         assert index.text_len % 256 == 0, "index text must be 256-padded (rebuild the align index)"
-        self.text_d = jnp.asarray(index.text.reshape(-1, 256))
+        self.mesh = mesh if mesh is not None else default_mesh()
+        put = self._replicate
+        self.text_d = put(index.text.reshape(-1, 256))
         seed_table = np.stack(
             [index.seed_keys.view(np.int32), index.seed_pos.astype(np.int32)],
             axis=1,
         )
-        self.seed_table_d = jnp.asarray(seed_table)
-        self.tstart_d = jnp.asarray(index.tstart.astype(np.int32))
-        self.tnode_d = jnp.asarray(index.tnode.astype(np.int32))
+        self.seed_table_d = put(seed_table)
+        self.tstart_d = put(index.tstart.astype(np.int32))
+        self.tnode_d = put(index.tnode.astype(np.int32))
         self.bucket_bits, bucket_lo = build_bucket_table(index.seed_keys)
-        self.bucket_lo_d = jnp.asarray(bucket_lo)
+        self.bucket_lo_d = put(bucket_lo)
+
+    def _replicate(self, arr):
+        """Index arrays: replicated over the mesh, or plain device arrays."""
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(np.asarray(arr), NamedSharding(self.mesh, P()))
+
+    def _shard_reads(self, arr):
+        """Read-batch arrays: sharded over the mesh's "reads" axis (XLA then
+        data-parallels the whole query across chips)."""
+        arr = np.asarray(arr)
+        if self.mesh is None or len(arr) % self.mesh.devices.size:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(arr, NamedSharding(self.mesh, P("reads")))
 
     def _static(self) -> tuple:
         c = self.cfg
@@ -409,8 +432,9 @@ class Aligner:
         ).astype(np.int8)
         return _query_batch(
             self.text_d, self.seed_table_d, self.bucket_lo_d,
-            self.tstart_d, self.tnode_d, jnp.asarray(codes), jnp.asarray(rev),
-            jnp.asarray(lens.astype(np.int32)), self._static(),
+            self.tstart_d, self.tnode_d,
+            self._shard_reads(codes), self._shard_reads(rev),
+            self._shard_reads(lens.astype(np.int32)), self._static(),
         )
 
     @staticmethod

@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sets chunking and DP band width (GraphAligner's "
                         "--precise-clipping analog, alignment.rs:144-165)")
     a.add_argument("--batch-size", type=int, default=16384)
+    a.add_argument("--mesh", default="auto", metavar="auto|off|N",
+                   help="shard read batches over a device mesh: 'auto' uses "
+                        "all visible chips (coverage psum-merged over ICI), "
+                        "'off' stays single-chip, N uses the first N devices")
     a.add_argument("--coverage", default="auto",
                    choices=["auto", "host", "device"],
                    help="strain coverage engine (device = jitted TPU path)")
@@ -131,6 +135,13 @@ def _main(argv: list[str] | None = None) -> int:
     enable_compilation_cache()
     setup_logging(args.log_dir, args.log_m, args.verbose)
     t0 = time.time()
+
+    from .parallel import auto_mesh
+
+    mesh = auto_mesh(args.mesh)
+    if mesh is not None:
+        log.info("device mesh: %d chips, read batches sharded over ICI",
+                 mesh.devices.size)
 
     from .db.construct import DatabasePaths, build_database, load_database
 

@@ -69,8 +69,7 @@ class DeviceGraphCoverageTables:
         )
 
 
-@partial(jax.jit, static_argnames=("num_nodes", "total_bases", "num_trios"))
-def device_node_abundances(
+def _node_abundances_impl(
     nodes,          # int32 [R, L] local node ids, -1 pad
     lengths,        # int32 [R]
     read_start,     # int32 [R]
@@ -112,10 +111,10 @@ def device_node_abundances(
     # first occurrence + broadcast of the first-occurrence allocation:
     # rows are independent -> sort (node, pos) within each row
     sort_node = jnp.where(valid, node_ids, num_nodes)  # pads group at the end
-    # int64 key: N_pad * L_pad can exceed 2^31 on large species graphs with
-    # long paths; an int32 key would wrap negative and corrupt the argsort.
-    key = sort_node.astype(jnp.int64) * jnp.int64(L) + pos.astype(jnp.int64)
-    order = jnp.argsort(key, axis=1)
+    # jnp.argsort is stable and positions are already ascending within each
+    # row, so sorting on the node id alone yields (node, pos) order — a
+    # composite node*L+pos key would overflow int32 on large graphs.
+    order = jnp.argsort(sort_node, axis=1)
     node_sorted = jnp.take_along_axis(sort_node, order, axis=1)
     alloc_sorted = jnp.take_along_axis(alloc, order, axis=1)
     is_start = jnp.concatenate(
@@ -202,6 +201,48 @@ def device_node_abundances(
     return node_abundance, trio_abundance, node_base_cov.astype(jnp.int32)
 
 
+device_node_abundances = partial(
+    jax.jit, static_argnames=("num_nodes", "total_bases", "num_trios")
+)(_node_abundances_impl)
+
+
+_SHARDED_CACHE: dict = {}
+
+
+def sharded_node_abundances(mesh, num_nodes: int, total_bases: int, num_trios: int):
+    """device_node_abundances jitted over ``mesh`` with the read batch sharded
+    along the "reads" axis; graph tables replicated; the three dense outputs
+    replicated (XLA merges the per-shard segment-sums with psums over ICI).
+
+    Every per-read contribution is an integer-valued float32 / int32, so the
+    cross-shard reduction is exact and the outputs are bit-identical to the
+    single-device computation (guarded by tests/test_parallel.py).
+    """
+    key = (id(mesh), num_nodes, total_bases, num_trios)
+    fn = _SHARDED_CACHE.get(key)
+    if fn is None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        reads = NamedSharding(mesh, P("reads"))
+        repl = NamedSharding(mesh, P())
+        fn = jax.jit(
+            partial(
+                _node_abundances_impl,
+                num_nodes=num_nodes,
+                total_bases=total_bases,
+                num_trios=num_trios,
+            ),
+            in_shardings=(
+                reads, reads, reads, reads,          # nodes, lengths, rs, re
+                repl, repl, repl,                    # nodes_len, base_offset, base_node
+                repl, repl, repl, repl,              # trio tables
+            ),
+            out_shardings=(repl, repl, repl),
+        )
+        _SHARDED_CACHE[key] = fn
+    return fn
+
+
 def _pow2(n: int, lo: int = 256) -> int:
     m = lo
     while m < n:
@@ -209,20 +250,38 @@ def _pow2(n: int, lo: int = 256) -> int:
     return m
 
 
-def node_abundances_device(packed, nodes_len, trio_index):
-    """Convenience wrapper over numpy inputs (PackedReads + TrioIndex).
+@dataclass
+class PaddedCoverageTables:
+    """Power-of-two padded graph tables for the jitted coverage kernel.
 
-    All static dimensions (reads, path length, nodes, bases, trios) are padded
-    to power-of-two buckets so different species share compiled shapes.
     Padding is inert: pad nodes have length 1 and are never referenced by
-    reads; pad trios carry sentinel hashes; pad reads have length 0.
-    """
+    reads; pad bases map to the last pad node; pad trios carry sentinel
+    hashes and length 1."""
+
+    nodes_len: jnp.ndarray      # int32 [N_pad]
+    base_offset: jnp.ndarray    # int32 [N_pad + 1]
+    base_node: jnp.ndarray      # int32 [TB_pad]
+    trio_hash: jnp.ndarray      # uint32 [U_pad]
+    trio_order: jnp.ndarray     # int32 [U_pad]
+    trio_abc: jnp.ndarray       # int32 [U_pad, 3]
+    trio_len: jnp.ndarray       # int32 [U_pad]
+    N: int
+    U: int
+    N_pad: int
+    TB_pad: int
+    U_pad: int
+
+
+def build_padded_tables(nodes_len, trio_nodes, trio_len) -> PaddedCoverageTables:
+    """Pad graph coverage tables to power-of-two bucket shapes so graphs of
+    different sizes share compiled kernels."""
+    nodes_len = np.asarray(nodes_len)
     N = len(nodes_len)
-    U = trio_index.num_unique
+    U = len(trio_len)
     N_pad = _pow2(N + 1)
     nodes_len_p = np.ones(N_pad, dtype=np.int64)
     nodes_len_p[:N] = nodes_len
-    tables = DeviceGraphCoverageTables.build(nodes_len_p, trio_index.trio_nodes)
+    tables = DeviceGraphCoverageTables.build(nodes_len_p, trio_nodes)
     TB = int(np.asarray(tables.base_offset)[-1])
     TB_pad = _pow2(TB)
     base_node = np.asarray(tables.base_node)
@@ -236,11 +295,43 @@ def node_abundances_device(packed, nodes_len, trio_index):
     trio_order[:U] = np.asarray(tables.trio_order)
     trio_abc = np.full((U_pad, 3), -1, dtype=np.int32)
     trio_abc[:U] = np.asarray(tables.trio_abc_sorted)
-    trio_len = np.ones(U_pad, dtype=np.int32)
-    trio_len[:U] = trio_index.trio_len
+    trio_len_p = np.ones(U_pad, dtype=np.int32)
+    trio_len_p[:U] = trio_len
+    return PaddedCoverageTables(
+        nodes_len=tables.nodes_len,
+        base_offset=tables.base_offset,
+        base_node=jnp.asarray(base_node_p),
+        trio_hash=jnp.asarray(trio_hash),
+        trio_order=jnp.asarray(trio_order),
+        trio_abc=jnp.asarray(trio_abc),
+        trio_len=jnp.asarray(trio_len_p),
+        N=N, U=U, N_pad=N_pad, TB_pad=TB_pad, U_pad=U_pad,
+    )
+
+
+def node_abundances_device(packed, nodes_len, trio_index, mesh=None):
+    """Convenience wrapper over numpy inputs (PackedReads + TrioIndex).
+
+    All static dimensions (reads, path length, nodes, bases, trios) are padded
+    to power-of-two buckets so different species share compiled shapes.
+
+    ``mesh`` (or the process default mesh, parallel.default_mesh()) shards the
+    read batch over the mesh's "reads" axis; outputs are psum-merged and
+    bit-identical to the single-device result.
+    """
+    if mesh is None:
+        from ..parallel import default_mesh
+
+        mesh = default_mesh()
+    t = build_padded_tables(nodes_len, trio_index.trio_nodes, trio_index.trio_len)
+    N, U, N_pad, TB_pad, U_pad = t.N, t.U, t.N_pad, t.TB_pad, t.U_pad
 
     R, L = packed.nodes.shape
     R_pad = _pow2(R)
+    if mesh is not None:
+        n_dev = int(mesh.devices.size)
+        if R_pad % n_dev:  # non-power-of-two meshes
+            R_pad = ((R_pad + n_dev - 1) // n_dev) * n_dev
     L_pad = _pow2(max(L, 4), lo=4)
     nodes_p = np.full((R_pad, L_pad), -1, dtype=np.int32)
     nodes_p[:R, :L] = packed.nodes
@@ -251,16 +342,18 @@ def node_abundances_device(packed, nodes_len, trio_index):
     re_p = np.zeros(R_pad, dtype=np.int32)
     re_p[:R] = packed.read_end
 
-    na, ta, bc = device_node_abundances(
+    dyn_args = (
         jnp.asarray(nodes_p), jnp.asarray(lengths_p),
         jnp.asarray(rs_p), jnp.asarray(re_p),
-        tables.nodes_len,
-        tables.base_offset,
-        jnp.asarray(base_node_p),
-        jnp.asarray(trio_hash), jnp.asarray(trio_order), jnp.asarray(trio_abc),
-        jnp.asarray(trio_len),
-        num_nodes=N_pad, total_bases=TB_pad, num_trios=U_pad,
+        t.nodes_len, t.base_offset, t.base_node,
+        t.trio_hash, t.trio_order, t.trio_abc, t.trio_len,
     )
+    if mesh is None:
+        na, ta, bc = device_node_abundances(
+            *dyn_args, num_nodes=N_pad, total_bases=TB_pad, num_trios=U_pad
+        )
+    else:
+        na, ta, bc = sharded_node_abundances(mesh, N_pad, TB_pad, U_pad)(*dyn_args)
     return (
         np.asarray(na, dtype=np.float64)[:N],
         np.asarray(ta, dtype=np.float64)[:U],

@@ -56,13 +56,14 @@ def sample_valid_nodes(
 # ---------------------------------------------------------------------------
 # ADMM backend (JAX)
 # ---------------------------------------------------------------------------
-@partial(jax.jit, static_argnames=("iters",))
-def _admm_solve(A, b, ub, rho, iters: int):
+def _admm_body(A, b, ub, rho, n_eff, iters: int):
+    """One traceable ADMM run; ``n_eff`` is the L1 objective's node count
+    (a traced scalar so masked/fused callers can pass the valid-node count)."""
     n, p = A.shape
     AtA = A.T @ A + jnp.eye(p, dtype=A.dtype)
     # Cholesky factorization reused across iterations
     L = jnp.linalg.cholesky(AtA)
-    thresh = 1.0 / (jnp.maximum(n, 1) * rho)
+    thresh = 1.0 / (jnp.maximum(n_eff, 1) * rho)
     alpha = 1.6  # over-relaxation
 
     def step(carry, _):
@@ -84,8 +85,13 @@ def _admm_solve(A, b, ub, rho, iters: int):
     init = (x0, z0, x0, z0, x0)
     (x, z, w, uz, uw), _ = jax.lax.scan(step, init, None, length=iters)
     xf = jnp.clip(w, 0.0, ub)
-    obj = jnp.sum(jnp.abs(A @ xf - b)) / jnp.maximum(n, 1)
+    obj = jnp.sum(jnp.abs(A @ xf - b)) / jnp.maximum(n_eff, 1)
     return xf, obj
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _admm_solve(A, b, ub, rho, iters: int):
+    return _admm_body(A, b, ub, rho, A.shape[0], iters)
 
 
 def _bucket(n: int, quantum: int = 4096) -> int:

@@ -23,6 +23,66 @@ def test_dryrun_multichip():
     g.dryrun_multichip(8)
 
 
+def _random_packed(seed=0, R=200, N=61):
+    from pantax_tpu.profile.coverage import PackedReads
+
+    rng = np.random.default_rng(seed)
+    nodes_len = rng.integers(5, 60, size=N)
+    L = 7
+    nod = np.full((R, L), -1, np.int64)
+    lens = rng.integers(1, L + 1, R)
+    for i in range(R):
+        s = rng.integers(0, N - 1)
+        nod[i, : lens[i]] = (np.arange(s, s + lens[i]) % N)
+    packed = PackedReads(
+        nodes=nod,
+        lengths=lens.astype(np.int64),
+        read_start=rng.integers(0, 5, R).astype(np.int64),
+        read_end=rng.integers(40, 200, R).astype(np.int64),
+    )
+    paths = {
+        "h1": np.arange(0, N - 10, dtype=np.int64),
+        "h2": np.concatenate(
+            [np.arange(0, 20), np.arange(30, N)]
+        ).astype(np.int64),
+    }
+    return packed, nodes_len, paths
+
+
+def test_sharded_coverage_bitwise_matches_single_device():
+    """8-device reads-sharded coverage == 1-device, bit for bit."""
+    from pantax_tpu.graph.trio import build_trio_index
+    from pantax_tpu.ops.coverage_device import node_abundances_device
+    from pantax_tpu.parallel import make_mesh
+
+    packed, nodes_len, paths = _random_packed()
+    ti = build_trio_index(nodes_len, paths)
+    single = node_abundances_device(packed, nodes_len, ti)
+    mesh = make_mesh(8)
+    sharded = node_abundances_device(packed, nodes_len, ti, mesh=mesh)
+    for a, b, name in zip(single, sharded, ["node", "trio", "base_cov"]):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
+
+
+def test_default_mesh_routes_device_coverage():
+    """Installing a default mesh shards the device coverage path implicitly."""
+    from pantax_tpu import parallel
+    from pantax_tpu.graph.trio import build_trio_index
+    from pantax_tpu.ops.coverage_device import node_abundances_device
+    from pantax_tpu.profile.coverage import node_abundances_packed
+
+    packed, nodes_len, paths = _random_packed(seed=3)
+    ti = build_trio_index(nodes_len, paths)
+    host = node_abundances_packed(packed, nodes_len, ti)
+    parallel.set_default_mesh(parallel.make_mesh(8))
+    try:
+        dev = node_abundances_device(packed, nodes_len, ti)
+    finally:
+        parallel.set_default_mesh(None)
+    for a, b, name in zip(host, dev, ["node", "trio", "base_cov"]):
+        assert np.allclose(np.asarray(a, float), np.asarray(b, float)), name
+
+
 def test_coverage_totals_match_alignment_spans():
     """Sharded coverage sums to the total aligned bases."""
     import __graft_entry__ as g
