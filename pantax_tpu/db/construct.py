@@ -83,13 +83,20 @@ class DatabasePaths:
                 edges = set()
                 for hi in range(g.num_paths):
                     p = g.path(hi)
-                    for a, b in zip(p[:-1], p[1:]):
-                        edges.add((int(a), int(b)))
-                for a, b in sorted(edges):
-                    f.write(b"L\t%d\t+\t%d\t+\t0M\n" % (base + a, base + b))
+                    s = g.path_strand(hi)
+                    for a, sa, b, sb in zip(p[:-1], s[:-1], p[1:], s[1:]):
+                        edges.add((int(a), int(sa), int(b), int(sb)))
+                ori = (b"+", b"-")
+                for a, sa, b, sb in sorted(edges):
+                    f.write(b"L\t%d\t%s\t%d\t%s\t0M\n"
+                            % (base + a, ori[sa], base + b, ori[sb]))
+                step = (b">", b"<")
                 for hi, name in enumerate(g.path_names):
                     p = g.path(hi)
-                    walk = b"".join(b">%d" % (base + n) for n in p)
+                    s = g.path_strand(hi)
+                    walk = b"".join(
+                        step[int(si)] + b"%d" % (base + n) for n, si in zip(p, s)
+                    )
                     span = int(g.nodes_len[p].sum())
                     f.write(
                         b"W\t%s\t0\tmerged\t0\t%d\t%s\n"
@@ -110,7 +117,10 @@ def _import_gfa_graph(gfa_file: str) -> SpeciesGraph:
     from ..io.gfa import read_gfa
 
     parsed = read_gfa(gfa_file, keep_seq=True)
-    return SpeciesGraph.from_paths(parsed.nodes_len, parsed.paths, parsed.node_seqs)
+    return SpeciesGraph.from_paths(
+        parsed.nodes_len, parsed.paths, parsed.node_seqs,
+        strands=parsed.path_strands or None,
+    )
 
 
 def _build_species_graph(

