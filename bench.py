@@ -70,7 +70,9 @@ def bench_example() -> float:
     return BATCH / sorted(times)[len(times) // 2]
 
 
-def bench_scale() -> float:
+def bench_scale() -> tuple[float, dict]:
+    from pantax_tpu.benchmarks import run_e2e_benchmark
+
     if os.environ.get("PANTAX_TPU_BENCH_SCALE") == "2":
         # BASELINE config 5 (single-chip slice): 34 species x 3 = 102 strains
         db = scale_db(
@@ -78,21 +80,35 @@ def bench_scale() -> float:
             n_species=34, strains_per=3,
         )
         stats = run_alignment_benchmark(db, n_reads=2_000_000, batch=BATCH)
+        e2e = run_e2e_benchmark(db, n_reads=2_000_000, batch=BATCH)
     else:
         db = scale_db(os.environ.get("PANTAX_TPU_SCALE_DIR", "/tmp/pantax_tpu_scale"))
         stats = run_alignment_benchmark(db, n_reads=1_000_000, batch=BATCH)
+        e2e = run_e2e_benchmark(db, n_reads=1_000_000, batch=BATCH)
     print(
         f"# scale: {stats['total_reads']} reads, aligned "
         f"{stats['aligned_frac']:.3f}, species acc {stats['species_acc']:.3f}, "
-        f"{stats['wall_s']:.1f}s",
+        f"{stats['wall_s']:.1f}s | e2e {e2e['wall_s']:.1f}s "
+        f"(align {e2e['align_s']:.1f}s + profile {e2e['profile_s']:.1f}s), "
+        f"{e2e['strains_detected']} strains",
         file=sys.stderr,
     )
-    return stats["reads_per_s"]
+    extra = {
+        "e2e_reads_per_sec": round(e2e["e2e_reads_per_s"], 1),
+        "e2e_wall_s": round(e2e["wall_s"], 1),
+        "e2e_profile_s": round(e2e["profile_s"], 1),
+        "e2e_vs_baseline": round(e2e["e2e_reads_per_s"] / BASELINE_READS_PER_S, 3),
+    }
+    return stats["reads_per_s"], extra
 
 
 def main() -> None:
     scale = os.environ.get("PANTAX_TPU_BENCH_SCALE") in ("1", "2")
-    rate = bench_scale() if scale else bench_example()
+    extra = {}
+    if scale:
+        rate, extra = bench_scale()
+    else:
+        rate = bench_example()
     metric = "ngs_reads_aligned_per_sec_per_chip"
     if os.environ.get("PANTAX_TPU_BENCH_SCALE") == "1":
         metric = "scale_1M_reads_aligned_per_sec_per_chip"
@@ -105,6 +121,7 @@ def main() -> None:
                 "value": round(rate, 1),
                 "unit": "reads/s",
                 "vs_baseline": round(rate / BASELINE_READS_PER_S, 3),
+                **extra,
             }
         )
     )

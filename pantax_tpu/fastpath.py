@@ -163,7 +163,7 @@ def profile_from_alignments(
     }
     from .io.metadata import read_genomes_info
 
-    metrics = []
+    selected = []
     for rsel, r in enumerate(ranges):
         if cfg.mode == 0 and r.is_pan != 0:
             continue
@@ -173,9 +173,13 @@ def profile_from_alignments(
             continue
         if abundant.get(r.species, 0.0) <= cfg.min_species_abundance:
             continue
+        selected.append((rsel, r))
+
+    def _work(item):
+        rsel, r = item
         sel = keep & (ridx == rsel)
         if not sel.any():
-            continue
+            return None
         s_i0 = i0[sel]
         s_i1 = i1[sel]
         span = s_i1 - s_i0 + 1
@@ -196,7 +200,19 @@ def profile_from_alignments(
             ).astype(np.int64),
         )
         graph = db.load_graph(r.species)
-        m = _optimize_packed(cfg, r.species, graph, r.start, packed)
+        return _optimize_packed(cfg, r.species, graph, r.start, packed)
+
+    # species-parallel (profile.rs:3297 rayon shard axis): threads overlap
+    # host packing/polish with device coverage/ADMM waits; deterministic order
+    metrics = []
+    if len(selected) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(8, len(selected))) as ex:
+            all_metrics = list(ex.map(_work, selected))
+    else:
+        all_metrics = [_work(it) for it in selected]
+    for m in all_metrics:
         if m:
             abundance_constraint(profile, m)
             metrics.extend(m)

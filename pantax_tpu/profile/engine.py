@@ -156,13 +156,26 @@ def strain_profiling(
             continue
         selected.append(r)
 
-    results: list[HapMetrics] = []
-    for r in selected:
+    # Species are independent (the reference's rayon par_iter shard axis,
+    # profile.rs:3297): a thread pool overlaps per-species host work (graph
+    # load, trio index, packing, LP polish) with device coverage/ADMM waits.
+    # Results are consumed in `selected` order, so output is deterministic.
+    def _work(r: SpeciesRange):
         reads = reads_by_species.get(r.species)
         if not reads:
-            continue
+            return None
         graph = load_graph(r.species)
-        metrics = optimize_otu(cfg, r.species, graph, r.start, r.end, reads)
+        return optimize_otu(cfg, r.species, graph, r.start, r.end, reads)
+
+    results: list[HapMetrics] = []
+    if len(selected) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(8, len(selected))) as ex:
+            all_metrics = list(ex.map(_work, selected))
+    else:
+        all_metrics = [_work(r) for r in selected]
+    for metrics in all_metrics:
         if metrics:
             abundance_constraint(species_profile, metrics)
             results.extend(metrics)

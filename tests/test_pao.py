@@ -42,6 +42,70 @@ def test_empty_rows():
     assert res.x.shape == (3,)
 
 
+def test_admm_vs_highs_property_50_instances():
+    """Property sweep (VERDICT r1 item 7): |x_admm - x_highs| small and the
+    second-filter strain SELECTION (the sensitive consumer of first_sol,
+    profile.rs:1229-1285) agrees with the exact LP across >= 50 instances,
+    including graph-extracted coefficient matrices."""
+    from pantax_tpu.config import ProfilingConfig
+    from pantax_tpu.profile.filters import HapMetrics, OtuState, second_filter_paths
+
+    cfg = ProfilingConfig.for_read_type("short")
+
+    def selection(x, trio_means, ratios, fracs):
+        p = len(x)
+        state = OtuState(
+            otu="t", hap_metrics=[HapMetrics() for _ in range(p)],
+            possible_paths_idx=list(range(p)), orign_n_haps=p,
+            hap2trio_nodes_m_size=p,
+        )
+        for j in range(p):
+            m = state.hap_metrics[j]
+            m.first_sol = float(x[j])
+            m.frequencies_mean = float(trio_means[j])
+            m.path_cov_ratio = float(ratios[j])
+            m.unique_trio_nodes_fraction = float(fracs[j])
+        second_filter_paths(state, cfg)
+        return tuple(sorted(state.second_possible_paths_idx))
+
+    mismatches = 0
+    checked = 0
+    for seed in range(50):
+        rng = np.random.default_rng(1000 + seed)
+        p = int(rng.integers(2, 8))
+        if seed % 3 == 2:
+            # graph-extracted shape: overlapping-path structure — shared core
+            # plus per-path private segments (what pangenome coeffs look like)
+            n = int(rng.integers(60, 400))
+            A = np.zeros((n, p))
+            A[: n // 2, :] = 1.0  # shared core nodes
+            priv = rng.integers(0, p, size=n - n // 2)
+            A[np.arange(n // 2, n), priv] = 1.0
+        else:
+            A, _, _ = random_instance(rng, n=int(rng.integers(50, 400)), p=p)
+        x_true = rng.uniform(0, 4, size=p)
+        x_true[rng.random(p) < 0.25] = 0.0
+        b = np.maximum(A @ x_true + rng.normal(0, 0.03, size=len(A)), 0.0)
+        ub = 1.05 * max(b.max(), 1e-9)
+        exact = solve_pao(A, b, ub, solver="highs")
+        admm = solve_pao(A, b, ub, solver="admm")
+        assert admm.objective <= exact.objective * (1 + 1e-3) + 1e-6, seed
+        assert np.abs(admm.x - exact.x).max() < 0.1, seed
+        # selection agreement through the divergence/rescue filter
+        trio_means = np.maximum(x_true + rng.normal(0, 0.05, p), 0.0)
+        ratios = rng.uniform(0.85, 1.0, p)
+        fracs = rng.uniform(0.85, 1.0, p)
+        checked += 1
+        if selection(admm.x, trio_means, ratios, fracs) != selection(
+            exact.x, trio_means, ratios, fracs
+        ):
+            mismatches += 1
+    # the divergence filter rounds to 2dp, so only instances where both
+    # solutions straddle a rounding boundary can disagree; allow a whisker
+    assert checked == 50
+    assert mismatches <= 1, f"{mismatches}/50 selection mismatches"
+
+
 def test_sampling_deterministic():
     nodes = np.arange(10000)
     a = sample_valid_nodes(nodes, 500, False)
