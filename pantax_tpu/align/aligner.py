@@ -300,11 +300,12 @@ def _candidates_for_strand(
     )
 
 
-@partial(jax.jit, static_argnames=("cfg_static",))
-def _query_batch(
+def _all_candidates(
     text2d, seed_table, bucket_lo, tstart, tnode,
     codes_fwd, codes_rev, read_len, cfg_static
 ):
+    """Scored candidate locations per read, both strands folded: arrays
+    (scores, ts, te, matches, strand, node, off), all [B, 2K]."""
     (k, density_bits, bucket_bits, s_max, hits, top_k, pad, match, mismatch, gap,
      mapq_scale, min_score_frac) = cfg_static
     inner = (k, density_bits, bucket_bits, s_max, hits, top_k, pad, match, mismatch, gap)
@@ -329,6 +330,19 @@ def _query_batch(
     i0 = jnp.clip(i0, 0, tnode.shape[0] - 1)
     node = tnode[i0]
     off = ts - tstart[i0]
+    return scores, ts, te, matches, strand, node, off
+
+
+@partial(jax.jit, static_argnames=("cfg_static",))
+def _query_batch(
+    text2d, seed_table, bucket_lo, tstart, tnode,
+    codes_fwd, codes_rev, read_len, cfg_static
+):
+    mapq_scale, min_score_frac = cfg_static[10], cfg_static[11]
+    scores, ts, te, matches, strand, node, off = _all_candidates(
+        text2d, seed_table, bucket_lo, tstart, tnode,
+        codes_fwd, codes_rev, read_len, cfg_static,
+    )
 
     best = jnp.argmax(scores, axis=1)
     take = lambda a: jnp.take_along_axis(a, best[:, None], axis=1)[:, 0]
@@ -347,6 +361,103 @@ def _query_batch(
     return (
         take(ts), take(te), s1, take(matches),
         jnp.where(aligned, mapq, 0), take(strand), aligned,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg_static", "frag_max", "pair_bonus",
+                                   "rescue_frac"))
+def _query_batch_paired(
+    text2d, seed_table, bucket_lo, tstart, tnode,
+    codes1_fwd, codes1_rev, len1,
+    codes2_fwd, codes2_rev, len2,
+    cfg_static, frag_max: int, pair_bonus: int, rescue_frac: float,
+):
+    """Joint fragment-model alignment of mate pairs.
+
+    The reference runs vg giraffe in paired mode with fragment-based rescue
+    (/root/reference/pantax/src/alignment.rs:14-119, types.rs:34-48).  Here
+    both mates' candidate sets are scored jointly: a candidate pair on
+    opposite strands within ``frag_max`` text distance (same linearized
+    haplotype by construction) earns ``pair_bonus``, so a mate that is
+    ambiguous on its own is placed by its partner, and a weak mate within a
+    consistent fragment is rescued at the relaxed ``rescue_frac`` threshold.
+    Pair mapq is the joint score gap to the best alternative joint location.
+    """
+    mapq_scale, min_score_frac = cfg_static[10], cfg_static[11]
+    B = codes1_fwd.shape[0]
+    # candidates for both mates in one device pass
+    codes_fwd = jnp.concatenate([codes1_fwd, codes2_fwd], axis=0)
+    codes_rev = jnp.concatenate([codes1_rev, codes2_rev], axis=0)
+    lens = jnp.concatenate([len1, len2], axis=0)
+    scores, ts, te, matches, strand, node, off = _all_candidates(
+        text2d, seed_table, bucket_lo, tstart, tnode,
+        codes_fwd, codes_rev, lens, cfg_static,
+    )
+    K2 = scores.shape[1]
+    s1, s2 = scores[:B], scores[B:]
+    ts1, ts2 = ts[:B], ts[B:]
+    st1, st2 = strand[:B], strand[B:]
+    n1, n2 = node[:B], node[B:]
+    o1, o2 = off[:B], off[B:]
+
+    valid1 = s1 > NEG // 2
+    valid2 = s2 > NEG // 2
+    ok = (
+        (st1[:, :, None] != st2[:, None, :])
+        & (jnp.abs(ts1[:, :, None] - ts2[:, None, :]) <= frag_max)
+        & valid1[:, :, None] & valid2[:, None, :]
+    )
+    pair = s1[:, :, None] + s2[:, None, :] + jnp.where(ok, pair_bonus, 0)
+    pairf = pair.reshape(B, K2 * K2)
+    best = jnp.argmax(pairf, axis=1)
+    bi, bj = best // K2, best % K2
+    t1 = lambda a: jnp.take_along_axis(a, bi[:, None], axis=1)[:, 0]
+    t2 = lambda a: jnp.take_along_axis(a, bj[:, None], axis=1)[:, 0]
+    p_best = jnp.take_along_axis(pairf, best[:, None], axis=1)[:, 0]
+    ok_best = jnp.take_along_axis(
+        ok.reshape(B, K2 * K2), best[:, None], axis=1
+    )[:, 0]
+
+    # joint second-best: best pair whose mates are NOT both at the chosen
+    # graph locations (location dedup as in the single-end picker)
+    same1 = (n1 == t1(n1)[:, None]) & (o1 == t1(o1)[:, None])
+    same2 = (n2 == t2(n2)[:, None]) & (o2 == t2(o2)[:, None])
+    same_pair = (same1[:, :, None] & same2[:, None, :]).reshape(B, K2 * K2)
+    p_second = jnp.max(jnp.where(same_pair, NEG, pairf), axis=1)
+    pair_mapq = jnp.where(
+        p_second <= NEG // 2,
+        60,
+        jnp.clip((mapq_scale * (p_best - p_second)).astype(jnp.int32), 0, 60),
+    )
+
+    s1b, s2b = t1(s1), t2(s2)
+    min1 = (min_score_frac * len1).astype(jnp.int32)
+    min2 = (min_score_frac * len2).astype(jnp.int32)
+    al1 = s1b >= min1
+    al2 = s2b >= min2
+    # fragment rescue: a consistent weak mate is kept when its partner
+    # independently clears the normal threshold
+    r1 = (rescue_frac * len1).astype(jnp.int32)
+    r2 = (rescue_frac * len2).astype(jnp.int32)
+    aligned1 = al1 | (ok_best & al2 & (s1b >= r1))
+    aligned2 = al2 | (ok_best & al1 & (s2b >= r2))
+
+    # per-mate mapq: the joint gap when the fragment is consistent,
+    # otherwise the mate's own single-end gap
+    own2_1 = jnp.max(jnp.where(same1, NEG, s1), axis=1)
+    own2_2 = jnp.max(jnp.where(same2, NEG, s2), axis=1)
+    own_mapq = lambda sb, o2nd: jnp.where(
+        o2nd <= NEG // 2,
+        60,
+        jnp.clip((mapq_scale * (sb - o2nd)).astype(jnp.int32), 0, 60),
+    )
+    mapq1 = jnp.where(ok_best, pair_mapq, own_mapq(s1b, own2_1))
+    mapq2 = jnp.where(ok_best, pair_mapq, own_mapq(s2b, own2_2))
+    return (
+        (t1(ts1), t1(te[:B]), s1b, t1(matches[:B]),
+         jnp.where(aligned1, mapq1, 0), t1(st1), aligned1),
+        (t2(ts2), t2(te[B:]), s2b, t2(matches[B:]),
+         jnp.where(aligned2, mapq2, 0), t2(st2), aligned2),
     )
 
 
@@ -416,26 +527,51 @@ class Aligner:
             c.mapq_scale, c.min_score_frac,
         )
 
-    def dispatch_codes(self, codes: np.ndarray, lens: np.ndarray):
-        """Launch the query asynchronously; returns device arrays.  Use
-        collect() to materialize a BatchResult — keeping several batches in
-        flight pipelines host work against device compute."""
+    @staticmethod
+    def _rev_codes(codes: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        """Left-aligned reverse complement (padding was on the right)."""
         rev = _RC[codes[:, ::-1]]
-        # left-align the reverse complement (padding was on the right)
         B, Lr = codes.shape
         shift = (Lr - lens)[:, None]
         cols = np.arange(Lr)[None, :]
-        rev = np.where(
+        return np.where(
             cols < lens[:, None],
             rev[np.arange(B)[:, None], np.minimum(cols + shift, Lr - 1)],
             4,
         ).astype(np.int8)
+
+    def dispatch_codes(self, codes: np.ndarray, lens: np.ndarray):
+        """Launch the query asynchronously; returns device arrays.  Use
+        collect() to materialize a BatchResult — keeping several batches in
+        flight pipelines host work against device compute."""
+        rev = self._rev_codes(codes, lens)
         return _query_batch(
             self.text_d, self.seed_table_d, self.bucket_lo_d,
             self.tstart_d, self.tnode_d,
             self._shard_reads(codes), self._shard_reads(rev),
             self._shard_reads(lens.astype(np.int32)), self._static(),
         )
+
+    def dispatch_paired_codes(self, codes1, lens1, codes2, lens2):
+        """Launch a joint mate-pair query (fragment model); returns a pair of
+        device tuples, one per mate — collect() each."""
+        c = self.cfg
+        return _query_batch_paired(
+            self.text_d, self.seed_table_d, self.bucket_lo_d,
+            self.tstart_d, self.tnode_d,
+            self._shard_reads(codes1),
+            self._shard_reads(self._rev_codes(codes1, lens1)),
+            self._shard_reads(lens1.astype(np.int32)),
+            self._shard_reads(codes2),
+            self._shard_reads(self._rev_codes(codes2, lens2)),
+            self._shard_reads(lens2.astype(np.int32)),
+            self._static(), c.frag_max, c.pair_bonus, c.rescue_frac,
+        )
+
+    def align_paired_codes(self, codes1, lens1, codes2, lens2):
+        """Joint mate-pair alignment -> (BatchResult mate1, BatchResult mate2)."""
+        out1, out2 = self.dispatch_paired_codes(codes1, lens1, codes2, lens2)
+        return self.collect(out1), self.collect(out2)
 
     @staticmethod
     def collect(out) -> BatchResult:
@@ -446,22 +582,106 @@ class Aligner:
         """codes int8 [B, Lr] padded with 4; lens int32 [B]."""
         return self.collect(self.dispatch_codes(codes, lens))
 
+    @staticmethod
+    def _parse_file(path):
+        """Whole-file native parse -> (codes_flat, offsets, ids) or None."""
+        import gzip as _gzip
+
+        from ..utils.native import fastx_parse_native
+
+        with open(path, "rb") as f:
+            raw = f.read()
+        if raw[:2] == b"\x1f\x8b":
+            raw = _gzip.decompress(raw)
+        return fastx_parse_native(raw)
+
+    def align_paired_files(
+        self, path1, path2=None, batch_size: int = 4096
+    ) -> list[GafRecord]:
+        """Fragment-model alignment of mate pairs: two files (R1/R2, paired
+        by order) or one interleaved file (path2=None) — the reference's
+        ShortReadPaired / ShortReadPairedInter modes (types.rs:34-48,
+        alignment.rs:14-119)."""
+        parsed1 = self._parse_file(path1)
+        if parsed1 is None:
+            raise ValueError(f"{path1}: native parser unavailable for paired mode")
+        if path2 is not None:
+            parsed2 = self._parse_file(path2)
+            cf1, of1, ids1 = parsed1
+            cf2, of2, ids2 = parsed2
+            if len(ids1) != len(ids2):
+                raise ValueError(
+                    f"paired files differ in read count: {len(ids1)} vs {len(ids2)}"
+                )
+        else:  # interleaved
+            cf, of, ids = parsed1
+            if len(ids) % 2:
+                raise ValueError(f"{path1}: odd read count in interleaved paired file")
+            l_all = np.diff(of)
+            idx1 = np.arange(0, len(ids), 2)
+            idx2 = idx1 + 1
+
+            def split(idxs):
+                lens = l_all[idxs]
+                offsets = np.zeros(len(idxs) + 1, dtype=of.dtype)
+                np.cumsum(lens, out=offsets[1:])
+                flat = np.concatenate(
+                    [cf[of[i] : of[i] + l_all[i]] for i in idxs]
+                ) if len(idxs) else cf[:0]
+                return flat, offsets, [ids[i] for i in idxs]
+
+            cf1, of1, ids1 = split(idx1)
+            cf2, of2, ids2 = split(idx2)
+        l1_all = np.diff(of1)
+        l2_all = np.diff(of2)
+        n = len(ids1)
+        if n == 0:
+            return []
+        pad_len = _round_up(int(max(l1_all.max(), l2_all.max())))
+
+        def batch_of(cf, of_, l_all, lo, hi):
+            codes = np.full((batch_size, pad_len), 4, dtype=np.int8)
+            lens = np.zeros(batch_size, dtype=np.int64)
+            for i in range(lo, hi):
+                L = int(l_all[i])
+                codes[i - lo, :L] = cf[of_[i] : of_[i] + L]
+                lens[i - lo] = L
+            return codes, lens
+
+        pending = []
+        out: list[GafRecord] = []
+
+        def drain(entry):
+            lo, hi, lens1, lens2, dev = entry
+            d1, d2 = dev
+            res1 = self.collect(d1)
+            res2 = self.collect(d2)
+            chunk1 = [(ids1[i], None) for i in range(lo, hi)]
+            chunk2 = [(ids2[i], None) for i in range(lo, hi)]
+            out.extend(self._emit_gaf_lens(chunk1, lens1, res1))
+            out.extend(self._emit_gaf_lens(chunk2, lens2, res2))
+
+        for lo in range(0, n, batch_size):
+            hi = min(lo + batch_size, n)
+            c1, len1 = batch_of(cf1, of1, l1_all, lo, hi)
+            c2, len2 = batch_of(cf2, of2, l2_all, lo, hi)
+            pending.append(
+                (lo, hi, len1, len2, self.dispatch_paired_codes(c1, len1, c2, len2))
+            )
+            if len(pending) > 1:
+                drain(pending.pop(0))
+        for entry in pending:
+            drain(entry)
+        return out
+
     def align_file(
         self, path, batch_size: int = 4096
     ) -> list[GafRecord]:
         """Align every read in a FASTA/FASTQ file (gzip ok).  Uses the native
         C++ parser when available; falls back to the Python reader."""
-        import gzip as _gzip
-
-        from ..utils.native import fastx_parse_native
-
         # whole-file parse; files beyond ~4GB decompressed should stream
         # through align_reads(iter_fastx(...)) instead
-        with open(path, "rb") as f:
-            raw = f.read()
-        if raw[:2] == b"\x1f\x8b":
-            raw = _gzip.decompress(raw)
-        parsed = fastx_parse_native(raw)
+        parsed = self._parse_file(path)
         if parsed is None:
             from ..io.fastx import iter_fastx
 

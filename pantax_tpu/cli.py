@@ -36,7 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("-s", "--short-read", action="store_true", dest="short_read")
     g.add_argument("-l", "--long-read", action="store_true", dest="long_read")
     g.add_argument("-p", "--paired", action="store_true",
-                   help="paired short reads (mates aligned independently)")
+                   help="paired short reads: two files (R1 R2) or one "
+                        "interleaved file; mates are aligned jointly with a "
+                        "fragment model (consistency bonus + weak-mate rescue)")
     g.add_argument("-r", "--reads", nargs="+", default=[], help="FASTQ/FASTA file(s)")
     g.add_argument("--species", action="store_true")
     g.add_argument("--strain", action="store_true")
@@ -222,8 +224,17 @@ def _main(argv: list[str] | None = None) -> int:
         with stage_timer("alignment"), device_trace(args.trace_dir):
             if args.short_read:
                 gaf = []
-                for rf in args.reads:
-                    gaf.extend(aligner.align_file(rf, batch_size=args.batch_size))
+                if args.paired and len(args.reads) == 2:
+                    gaf = aligner.align_paired_files(
+                        args.reads[0], args.reads[1], batch_size=args.batch_size
+                    )
+                elif args.paired and len(args.reads) == 1:
+                    gaf = aligner.align_paired_files(
+                        args.reads[0], None, batch_size=args.batch_size
+                    )
+                else:
+                    for rf in args.reads:
+                        gaf.extend(aligner.align_file(rf, batch_size=args.batch_size))
             else:
                 from .align.long_read import LONG_READ_PRESETS, align_long_reads
                 from .io.fastx import iter_fastx

@@ -75,6 +75,13 @@ class AlignConfig:
     # long-read chunk sizes live in align.long_read.LONG_READ_PRESETS
     # one distinguishing SNP (score gap 2) ~ mapq 20; >= 3 SNPs saturate at 60
     mapq_scale: float = 10.0
+    # paired-end fragment model (giraffe paired-mode analog,
+    # alignment.rs:14-119): mates on opposite strands within frag_max text
+    # distance earn pair_bonus in the joint candidate scoring; a consistent
+    # weak mate is rescued at rescue_frac of the normal score threshold
+    frag_max: int = 1200
+    pair_bonus: int = 4
+    rescue_frac: float = 0.45
 
 
 @dataclass

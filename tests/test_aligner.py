@@ -202,3 +202,130 @@ def test_long_reads_high_error(db, aligner, sub, indel, chunk):
     assert len(gaf) >= 13
     spans = [(g.path_end - g.path_start) / g.read_len for g in gaf]
     assert np.mean(spans) > 0.9
+
+
+# ---------------------------------------------------------------------------
+# paired-end fragment model (alignment.rs:14-119 giraffe-paired analog)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def paired_setup(tmp_path_factory):
+    """Single-genome DB whose sequence contains an exact distant repeat."""
+    from pantax_tpu.io.fastx import write_fasta
+    from pantax_tpu.io.metadata import GenomeInfo, write_genomes_info
+
+    rng = np.random.default_rng(77)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    u1 = bases[rng.integers(0, 4, 6000)].tobytes()
+    rep = bases[rng.integers(0, 4, 400)].tobytes()
+    u2 = bases[rng.integers(0, 4, 6000)].tobytes()
+    u3 = bases[rng.integers(0, 4, 6000)].tobytes()
+    genome = u1 + rep + u2 + rep + u3
+    root = tmp_path_factory.mktemp("paired")
+    write_fasta(root / "GCF_p.1_g_genomic.fna", [("c", genome)])
+    info = root / "info.txt"
+    write_genomes_info(info, [
+        GenomeInfo("GCF_p.1_g", "88.1", "88", "org", "GCF_p.1_g_genomic.fna")
+    ])
+    db = build_database(info, root / "db", base_dir=root)
+    index = build_align_index(db)
+    return db, index, Aligner(index), genome, len(u1), len(u1) + 400 + len(u2)
+
+
+def _codes(seqs, L):
+    codes = np.full((len(seqs), L), 4, dtype=np.int8)
+    lens = np.zeros(len(seqs), dtype=np.int64)
+    for i, s in enumerate(seqs):
+        codes[i, : len(s)] = encode_seq(s)
+        lens[i] = len(s)
+    return codes, lens
+
+
+def test_paired_disambiguates_repeat(paired_setup):
+    """Mate1 inside an exact repeat copy is ambiguous alone (mapq 0); the
+    fragment model places it at the copy consistent with its unique mate and
+    restores a confident mapq."""
+    db, index, aligner, genome, rep1, rep2 = paired_setup
+    L = 160
+    n = 8
+    m1, m2 = [], []
+    truth = []
+    for i in range(n):
+        s = rep1 + 40 + i  # read fully inside the first repeat copy
+        frag_end = s + 420  # mate2 lands in unique u2 sequence
+        m1.append(genome[s : s + 150])
+        m2.append(revcomp(genome[frag_end - 150 : frag_end]))
+        truth.append(s)
+    c1, l1 = _codes(m1, L)
+    c2, l2 = _codes(m2, L)
+
+    ind = aligner.align_codes(c1, l1)
+    r1, r2 = aligner.align_paired_codes(c1, l1, c2, l2)
+
+    # the text has one hap == the genome, so truth text positions == s
+    hap_off = int(index.hap_offsets[0])
+    assert (ind.mapq == 0).all(), "repeat reads should be ambiguous alone"
+    assert r1.aligned.all() and r2.aligned.all()
+    np.testing.assert_array_equal(r1.text_start, hap_off + np.array(truth))
+    assert (r1.mapq > 0).all(), "fragment consistency must restore confidence"
+    # paired never loses alignments vs independent
+    assert int(r1.aligned.sum()) >= int(ind.aligned.sum())
+
+
+def test_paired_rescues_junk_tail_mate(paired_setup):
+    """A mate with a junk tail (score between rescue_frac and min_score_frac)
+    is kept only when its clean partner anchors a consistent fragment."""
+    db, index, aligner, genome, rep1, rep2 = paired_setup
+    rng = np.random.default_rng(5)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    L = 160
+    n = 8
+    m1, m2 = [], []
+    for i in range(n):
+        s = 1000 + 37 * i
+        clean = genome[s : s + 100]
+        junk = bases[rng.integers(0, 4, 50)].tobytes()
+        m1.append(clean + junk)           # ~0.45-0.6 score fraction
+        frag_end = s + 400
+        m2.append(revcomp(genome[frag_end - 150 : frag_end]))
+    c1, l1 = _codes(m1, L)
+    c2, l2 = _codes(m2, L)
+
+    ind = aligner.align_codes(c1, l1)
+    r1, r2 = aligner.align_paired_codes(c1, l1, c2, l2)
+    assert int(r1.aligned.sum()) > int(ind.aligned.sum()), (
+        "fragment rescue should recover junk-tail mates"
+    )
+    assert r2.aligned.all()
+
+
+def test_paired_bulk_not_worse_than_independent(paired_setup):
+    """Proper FR pairs across the genome: paired mode's aligned fraction and
+    placement accuracy are >= the independent aligner's."""
+    db, index, aligner, genome, rep1, rep2 = paired_setup
+    rng = np.random.default_rng(11)
+    L = 160
+    n = 128
+    starts = rng.integers(0, len(genome) - 600, n)
+    frag = rng.integers(280, 460, n)
+    m1 = [genome[s : s + 150] for s in starts]
+    m2 = [revcomp(genome[s + f - 150 : s + f]) for s, f in zip(starts, frag)]
+    c1, l1 = _codes(m1, L)
+    c2, l2 = _codes(m2, L)
+    hap_off = int(index.hap_offsets[0])
+
+    i1 = aligner.align_codes(c1, l1)
+    i2 = aligner.align_codes(c2, l2)
+    r1, r2 = aligner.align_paired_codes(c1, l1, c2, l2)
+
+    paired_aligned = int(r1.aligned.sum()) + int(r2.aligned.sum())
+    indep_aligned = int(i1.aligned.sum()) + int(i2.aligned.sum())
+    assert paired_aligned >= indep_aligned
+
+    def correct(res, truths):
+        return int((res.aligned & (np.abs(res.text_start - (hap_off + truths)) <= 2)).sum())
+
+    t2 = starts + frag - 150
+    assert correct(r1, starts) + correct(r2, t2) >= correct(i1, starts) + correct(i2, t2)
+    # mapq of correctly-placed pairs should not collapse
+    ok = r1.aligned & (np.abs(r1.text_start - (hap_off + starts)) <= 2)
+    assert float(r1.mapq[ok].mean()) >= float(i1.mapq[i1.aligned].mean())

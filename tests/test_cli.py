@@ -83,3 +83,26 @@ def test_cli_fastpath_matches_default(workdir):
     np.testing.assert_allclose(merged["predicted_coverage_a"],
                                merged["predicted_coverage_b"], rtol=1e-9)
     assert len(pd.read_csv("fp_strains_abundance.txt", sep="\t")) >= 3
+
+
+def test_cli_paired_modes(workdir):
+    """-p with R1/R2 files and with one interleaved file: the example reads
+    are interleaved pairs (S0R0 appears twice: /1 then /2)."""
+    reads = list(itertools.islice(iter_fastx(NGS), 1200))
+    with open("pe_R1.fq", "wb") as f1, open("pe_R2.fq", "wb") as f2:
+        for i in range(0, len(reads), 2):
+            for f, (name, seq) in ((f1, reads[i]), (f2, reads[i + 1])):
+                f.write(b"@" + name.encode() + b"\n" + seq + b"\n+\n"
+                        + b"I" * len(seq) + b"\n")
+    _subset_fastq(NGS, "pe_inter.fq", 1200)
+
+    rc = main(["-d", "db", "-s", "-p", "-r", "pe_R1.fq", "pe_R2.fq",
+               "--species", "-o", "pe2", "-T", "tmpp2", "--batch-size", "512"])
+    assert rc == 0
+    rc = main(["-d", "db", "-s", "-p", "-r", "pe_inter.fq",
+               "--species", "-o", "pe1", "-T", "tmpp1", "--batch-size", "512"])
+    assert rc == 0
+    a = open("pe2_species_abundance.txt").read()
+    b = open("pe1_species_abundance.txt").read()
+    assert a == b, "two-file and interleaved paired modes must agree"
+    assert "562" in a
