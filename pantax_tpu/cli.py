@@ -317,47 +317,114 @@ def _profiling_config(args, db, tmp: Path, read_type: str, *,
     )
 
 
-def _run_fastpath(args, db, index, tmp: Path, t0: float) -> int:
-    """Array-native short-read flow: parse -> align -> profile, no GAF."""
-    import gzip as _gzip
+def _codes_matrix(codes_flat, offsets, pad):
+    import numpy as np
 
+    lens = np.diff(offsets)
+    codes = np.full((len(lens), pad), 4, dtype=np.int8)
+    for i in range(len(lens)):
+        L = int(lens[i])
+        codes[i, :L] = codes_flat[offsets[i] : offsets[i] + L]
+    return codes, lens.astype(np.int64)
+
+
+def _run_fastpath(args, db, index, tmp: Path, t0: float) -> int:
+    """Array-native short-read flow: parse -> align -> profile, no GAF text.
+    Input streams in record-aligned buffers (bounded memory); the alignment
+    arrays are checkpointed to <tmp>/alignment_arrays.npz for resume."""
     import numpy as np
 
     from .align.aligner import Aligner, _round_up
-    from .fastpath import AlignmentArrays, collect_alignment_arrays, profile_from_alignments
-    from .utils.logging import stage_timer
-    from .utils.native import fastx_parse_native
-
-    aligner = Aligner(index)
-    all_arrays = []
-    with stage_timer("alignment"):
-        for rf in args.reads:
-            raw = open(rf, "rb").read()
-            if raw[:2] == b"\x1f\x8b":
-                raw = _gzip.decompress(raw)
-            parsed = fastx_parse_native(raw)
-            if parsed is None:
-                log.error("--fastpath requires the native parser; rerun without it")
-                return 1
-            codes_flat, offsets, ids = parsed
-            lens = np.diff(offsets)
-            pad = _round_up(int(lens.max()))
-            codes = np.full((len(ids), pad), 4, dtype=np.int8)
-            for i in range(len(ids)):
-                L = int(lens[i])
-                codes[i, :L] = codes_flat[offsets[i] : offsets[i] + L]
-            arrays = collect_alignment_arrays(
-                aligner, codes, lens.astype(np.int64), batch=args.batch_size
-            )
-            arrays.read_ids = [ids[int(r[1:])] for r in arrays.read_ids]
-            all_arrays.append(arrays)
-    merged = AlignmentArrays(
-        read_ids=[r for a in all_arrays for r in a.read_ids],
-        ts=np.concatenate([a.ts for a in all_arrays]),
-        te=np.concatenate([a.te for a in all_arrays]),
-        mapq=np.concatenate([a.mapq for a in all_arrays]),
-        read_len=np.concatenate([a.read_len for a in all_arrays]),
+    from .fastpath import (
+        AlignmentArrays,
+        collect_alignment_arrays,
+        collect_paired_alignment_arrays,
+        profile_from_alignments,
     )
+    from .io.fastx import stream_fastx_buffers
+    from .utils.logging import stage_timer
+    from .utils.native import fastx_parse_native, load_native
+
+    arrays_file = tmp / "alignment_arrays.npz"
+    if arrays_file.exists() and not args.force:
+        log.info("- Alignment exists (%s), skipping...", arrays_file)
+        with np.load(arrays_file) as z:
+            merged = AlignmentArrays(
+                read_ids=[str(s) for s in z["read_ids"]],
+                ts=z["ts"], te=z["te"], mapq=z["mapq"], read_len=z["read_len"],
+            )
+    else:
+        if load_native() is None:
+            log.error("--fastpath requires the native parser; rerun without it")
+            return 1
+        aligner = Aligner(index)
+        all_arrays = []
+
+        def run_file(rf, mate_bufs=None):
+            for buf in stream_fastx_buffers(rf):
+                parsed = fastx_parse_native(buf)
+                if parsed is None:
+                    raise ValueError(f"{rf}: unparseable FASTA/FASTQ chunk")
+                codes_flat, offsets, ids = parsed
+                if len(ids) == 0:
+                    continue
+                pad = _round_up(int(np.diff(offsets).max()))
+                codes, lens = _codes_matrix(codes_flat, offsets, pad)
+                arrays = collect_alignment_arrays(
+                    aligner, codes, lens, batch=args.batch_size
+                )
+                arrays.read_ids = [ids[int(r[1:])] for r in arrays.read_ids]
+                all_arrays.append(arrays)
+
+        def run_paired(r1, r2):
+            s1 = stream_fastx_buffers(r1)
+            s2 = stream_fastx_buffers(r2)
+            for buf1, buf2 in zip(s1, s2):
+                p1 = fastx_parse_native(buf1)
+                p2 = fastx_parse_native(buf2)
+                if p1 is None or p2 is None:
+                    raise ValueError("unparseable FASTA/FASTQ chunk")
+                cf1, of1, ids1 = p1
+                cf2, of2, ids2 = p2
+                if len(ids1) != len(ids2):
+                    raise ValueError(
+                        "paired files desynchronized (unequal chunk read "
+                        "counts); re-run without --fastpath"
+                    )
+                pad = _round_up(int(max(np.diff(of1).max(), np.diff(of2).max())))
+                c1, l1 = _codes_matrix(cf1, of1, pad)
+                c2, l2 = _codes_matrix(cf2, of2, pad)
+                a1, a2 = collect_paired_alignment_arrays(
+                    aligner, c1, l1, c2, l2, batch=args.batch_size
+                )
+                a1.read_ids = [ids1[int(r[1:])] for r in a1.read_ids]
+                a2.read_ids = [ids2[int(r[1:])] for r in a2.read_ids]
+                all_arrays.extend([a1, a2])
+
+        with stage_timer("alignment"):
+            if args.paired and len(args.reads) == 2:
+                run_paired(args.reads[0], args.reads[1])
+            else:
+                if args.paired:
+                    log.warning(
+                        "--fastpath paired mode needs two mate files; "
+                        "aligning independently"
+                    )
+                for rf in args.reads:
+                    run_file(rf)
+        merged = AlignmentArrays(
+            read_ids=[r for a in all_arrays for r in a.read_ids],
+            ts=np.concatenate([a.ts for a in all_arrays]) if all_arrays else np.zeros(0, np.int64),
+            te=np.concatenate([a.te for a in all_arrays]) if all_arrays else np.zeros(0, np.int64),
+            mapq=np.concatenate([a.mapq for a in all_arrays]) if all_arrays else np.zeros(0, np.int64),
+            read_len=np.concatenate([a.read_len for a in all_arrays]) if all_arrays else np.zeros(0, np.int64),
+        )
+        np.savez(
+            arrays_file,
+            read_ids=np.array(merged.read_ids, dtype=np.str_),
+            ts=merged.ts, te=merged.te, mapq=merged.mapq,
+            read_len=merged.read_len,
+        )
     log.info("- Aligned %d reads", len(merged.read_ids))
 
     cfg = _profiling_config(args, db, tmp, "short",

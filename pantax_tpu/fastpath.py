@@ -19,7 +19,6 @@ from .config import ProfilingConfig
 from .db.construct import DatabasePaths
 from .graph.core import load_species_range
 from .profile.coverage import PackedReads
-from .profile.rcls import classify_min_max
 from .profile.report import abundance_constraint, abundance_est
 from .profile.species import read_species_mean_len, species_profiling
 
@@ -82,31 +81,60 @@ def collect_alignment_arrays(aligner, codes, lens, batch: int) -> AlignmentArray
     )
 
 
-def _span_min_max(tnode: np.ndarray, i0: np.ndarray, i1: np.ndarray):
-    """Per-read min/max of tnode[i0..i1] — masked gather for the typical
-    short spans, ufunc.reduceat fallback for the rare long ones (reduceat is
-    slow enough to dominate profiling when used for every read)."""
-    span = i1 - i0 + 1
-    CAP = 32
-    short = span <= CAP
-    mins = np.empty(len(i0), dtype=np.int64)
-    maxs = np.empty(len(i0), dtype=np.int64)
-    if short.any():
-        s0 = i0[short]
-        take = np.clip(s0[:, None] + np.arange(CAP)[None, :], 0, len(tnode) - 1)
-        vals = tnode[take]
-        mask = np.arange(CAP)[None, :] < span[short][:, None]
-        mins[short] = np.where(mask, vals, np.iinfo(np.int64).max).min(axis=1)
-        maxs[short] = np.where(mask, vals, -1).max(axis=1)
-    if (~short).any():
-        idx = np.flatnonzero(~short)
-        bounds = np.empty(2 * len(idx), dtype=np.int64)
-        bounds[0::2] = i0[idx]
-        bounds[1::2] = i1[idx] + 1
-        ext = np.append(tnode, tnode[-1])
-        mins[idx] = np.minimum.reduceat(ext, bounds)[0::2]
-        maxs[idx] = np.maximum.reduceat(ext, bounds)[0::2]
-    return mins, maxs
+def collect_paired_alignment_arrays(
+    aligner, codes1, lens1, codes2, lens2, batch: int
+) -> tuple[AlignmentArrays, AlignmentArrays]:
+    """Paired-mate variant of collect_alignment_arrays: joint fragment-model
+    batches, one AlignmentArrays per mate (read ids R{i} index the pair)."""
+    n = len(lens1)
+    parts1, parts2 = [], []
+    pending = []
+
+    def drain(entry):
+        lo, hi, dev = entry
+        d1, d2 = dev
+        m = hi - lo
+        for res, parts in ((aligner.collect(d1), parts1),
+                           (aligner.collect(d2), parts2)):
+            keep = res.aligned[:m]
+            parts.append((lo, keep, res.text_start[:m][keep],
+                          res.text_end[:m][keep], res.mapq[:m][keep]))
+
+    def pad(c, l, lo, hi):
+        bc, bl = c[lo:hi], l[lo:hi]
+        if hi - lo < batch:
+            bc = np.vstack([bc, np.full((batch - (hi - lo), c.shape[1]), 4, np.int8)])
+            bl = np.concatenate([bl, np.zeros(batch - (hi - lo), l.dtype)])
+        return bc, bl
+
+    for lo in range(0, n, batch):
+        hi = min(lo + batch, n)
+        b1, l1 = pad(codes1, lens1, lo, hi)
+        b2, l2 = pad(codes2, lens2, lo, hi)
+        pending.append((lo, hi, aligner.dispatch_paired_codes(b1, l1, b2, l2)))
+        if len(pending) > 1:
+            drain(pending.pop(0))
+    for e in pending:
+        drain(e)
+
+    def collect(parts, lens):
+        ids, ts, te, mq, rl = [], [], [], [], []
+        for lo, keep, a, b, q in parts:
+            idxs = np.flatnonzero(keep) + lo
+            ids.extend(f"R{i}" for i in idxs)
+            ts.append(a)
+            te.append(b)
+            mq.append(q)
+            rl.append(lens[idxs])
+        return AlignmentArrays(
+            read_ids=ids,
+            ts=np.concatenate(ts).astype(np.int64) if ts else np.zeros(0, np.int64),
+            te=np.concatenate(te).astype(np.int64) if te else np.zeros(0, np.int64),
+            mapq=np.concatenate(mq).astype(np.int64) if mq else np.zeros(0, np.int64),
+            read_len=np.concatenate(rl).astype(np.int64) if rl else np.zeros(0, np.int64),
+        )
+
+    return collect(parts1, lens1), collect(parts2, lens2)
 
 
 def profile_from_alignments(
@@ -125,14 +153,20 @@ def profile_from_alignments(
     i0 = np.searchsorted(index.tstart, arrays.ts, side="right") - 1
     i1 = np.searchsorted(index.tstart, np.maximum(arrays.te - 1, arrays.ts),
                          side="right") - 1
-    # per-read min/max node id over tnode[i0..i1] (reduceat over span pairs)
     n = len(i0)
-    if n:
-        mins, maxs = _span_min_max(index.tnode, i0, i1)
-    else:
-        mins = maxs = np.zeros(0, dtype=np.int64)
 
-    ridx = classify_min_max(mins, maxs, ranges)
+    # classification: every fastpath alignment lies within one linearized
+    # haplotype (windows never cross the sentinel separators with a positive
+    # score), so species = the haplotype's species — equivalent to the
+    # min/max-node range walk (rcls.rs:210-235) but one searchsorted instead
+    # of a per-read gather over tnode (which dominated profiling wall time)
+    range_of_species = {r.species: j for j, r in enumerate(ranges)}
+    hap_range = np.array(
+        [range_of_species.get(s, -1) for s in index.hap_species], dtype=np.int64
+    )
+    hap_idx = np.searchsorted(index.hap_offsets, arrays.ts, side="right") - 1
+    hap_idx = np.clip(hap_idx, 0, len(hap_range) - 1)
+    ridx = hap_range[hap_idx] if n else np.zeros(0, dtype=np.int64)
     species = np.array(
         [ranges[i].species if i >= 0 else "U" for i in ridx], dtype=object
     )

@@ -104,3 +104,41 @@ def pansn_name(genome_name: str, contig: str, haplotype: int = 0) -> str:
     (/root/reference/pantax/src/fastixe.rs:70-94).
     """
     return f"{genome_name}#{haplotype}#{contig}"
+
+
+def stream_fastx_buffers(
+    path: str | os.PathLike, chunk_bytes: int = 64 << 20
+) -> Iterator[bytes]:
+    """Yield decompressed FASTA/FASTQ byte buffers, each ending on a record
+    boundary, reading at most ~chunk_bytes at a time — bounded-memory input
+    for multi-GB read files (the whole-file path caps near RAM size).
+
+    FASTQ chunks cut after the last complete 4-line record; FASTA chunks cut
+    before the last '\\n>' header."""
+    import numpy as np
+
+    with _open_text(path) as f:
+        first = f.read(1)
+        if not first:
+            return
+        fastq = first == b"@"
+        buf = first
+        while True:
+            data = f.read(chunk_bytes)
+            buf += data
+            if not data:
+                if buf.strip():
+                    yield buf
+                return
+            if fastq:
+                arr = np.frombuffer(buf, dtype=np.uint8)
+                nl = np.flatnonzero(arr == 10)
+                k = (len(nl) // 4) * 4
+                cut = int(nl[k - 1]) + 1 if k else 0
+            else:
+                p = buf.rfind(b"\n>")
+                cut = p + 1 if p >= 0 else 0
+            if cut <= 0:
+                continue  # record longer than the chunk: read more
+            yield buf[:cut]
+            buf = buf[cut:]
