@@ -108,16 +108,27 @@ def _lookup_hits(
 
     seed_table int32 [S, 2] interleaves (key, pos), so one row gather serves
     both the key verification and the hit position.  bucket_lo pre-resolves
-    the binary search; buckets are sized so runs are almost always <= C, so
-    the probe starts at the bucket head (seeds sharing a bucket with a
-    smaller foreign key may lose tail hits — ~2^-3 of seeds at the chosen
-    bucket density, immaterial to the diagonal vote)."""
+    the binary search to a bucket [lo, hi); a short in-bucket bisection then
+    finds the exact start of the seed's key run — probing from the bucket
+    head instead would lose hits whenever a smaller foreign key shares the
+    bucket (common on 10M+-seed DBs where buckets cap at 2^24)."""
     S_len = seed_table.shape[0]
     shift = jnp.uint32(32 - bucket_bits)
     b = (sel_hash >> shift).astype(jnp.int32)
     lo = bucket_lo[b]
     hi = bucket_lo[b + 1]
-    idx = lo[..., None] + jnp.arange(hits_per_seed, dtype=jnp.int32)
+    # first index in [lo, hi) whose key >= sel_hash (uint32 order; keys are
+    # stored as bitcast int32).  10 steps cover runs up to 1024 (max_occ 512).
+    lo_s, hi_s = lo, hi
+    for _ in range(10):
+        mid = (lo_s + hi_s) >> 1
+        key_mid = jax.lax.bitcast_convert_type(
+            seed_table[jnp.clip(mid, 0, S_len - 1), 0], jnp.uint32
+        )
+        go_right = (key_mid < sel_hash) & (lo_s < hi_s)
+        lo_s = jnp.where(go_right, mid + 1, lo_s)
+        hi_s = jnp.where(go_right, hi_s, jnp.maximum(mid, lo_s))
+    idx = lo_s[..., None] + jnp.arange(hits_per_seed, dtype=jnp.int32)
     idx_c = jnp.clip(idx, 0, S_len - 1)
     rows = seed_table[idx_c]  # [B, S, C, 2]
     keys_i32 = rows[..., 0]

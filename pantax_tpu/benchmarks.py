@@ -317,7 +317,7 @@ def simulate_long_reads(
 
 
 def long_read_accuracy_benchmark(
-    db: DatabasePaths, n_reads: int = 12288, read_len: int = 8192,
+    db: DatabasePaths, n_reads: int = 16384, read_len: int = 8192,
     batch: int = 2048, seed: int = 13, read_type: str = "hifi",
     out_dir: str = "/tmp/pantax_tpu_lr_acc",
 ):

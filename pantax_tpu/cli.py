@@ -73,6 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard read batches over a device mesh: 'auto' uses "
                         "all visible chips (coverage psum-merged over ICI), "
                         "'off' stays single-chip, N uses the first N devices")
+    a.add_argument("--distributed", default=None, metavar="HOST:PORT,N,I",
+                   help="multi-host runtime: jax.distributed coordinator "
+                        "address, process count N, this process id I; every "
+                        "process runs the same command and the device mesh "
+                        "spans all hosts (parallel/distributed.py)")
     a.add_argument("--coverage", default="auto",
                    choices=["auto", "host", "device"],
                    help="strain coverage engine (device = jitted TPU path)")
@@ -140,6 +145,15 @@ def _main(argv: list[str] | None = None) -> int:
 
     from .parallel import auto_mesh
 
+    if args.distributed:
+        from .parallel.distributed import init_distributed
+
+        coord, n_proc, proc_id = args.distributed.rsplit(",", 2)
+        init_distributed(coord, int(n_proc), int(proc_id))
+        import jax
+
+        log.info("distributed runtime: process %s of %s, %d global devices",
+                 proc_id, n_proc, len(jax.devices()))
     mesh = auto_mesh(args.mesh)
     if mesh is not None:
         log.info("device mesh: %d chips, read batches sharded over ICI",

@@ -1,0 +1,93 @@
+"""Multi-host runtime skeleton (SURVEY.md §5 distributed-backend row).
+
+The reference is single-host; the TPU framework scales across hosts with
+jax.distributed: every process calls :func:`init_distributed`, builds the
+same global ("reads",) mesh over all chips, feeds its local read shard into
+:func:`distributed_node_abundances`, and XLA's psums merge the coverage over
+ICI/DCN.  Coverage contributions are integer-valued, so the merged outputs
+are bit-identical to a single-process run (tests/test_distributed.py proves
+this on a 2-process CPU mesh).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+
+
+def init_distributed(coordinator: str, num_processes: int, process_id: int) -> None:
+    """jax.distributed.initialize wrapper.  CPU-mesh processes control their
+    local device count via --xla_force_host_platform_device_count."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def global_reads_mesh():
+    """1-D ("reads",) mesh over every chip of every host."""
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(jax.devices()).reshape(-1), ("reads", ))
+
+
+def distributed_node_abundances(packed_local, nodes_len, trio_index,
+                                mesh=None):
+    """Full-parity coverage over a multi-process read shard.
+
+    Every process passes its own PackedReads (equal padded shapes across
+    processes — pad the read count to processes x pow2 beforehand); graph
+    tables are replicated.  Returns the globally merged
+    (node_abundance, trio_abundance, node_base_cov) on every process.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..ops.coverage_device import build_padded_tables, sharded_node_abundances
+
+    mesh = mesh or global_reads_mesh()
+    n_proc = jax.process_count()
+    t = build_padded_tables(nodes_len, trio_index.trio_nodes, trio_index.trio_len)
+
+    R, L = packed_local.nodes.shape
+    L_pad = max(4, 1 << (L - 1).bit_length())
+    n_dev = int(mesh.devices.size)
+    per_dev = -(-R // (n_dev // n_proc))
+    R_pad_local = per_dev * (n_dev // n_proc)
+    R_global = R_pad_local * n_proc
+
+    def pad2(a, fill, dtype):
+        out = np.full((R_pad_local, L_pad), fill, dtype=dtype)
+        out[:R, :L] = a
+        return out
+
+    def pad1(a, dtype):
+        out = np.zeros(R_pad_local, dtype=dtype)
+        out[:R] = a
+        return out
+
+    reads_sh = NamedSharding(mesh, P("reads"))
+    repl = NamedSharding(mesh, P())
+
+    def gput(local, global_shape):
+        return jax.make_array_from_process_local_data(
+            reads_sh, local, global_shape
+        )
+
+    nodes = gput(pad2(packed_local.nodes, -1, np.int32), (R_global, L_pad))
+    lengths = gput(pad1(packed_local.lengths, np.int32), (R_global,))
+    rs = gput(pad1(packed_local.read_start, np.int32), (R_global,))
+    re = gput(pad1(packed_local.read_end, np.int32), (R_global,))
+    tables = [
+        jax.device_put(np.asarray(x), repl)
+        for x in (t.nodes_len, t.base_offset, t.base_node,
+                  t.trio_hash, t.trio_order, t.trio_abc, t.trio_len)
+    ]
+    fn = sharded_node_abundances(mesh, t.N_pad, t.TB_pad, t.U_pad)
+    na, ta, bc = fn(nodes, lengths, rs, re, *tables)
+    N, U = t.N, t.U
+    return (
+        np.asarray(na, dtype=np.float64)[:N],
+        np.asarray(ta, dtype=np.float64)[:U],
+        np.asarray(bc)[:N],
+    )
