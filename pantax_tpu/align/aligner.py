@@ -771,6 +771,12 @@ class Aligner:
     def _emit_gaf(
         self, chunk: list[tuple[str, bytes]], res: BatchResult
     ) -> list[GafRecord]:
+        """query_start/query_end cover the whole read because the short-read
+        DP (_banded_extend) is full-query glocal: every query base is
+        consumed (terminal mismatches are scored, never clipped), so
+        [0, read_len) IS the aligned query span — unlike giraffe, which may
+        soft-clip read ends.  Long reads go through align/long_read.py, which
+        emits the chained sub-span honestly."""
         B = len(chunk)
         idx = self.index
         ts = res.text_start[:B].astype(np.int64)

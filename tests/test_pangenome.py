@@ -76,3 +76,66 @@ def test_identical_genomes_single_chain():
 def test_rejects_single_genome():
     with pytest.raises(ValueError):
         build_pangenome_graph({"a_1": b"ACGT" * 100})
+
+
+def _rc(seq: bytes) -> bytes:
+    from pantax_tpu.graph.pangenome import _rc_seq
+
+    return _rc_seq(seq)
+
+
+def _shared_frac(g) -> float:
+    counts = np.zeros(g.num_nodes, dtype=int)
+    for hi in range(g.num_paths):
+        counts[np.unique(g.path(hi))] += 1
+    shared_len = g.nodes_len[counts == g.num_paths].sum()
+    return shared_len / max(g.nodes_len[np.unique(g.path(0))].sum(), 1)
+
+
+def test_rc_keys_matches_direct_encoding():
+    from pantax_tpu.align.encode import encode_seq
+    from pantax_tpu.graph.pangenome import _rc_keys
+
+    rng = np.random.default_rng(9)
+    k = 31
+    for _ in range(20):
+        kmer = np.frombuffer(b"ACGT", dtype=np.uint8)[
+            rng.integers(0, 4, size=k)
+        ].tobytes()
+
+        def pack(s):
+            key = np.uint64(0)
+            for c in encode_seq(s):
+                key = (key << np.uint64(2)) | np.uint64(c)
+            return key
+
+        assert _rc_keys(np.array([pack(kmer)]), k)[0] == pack(_rc(kmer))
+
+
+def test_opposite_strand_assembly_shares_nodes():
+    """A genome assembled on the opposite strand must share nodes (not
+    degrade to parallel chains) and still be spelled exactly by its path."""
+    rng = np.random.default_rng(7)
+    strains = make_strains(rng, n_strains=2)
+    flipped = {k: (_rc(v) if k == "GCF_1.1" else v) for k, v in strains.items()}
+    g = build_pangenome_graph(flipped, chunk_size=256)
+    for i, name in enumerate(g.path_names):
+        assert g.path_seq(i).tobytes() == flipped[name], name
+    assert _shared_frac(g) > 0.5
+
+
+def test_segmental_inversion_shares_nodes():
+    """An exact inverted block reuses the forward block's nodes with reverse
+    orientation instead of duplicating them."""
+    rng = np.random.default_rng(8)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    ref = bases[rng.integers(0, 4, size=20000)].tobytes()
+    binv = ref[:8000] + _rc(ref[8000:12000]) + ref[12000:]
+    g = build_pangenome_graph({"GCF_0.1": ref, "GCF_1.1": binv}, chunk_size=256)
+    for i, name in enumerate(g.path_names):
+        want = ref if name == "GCF_0.1" else binv
+        assert g.path_seq(i).tobytes() == want, name
+    assert g.path_strands is not None and g.path_strands.any(), (
+        "the inverted block must traverse shared nodes in reverse"
+    )
+    assert _shared_frac(g) > 0.9
