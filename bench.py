@@ -72,6 +72,9 @@ def bench_example() -> float:
 
 def bench_scale() -> tuple[float, dict]:
     from pantax_tpu.benchmarks import run_e2e_benchmark
+    from pantax_tpu.utils.logging import setup_logging
+
+    setup_logging()  # stage timers -> stderr (the JSON line goes to stdout)
 
     if os.environ.get("PANTAX_TPU_BENCH_SCALE") == "2":
         # BASELINE config 5 (single-chip slice): 34 species x 3 = 102 strains

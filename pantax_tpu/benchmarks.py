@@ -135,9 +135,9 @@ def run_alignment_benchmark(
     species_names = sorted(set(index.hap_species))
     sp_idx = {s: i for i, s in enumerate(species_names)}
     hap_sp = np.array([sp_idx[s] for s in index.hap_species])
-    for bidx in range(n_batches):
-        sl = slice(bidx * batch, (bidx + 1) * batch)
-        res = aligner.align_codes(codes[sl], lens[sl])
+
+    def account(sl, res):
+        nonlocal aligned, correct
         aligned += int(res.aligned.sum())
         # classification check: hap of the alignment vs truth hap's species
         pred_hap = np.searchsorted(index.hap_offsets, res.text_start,
@@ -145,6 +145,19 @@ def run_alignment_benchmark(
         pred_hap = np.clip(pred_hap, 0, len(hap_sp) - 1)
         ok = res.aligned & (hap_sp[pred_hap] == hap_sp[hap[sl]])
         correct += int(ok.sum())
+
+    # pipelined: dispatch the next batch before collecting the previous so
+    # host accounting overlaps device compute (the production align_file /
+    # fastpath flow does the same; a sync loop here would double the wall)
+    pending = []
+    for bidx in range(n_batches):
+        sl = slice(bidx * batch, (bidx + 1) * batch)
+        pending.append((sl, aligner.dispatch_codes(codes[sl], lens[sl])))
+        if len(pending) > 1:
+            sl0, dev0 = pending.pop(0)
+            account(sl0, aligner.collect(dev0))
+    for sl0, dev0 in pending:
+        account(sl0, aligner.collect(dev0))
     dt = time.time() - t0
     total = n_batches * batch
     return {

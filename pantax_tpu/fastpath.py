@@ -9,7 +9,9 @@ are numpy, and the per-species engine receives PackedReads directly.
 """
 from __future__ import annotations
 
+import logging
 import os
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -20,6 +22,8 @@ from .db.construct import DatabasePaths
 from .graph.core import load_species_range
 from .profile.coverage import PackedReads
 from .profile.report import abundance_constraint, abundance_est
+
+log = logging.getLogger("pantax_tpu")
 from .profile.species import read_species_mean_len, species_profiling
 
 
@@ -238,14 +242,23 @@ def profile_from_alignments(
 
     # species-parallel (profile.rs:3297 rayon shard axis): threads overlap
     # host packing/polish with device coverage/ADMM waits; deterministic order
-    metrics = []
-    if len(selected) > 1:
-        from concurrent.futures import ThreadPoolExecutor
+    from .utils.logging import stage_timer
 
-        with ThreadPoolExecutor(min(8, len(selected))) as ex:
-            all_metrics = list(ex.map(_work, selected))
-    else:
-        all_metrics = [_work(it) for it in selected]
+    metrics = []
+    _STAGE_SECONDS.clear()
+    with stage_timer(f"strain profiling ({len(selected)} species)"):
+        if len(selected) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(8, len(selected))) as ex:
+                all_metrics = list(ex.map(_work, selected))
+        else:
+            all_metrics = [_work(it) for it in selected]
+    if _STAGE_SECONDS:
+        log.info(
+            "  strain stage thread-seconds: %s",
+            ", ".join(f"{k}={v:.1f}s" for k, v in _STAGE_SECONDS.items()),
+        )
     for m in all_metrics:
         if m:
             abundance_constraint(profile, m)
@@ -253,6 +266,17 @@ def profile_from_alignments(
 
     genomes_info = read_genomes_info(db.genomes_info_file)
     abundance_est(cfg, metrics, genomes_info, out)
+
+
+_STAGE_SECONDS: dict[str, float] = {}
+
+
+def _acct(key: str, t0: float) -> float:
+    """Accumulate per-stage wall time across the species pool (GIL-atomic
+    float adds; logged once by profile_from_alignments)."""
+    t1 = time.time()
+    _STAGE_SECONDS[key] = _STAGE_SECONDS.get(key, 0.0) + (t1 - t0)
+    return t1
 
 
 def _optimize_packed(cfg, otu, graph, range_start, packed: PackedReads):
@@ -263,8 +287,10 @@ def _optimize_packed(cfg, otu, graph, range_start, packed: PackedReads):
     from .profile.engine import _solve_two_stage
     from .profile.filters import HapMetrics, OtuState, first_filter_paths
 
+    t = time.time()
     paths = graph.paths_dict()
     trio_index = build_trio_index(graph.nodes_len, paths)
+    t = _acct("trio_index", t)
     use_device = cfg.coverage == "device" or (
         cfg.coverage == "auto" and len(packed.lengths) >= cfg.auto_device_reads
     )
@@ -278,14 +304,17 @@ def _optimize_packed(cfg, otu, graph, range_start, packed: PackedReads):
         node_abund, trio_abund, node_base_cov = node_abundances_packed(
             packed, graph.nodes_len, trio_index
         )
+    t = _acct("coverage", t)
     node_abund_opt = np.where(node_abund > cfg.min_depth, node_abund, 0.0)
     state = OtuState(otu=otu, hap_metrics=[HapMetrics() for _ in paths])
     first_filter_paths(
         state, paths, trio_index.hap_matrix, trio_abund, node_abund_opt, cfg
     )
+    t = _acct("filters", t)
     if state.possible_paths_idx:
         _solve_two_stage(
             state, graph.num_nodes, paths, node_abund, node_base_cov,
             graph.nodes_len, cfg,
         )
+        _acct("pao", t)
     return state.hap_metrics
