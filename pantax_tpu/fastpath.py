@@ -238,10 +238,12 @@ def profile_from_alignments(
             ).astype(np.int64),
         )
         graph = db.load_graph(r.species)
-        return _optimize_packed(cfg, r.species, graph, r.start, packed)
+        return _prepare_packed(cfg, r.species, graph, r.start, packed)
 
     # species-parallel (profile.rs:3297 rayon shard axis): threads overlap
-    # host packing/polish with device coverage/ADMM waits; deterministic order
+    # host packing with device coverage waits, then every species' PAO solves
+    # run batched in one device program per bucket (engine.finish_two_stage)
+    from .profile.engine import finish_two_stage
     from .utils.logging import stage_timer
 
     metrics = []
@@ -251,16 +253,20 @@ def profile_from_alignments(
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(min(8, len(selected))) as ex:
-                all_metrics = list(ex.map(_work, selected))
+                prepared = list(ex.map(_work, selected))
         else:
-            all_metrics = [_work(it) for it in selected]
+            prepared = [_work(it) for it in selected]
+        t_pao = time.time()
+        finish_two_stage([p[1] for p in prepared if p and p[1] is not None], cfg)
+        _acct("pao", t_pao)
     if _STAGE_SECONDS:
         log.info(
             "  strain stage thread-seconds: %s",
             ", ".join(f"{k}={v:.1f}s" for k, v in _STAGE_SECONDS.items()),
         )
-    for m in all_metrics:
-        if m:
+    for p in prepared:
+        if p:
+            m = p[0].hap_metrics
             abundance_constraint(profile, m)
             metrics.extend(m)
 
@@ -279,12 +285,12 @@ def _acct(key: str, t0: float) -> float:
     return t1
 
 
-def _optimize_packed(cfg, otu, graph, range_start, packed: PackedReads):
-    """optimize_otu over pre-packed reads (mirrors profile/engine.optimize_otu
-    without the ReadRecord detour)."""
+def _prepare_packed(cfg, otu, graph, range_start, packed: PackedReads):
+    """prepare_otu over pre-packed reads (mirrors profile/engine.prepare_otu
+    without the ReadRecord detour); returns (state, OtuSolveJob|None)."""
     from .graph.trio import build_trio_index
     from .ops.coverage_device import node_abundances_device
-    from .profile.engine import _solve_two_stage
+    from .profile.engine import prepare_two_stage
     from .profile.filters import HapMetrics, OtuState, first_filter_paths
 
     t = time.time()
@@ -311,10 +317,11 @@ def _optimize_packed(cfg, otu, graph, range_start, packed: PackedReads):
         state, paths, trio_index.hap_matrix, trio_abund, node_abund_opt, cfg
     )
     t = _acct("filters", t)
+    job = None
     if state.possible_paths_idx:
-        _solve_two_stage(
+        job = prepare_two_stage(
             state, graph.num_nodes, paths, node_abund, node_base_cov,
             graph.nodes_len, cfg,
         )
-        _acct("pao", t)
-    return state.hap_metrics
+        _acct("prepare", t)
+    return state, job

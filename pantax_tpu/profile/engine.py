@@ -11,12 +11,14 @@ import logging
 
 import numpy as np
 
+from dataclasses import dataclass
+
 from ..config import ProfilingConfig
 from ..graph.core import SpeciesGraph, SpeciesRange
 from ..graph.trio import build_trio_index
 from .coverage import node_abundances
 from .filters import HapMetrics, OtuState, first_filter_paths, second_filter_paths
-from .pao import sample_valid_nodes, solve_pao
+from .pao import sample_valid_nodes, solve_pao_batch
 from .records import ReadRecord
 from .report import abundance_constraint
 from .species import SpeciesProfile
@@ -44,6 +46,23 @@ def optimize_otu(
     range_end: int,
     reads: list[ReadRecord],
 ) -> list[HapMetrics]:
+    state, job = prepare_otu(cfg, otu, graph, range_start, range_end, reads)
+    if job is not None:
+        finish_two_stage([job], cfg)
+    return state.hap_metrics
+
+
+def prepare_otu(
+    cfg: ProfilingConfig,
+    otu: str,
+    graph: SpeciesGraph,
+    range_start: int,
+    range_end: int,
+    reads: list[ReadRecord],
+) -> tuple[OtuState, "OtuSolveJob | None"]:
+    """Coverage + first filter + solve preparation for one species; the PAO
+    solves themselves run in `finish_two_stage` (batched across species by
+    `strain_profiling`)."""
     paths = graph.paths_dict()
     trio_index = build_trio_index(graph.nodes_len, paths)
     use_device = cfg.coverage == "device" or (
@@ -72,14 +91,26 @@ def optimize_otu(
     first_filter_paths(
         state, paths, trio_index.hap_matrix, trio_abund, node_abund_opt, cfg
     )
+    job = None
     if state.possible_paths_idx:
-        _solve_two_stage(
+        job = prepare_two_stage(
             state, nvert, paths, node_abund, node_base_cov, graph.nodes_len, cfg
         )
-    return state.hap_metrics
+    return state, job
 
 
-def _solve_two_stage(
+@dataclass
+class OtuSolveJob:
+    """A species' prepared PAO instance, awaiting the (possibly batched)
+    two-stage solve."""
+
+    state: OtuState
+    A: np.ndarray
+    b: np.ndarray
+    ub: float
+
+
+def prepare_two_stage(
     state: OtuState,
     nvert: int,
     paths: dict[str, np.ndarray],
@@ -87,8 +118,9 @@ def _solve_two_stage(
     node_base_cov: np.ndarray,
     node_len: np.ndarray,
     cfg: ProfilingConfig,
-) -> None:
-    """The two PAO solves around the second filter (profile.rs:1297-1511)."""
+) -> OtuSolveJob:
+    """Everything up to the first PAO solve (profile.rs:1297-1361): coeff
+    matrix, per-path base-coverage ratios, node subsampling."""
     possible = state.possible_paths_idx
     max_val = float(np.max(node_abundance_vec)) if len(node_abundance_vec) else 0.0
     ub = 1.05 * max_val
@@ -105,24 +137,57 @@ def _solve_two_stage(
 
     valid_nodes = np.flatnonzero(node_abundance_vec > 0.0)
     rows = sample_valid_nodes(valid_nodes, cfg.sample_nodes, cfg.sample_test)
-    A = coeff[rows]
-    b = node_abundance_vec[rows]
+    return OtuSolveJob(state=state, A=coeff[rows], b=node_abundance_vec[rows], ub=ub)
 
-    first = solve_pao(A, b, ub, solver=cfg.solver)
-    for j, path_i in enumerate(possible):
-        state.hap_metrics[path_i].first_sol = float(first.x[j])
 
-    second_filter_paths(state, cfg)
-    if not state.second_opt:
+def finish_two_stage(jobs: list[OtuSolveJob], cfg: ProfilingConfig) -> None:
+    """The two PAO solves around the second filter (profile.rs:1363-1511),
+    batched across species: all first solves in one `solve_pao_batch` call,
+    then the divergence filter, then all second solves (paths pinned to zero
+    via ub=0, profile.rs:1482-1510)."""
+    firsts = solve_pao_batch([(j.A, j.b, j.ub, None) for j in jobs], cfg.solver)
+    for job, first in zip(jobs, firsts):
+        state = job.state
+        for j, path_i in enumerate(state.possible_paths_idx):
+            state.hap_metrics[path_i].first_sol = float(first.x[j])
+        second_filter_paths(state, cfg)
+
+    second_jobs = [job for job in jobs if job.state.second_opt]
+    if not second_jobs:
         return
-
-    pinned = np.array(
-        [path_i not in state.second_possible_paths_idx for path_i in possible]
+    pins = [
+        np.array(
+            [
+                path_i not in job.state.second_possible_paths_idx
+                for path_i in job.state.possible_paths_idx
+            ]
+        )
+        for job in second_jobs
+    ]
+    seconds = solve_pao_batch(
+        [(j.A, j.b, j.ub, pin) for j, pin in zip(second_jobs, pins)], cfg.solver
     )
-    second = solve_pao(A, b, ub, solver=cfg.solver, fixed_zero=pinned)
-    for j, path_i in enumerate(possible):
-        if path_i in state.second_possible_paths_idx:
-            state.hap_metrics[path_i].second_sol = float(second.x[j])
+    for job, second in zip(second_jobs, seconds):
+        state = job.state
+        for j, path_i in enumerate(state.possible_paths_idx):
+            if path_i in state.second_possible_paths_idx:
+                state.hap_metrics[path_i].second_sol = float(second.x[j])
+
+
+def _solve_two_stage(
+    state: OtuState,
+    nvert: int,
+    paths: dict[str, np.ndarray],
+    node_abundance_vec: np.ndarray,
+    node_base_cov: np.ndarray,
+    node_len: np.ndarray,
+    cfg: ProfilingConfig,
+) -> None:
+    """Serial prepare+finish for one species (tests / single-species calls)."""
+    job = prepare_two_stage(
+        state, nvert, paths, node_abundance_vec, node_base_cov, node_len, cfg
+    )
+    finish_two_stage([job], cfg)
 
 
 def strain_profiling(
@@ -158,25 +223,28 @@ def strain_profiling(
 
     # Species are independent (the reference's rayon par_iter shard axis,
     # profile.rs:3297): a thread pool overlaps per-species host work (graph
-    # load, trio index, packing, LP polish) with device coverage/ADMM waits.
+    # load, trio index, packing) with device coverage waits, then ALL species'
+    # PAO solves run batched on device (finish_two_stage → solve_pao_batch).
     # Results are consumed in `selected` order, so output is deterministic.
     def _work(r: SpeciesRange):
         reads = reads_by_species.get(r.species)
         if not reads:
             return None
         graph = load_graph(r.species)
-        return optimize_otu(cfg, r.species, graph, r.start, r.end, reads)
+        return prepare_otu(cfg, r.species, graph, r.start, r.end, reads)
 
     results: list[HapMetrics] = []
     if len(selected) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(min(8, len(selected))) as ex:
-            all_metrics = list(ex.map(_work, selected))
+            prepared = list(ex.map(_work, selected))
     else:
-        all_metrics = [_work(r) for r in selected]
-    for metrics in all_metrics:
-        if metrics:
+        prepared = [_work(r) for r in selected]
+    finish_two_stage([p[1] for p in prepared if p and p[1] is not None], cfg)
+    for p in prepared:
+        if p:
+            metrics = p[0].hap_metrics
             abundance_constraint(species_profile, metrics)
             results.extend(metrics)
     return results

@@ -102,12 +102,13 @@ def _admm_body(A, b, ub, rho, n_eff, iters: int):
     return xf, obj
 
 
-@partial(jax.jit, static_argnames=("iters",))
-def _admm_chunk(A, b, ub, rho, state, L, iters: int):
+def _admm_chunk_impl(A, b, ub, rho, state, L, iters: int):
     """Advance the ADMM by ``iters`` steps and report a convergence residual:
     max of the primal infeasibilities max|Ax-b-z|, max|x-w| and the chunk's
     boundary progress max|w - w_entry| (dual proxy).  The host stops early on
-    the residual without a data-dependent while_loop in the compiled graph."""
+    the residual without a data-dependent while_loop in the compiled graph.
+    ``ub`` may be a scalar or a per-path [p] vector (0 pins a path to zero —
+    the batched second solve uses this instead of column removal)."""
     w_entry = state[2]
     state = _admm_scan(A, b, ub, rho, A.shape[0], state, L, iters)
     x, z, w, uz, uw = state
@@ -115,6 +116,22 @@ def _admm_chunk(A, b, ub, rho, state, L, iters: int):
     r_w = jnp.max(jnp.abs(x - w))
     d_w = jnp.max(jnp.abs(w - w_entry))
     return state, jnp.maximum(jnp.maximum(r_z, r_w), d_w)
+
+
+_admm_chunk = partial(jax.jit, static_argnames=("iters",))(_admm_chunk_impl)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _admm_chunk_batch(A, b, ub, rho, state, L, iters: int):
+    """vmapped _admm_chunk over a leading instance axis: species sharing a
+    padded bucket shape solve in ONE device program (the reference's rayon
+    species axis, profile.rs:3297, as a batch axis instead of threads)."""
+    return jax.vmap(
+        lambda A, b, ub, state, L: _admm_chunk_impl(A, b, ub, rho, state, L, iters)
+    )(A, b, ub, state, L)
+
+
+_ADMM_FACTOR_BATCH_JIT = jax.jit(jax.vmap(_admm_factor))
 
 
 def _bucket(n: int, quantum: int = 4096) -> int:
@@ -166,7 +183,7 @@ def _solve_admm(
     return PaoResult(x=x, objective=obj)
 
 
-def _polish(A: np.ndarray, b: np.ndarray, x: np.ndarray, ub: float, sweeps: int = 8) -> np.ndarray:
+def _polish(A: np.ndarray, b: np.ndarray, x: np.ndarray, ub, sweeps: int = 8) -> np.ndarray:
     """Coordinate-wise exact minimization of ||Ax - b||_1 within the box.
 
     Along one coordinate, sum_v |r_v + c_v t| is convex piecewise linear with
@@ -178,6 +195,7 @@ def _polish(A: np.ndarray, b: np.ndarray, x: np.ndarray, ub: float, sweeps: int 
     n, p = A.shape
     if n == 0 or p == 0:
         return x
+    ub = np.broadcast_to(np.asarray(ub, dtype=np.float64), x.shape)
     r = A @ x - b
     for _ in range(sweeps):
         moved = 0.0
@@ -192,7 +210,7 @@ def _polish(A: np.ndarray, b: np.ndarray, x: np.ndarray, ub: float, sweeps: int 
             cw = np.cumsum(w[order])
             half = cw[-1] / 2.0
             t_star = breaks[order][int(np.searchsorted(cw, half))]
-            t = float(np.clip(t_star, -x[j], ub - x[j]))
+            t = float(np.clip(t_star, -x[j], ub[j] - x[j]))
             if t != 0.0:
                 x[j] += t
                 r += col * t
@@ -229,6 +247,95 @@ def _solve_highs(A: np.ndarray, b: np.ndarray, ub: float) -> PaoResult:
     x = res.x[:p]
     obj = float(np.abs(A @ x - b).sum() / n)
     return PaoResult(x=x, objective=obj)
+
+
+def solve_pao_batch(
+    instances: list[tuple[np.ndarray, np.ndarray, float, np.ndarray | None]],
+    solver: str = "admm",
+    iters: int = 1500,
+    chunk: int = 250,
+    tol: float = 1e-5,
+) -> list[PaoResult]:
+    """Solve many independent PAO instances ``(A, b, ub, fixed_zero|None)``.
+
+    Same-bucket ADMM instances are stacked and solved in ONE jitted device
+    program (vmapped ADMM) — the reference's rayon species loop
+    (profile.rs:3297) as a batch axis instead of threads, so S species cost
+    one dispatch per residual chunk instead of S.  Path pinning uses a
+    per-path upper bound of 0 (x in [0,0] ⇔ column removal), so first and
+    second solves share shapes, compiled programs and the Cholesky factors.
+    Non-admm solvers and singleton buckets fall through to `solve_pao`
+    (bit-identical to the serial path).  Results come back in input order.
+    """
+    results: list[PaoResult | None] = [None] * len(instances)
+    prepped: list[tuple | None] = [None] * len(instances)
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, (A, b, ub, fz) in enumerate(instances):
+        A = np.asarray(A, dtype=np.float64)
+        b = np.asarray(b, dtype=np.float64)
+        n, p = A.shape
+        if solver != "admm" or n == 0 or p == 0:
+            results[i] = solve_pao(A, b, ub, solver=solver, fixed_zero=fz)
+            continue
+        prepped[i] = (A, b, float(ub), fz)
+        key = (_bucket(n), max(4, -(-p // 4) * 4))
+        groups.setdefault(key, []).append(i)
+
+    for (n_pad, p_pad), idxs in groups.items():
+        if len(idxs) == 1:
+            i = idxs[0]
+            A, b, ub, fz = prepped[i]
+            results[i] = solve_pao(A, b, ub, solver="admm", fixed_zero=fz)
+            continue
+        S = len(idxs)
+        A_st = np.zeros((S, n_pad, p_pad), dtype=np.float32)
+        b_st = np.zeros((S, n_pad), dtype=np.float32)
+        ub_st = np.zeros((S, p_pad), dtype=np.float32)
+        scales = np.ones(S, dtype=np.float64)
+        for s, i in enumerate(idxs):
+            A, b, ub, fz = prepped[i]
+            n, p = A.shape
+            A_st[s, :n, :p] = A
+            scale = float(np.max(b)) if len(b) and np.max(b) > 0 else 1.0
+            scales[s] = scale
+            b_st[s, :n] = b / scale
+            ubv = np.full(p, ub / scale, dtype=np.float32)
+            if fz is not None:
+                ubv[np.asarray(fz, dtype=bool)] = 0.0
+            ub_st[s, :p] = ubv
+        A_j = jnp.asarray(A_st)
+        b_j = jnp.asarray(b_st)
+        ub_j = jnp.asarray(ub_st)
+        L = _ADMM_FACTOR_BATCH_JIT(A_j)
+        x0 = jnp.zeros((S, p_pad), dtype=jnp.float32)
+        z0 = jnp.zeros((S, n_pad), dtype=jnp.float32)
+        state = (x0, z0, x0, z0, x0)
+        rho = jnp.float32(1.0)
+        for _ in range(max(iters // chunk, 1)):
+            state, res = _admm_chunk_batch(A_j, b_j, ub_j, rho, state, L, chunk)
+            if float(np.max(np.asarray(res))) < tol:
+                break
+        X = np.asarray(state[2], dtype=np.float64)
+
+        def _finish(s: int, i: int) -> None:
+            A, b, ub, fz = prepped[i]
+            n, p = A.shape
+            ubv = np.full(p, ub, dtype=np.float64)
+            if fz is not None:
+                ubv[np.asarray(fz, dtype=bool)] = 0.0
+            x = np.clip(X[s, :p] * scales[s], 0.0, ubv)
+            x = _polish(A, b, x, ubv)
+            obj = float(np.abs(A @ x - b).sum() / max(len(b), 1))
+            results[i] = PaoResult(x=x, objective=obj)
+
+        if S > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(8, S)) as ex:
+                list(ex.map(lambda si: _finish(*si), enumerate(idxs)))
+        else:
+            _finish(0, idxs[0])
+    return results
 
 
 def solve_pao(

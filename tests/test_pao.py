@@ -106,6 +106,102 @@ def test_admm_vs_highs_property_50_instances():
     assert mismatches <= 1, f"{mismatches}/50 selection mismatches"
 
 
+def test_batch_matches_serial():
+    """solve_pao_batch (vmapped same-bucket ADMM + ub=0 pinning) agrees with
+    per-instance solve_pao on solutions and with HiGHS on objectives, across
+    mixed sizes (same and different buckets) and pinned instances."""
+    from pantax_tpu.profile.pao import solve_pao_batch
+
+    rng = np.random.default_rng(7)
+    instances = []
+    for k in range(6):
+        n = int(rng.integers(50, 400)) if k != 4 else 5000  # one odd bucket
+        p = int(rng.integers(2, 8))
+        A, _, _ = random_instance(rng, n=n, p=p)
+        x_true = rng.uniform(0, 4, size=p)
+        b = np.maximum(A @ x_true + rng.normal(0, 0.03, size=n), 0.0)
+        ub = 1.05 * max(b.max(), 1e-9)
+        fz = None
+        if k % 3 == 1:
+            fz = rng.random(p) < 0.4
+            if fz.all():
+                fz[0] = False
+        instances.append((A, b, ub, fz))
+
+    batch = solve_pao_batch(instances, solver="admm")
+    for (A, b, ub, fz), res in zip(instances, batch):
+        serial = solve_pao(A, b, ub, solver="admm", fixed_zero=fz)
+        exact = solve_pao(A, b, ub, solver="highs", fixed_zero=fz)
+        assert res.objective <= exact.objective * (1 + 1e-3) + 1e-6
+        np.testing.assert_allclose(res.x, serial.x, atol=0.05)
+        if fz is not None:
+            assert (res.x[fz] == 0.0).all()
+
+
+def test_batch_engine_matches_serial_engine():
+    """finish_two_stage over many species == per-species _solve_two_stage:
+    the batched driver must not change first_sol/divergence/second_sol."""
+    import copy
+
+    from pantax_tpu.config import ProfilingConfig
+    from pantax_tpu.profile.engine import (
+        _solve_two_stage, finish_two_stage, prepare_two_stage,
+    )
+    from pantax_tpu.profile.filters import HapMetrics, OtuState
+
+    cfg = ProfilingConfig.for_read_type("short")
+    rng = np.random.default_rng(11)
+    species = []
+    for k in range(5):
+        p = int(rng.integers(2, 6))
+        nvert = int(rng.integers(40, 200))
+        paths = {}
+        for j in range(p):
+            m = rng.random(nvert) < rng.uniform(0.3, 0.8)
+            m[0] = True
+            paths[f"h{j}"] = np.flatnonzero(m)
+        x_true = rng.uniform(0.5, 4, size=p)
+        node_abund = np.zeros(nvert)
+        names = sorted(paths)
+        for j, nm in enumerate(names):
+            node_abund[paths[nm]] += x_true[j]
+        node_abund = np.maximum(node_abund + rng.normal(0, 0.05, nvert), 0.0)
+        node_len = rng.integers(20, 900, size=nvert).astype(np.int64)
+        base_cov = (node_abund * node_len).astype(np.float64)
+        state = OtuState(
+            otu=f"sp{k}", hap_metrics=[HapMetrics() for _ in range(p)],
+            possible_paths_idx=list(range(p)), orign_n_haps=p,
+            hap2trio_nodes_m_size=p,
+        )
+        for j in range(p):
+            m = state.hap_metrics[j]
+            m.frequencies_mean = float(max(x_true[j] + rng.normal(0, 0.05), 0.01))
+            m.unique_trio_nodes_fraction = float(rng.uniform(0.85, 1.0))
+        species.append((state, nvert, paths, node_abund, base_cov, node_len))
+
+    serial_states = []
+    for st, nvert, paths, ab, bc, nl in copy.deepcopy(species):
+        _solve_two_stage(st, nvert, paths, ab, bc, nl, cfg)
+        serial_states.append(st)
+
+    jobs = [
+        prepare_two_stage(st, nvert, paths, ab, bc, nl, cfg)
+        for st, nvert, paths, ab, bc, nl in species
+    ]
+    finish_two_stage(jobs, cfg)
+
+    for st_b, st_s in zip((s[0] for s in species), serial_states):
+        assert st_b.second_possible_paths_idx == st_s.second_possible_paths_idx
+        for mb, ms in zip(st_b.hap_metrics, st_s.hap_metrics):
+            assert (mb.first_sol is None) == (ms.first_sol is None)
+            if mb.first_sol is not None:
+                np.testing.assert_allclose(mb.first_sol, ms.first_sol, atol=0.05)
+            assert mb.divergence == ms.divergence
+            assert (mb.second_sol is None) == (ms.second_sol is None)
+            if mb.second_sol is not None:
+                np.testing.assert_allclose(mb.second_sol, ms.second_sol, atol=0.05)
+
+
 def test_sampling_deterministic():
     nodes = np.arange(10000)
     a = sample_valid_nodes(nodes, 500, False)
