@@ -25,6 +25,17 @@ def init_distributed(coordinator: str, num_processes: int, process_id: int) -> N
     )
 
 
+def local_read_shard(path):
+    """Stream this process's record-aligned shard of ONE shared FASTA/FASTQ
+    path (the DCN streaming loader, SURVEY.md §5): every host passes the same
+    file; host i seeks to its byte range and reads only the records starting
+    there, so the fleet collectively consumes each record exactly once with
+    no pre-splitting.  Yields (read_id, seq) records."""
+    from ..io.fastx import iter_fastx_shard
+
+    return iter_fastx_shard(path, jax.process_index(), jax.process_count())
+
+
 def global_reads_mesh():
     """1-D ("reads",) mesh over every chip of every host."""
     from jax.sharding import Mesh

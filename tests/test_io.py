@@ -135,3 +135,79 @@ def test_gaf_star_fields():
     # '*' in tag-only columns still parses
     rec = parse_gaf_line("r\t150\t0\t150\t+\t>1>2\t300\t10\t160\t140\t150\t60")
     assert rec is not None and rec.path_nodes() == [1, 2]
+
+
+def _shard_all(path, P):
+    from pantax_tpu.io.fastx import iter_fastx_shard
+
+    out = []
+    for i in range(P):
+        out.extend(iter_fastx_shard(path, i, P))
+    return out
+
+
+def test_shard_fastq_partitions_exactly(tmp_path):
+    """P processes streaming byte-range shards of one FASTQ collectively see
+    every record exactly once, in order within each shard — including quality
+    lines that start with '@' or '+' (the boundary-detection trap)."""
+    import gzip
+
+    from pantax_tpu.io.fastx import iter_fastx
+
+    rng = __import__("numpy").random.default_rng(3)
+    lines = []
+    for i in range(487):
+        L = int(rng.integers(30, 220))
+        seq = bytes(rng.choice(list(b"ACGT"), size=L))
+        # adversarial qualities: start with '@' or '+' on a schedule
+        lead = b"@" if i % 5 == 0 else (b"+" if i % 7 == 0 else b"I")
+        qual = lead + b"I" * (L - 1)
+        lines += [b"@read%d extra" % i, seq, b"+", qual]
+    p = tmp_path / "r.fq"
+    p.write_bytes(b"\n".join(lines) + b"\n")
+
+    full = list(iter_fastx(p))
+    assert len(full) == 487
+    for P in (1, 2, 3, 7):
+        got = _shard_all(p, P)
+        assert sorted(r[0] for r in got) == sorted(r[0] for r in full), P
+        assert dict(got) == dict(full), P
+
+    # gzip: non-seekable round-robin path, same exact partition
+    pz = tmp_path / "r.fq.gz"
+    pz.write_bytes(gzip.compress(p.read_bytes()))
+    got = _shard_all(pz, 3)
+    assert dict(got) == dict(full)
+
+
+def test_shard_fasta_multiline(tmp_path):
+    from pantax_tpu.io.fastx import iter_fastx
+
+    rng = __import__("numpy").random.default_rng(4)
+    recs = []
+    for i in range(97):
+        L = int(rng.integers(10, 4000))
+        recs.append((f"c{i}", bytes(rng.choice(list(b"ACGT"), size=L))))
+    p = tmp_path / "g.fa"
+    with open(p, "wb") as f:
+        for name, seq in recs:
+            f.write(b">" + name.encode() + b"\n")
+            for j in range(0, len(seq), 60):
+                f.write(seq[j : j + 60] + b"\n")
+    full = list(iter_fastx(p))
+    for P in (2, 5):
+        got = _shard_all(p, P)
+        assert dict(got) == dict(full), P
+        # every shard's records are a contiguous run of the file order
+        names = [r[0] for r in full]
+        from pantax_tpu.io.fastx import iter_fastx_shard
+
+        runs = [[r[0] for r in iter_fastx_shard(p, i, P)] for i in range(P)]
+        assert [n for run in runs for n in run] == names
+
+
+def test_shard_more_processes_than_records(tmp_path):
+    p = tmp_path / "tiny.fq"
+    p.write_bytes(b"@a\nACGT\n+\nIIII\n@b\nGGCC\n+\nIIII\n")
+    got = _shard_all(p, 16)
+    assert sorted(r[0] for r in got) == ["a", "b"]
