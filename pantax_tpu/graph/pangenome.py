@@ -213,14 +213,23 @@ def _lcp(a: bytes, b: bytes) -> int:
     return int(neq[0]) if len(neq) else n
 
 
+def _hamming(a: bytes, b: bytes) -> int:
+    return int(
+        (np.frombuffer(a, np.uint8) != np.frombuffer(b, np.uint8)).sum()
+    )
+
+
 def _plan_slot(rep: bytes, slot_segs: list) -> list[tuple]:
     """Relate each slot segment to the representative (the first genome's):
     ('rep',) identical; ('rc',) exact reverse complement; ('inv', xl, yl)
     common prefix/suffix with an exactly-inverted middle (a clean segmental
-    inversion — SNP-bearing inversions fall back to 'own' parallel nodes);
-    ('own',) unrelated.  The prefix/suffix search backs off a few bases
-    because a chance palindromic base at the inversion boundary can extend
-    the literal common prefix past the true breakpoint."""
+    inversion); ('inv_snp', xl, yl) same but the inverted middle carries
+    substitutions — matching chunks still share the representative's nodes
+    reverse-oriented, SNP-bearing chunks become parallel bubble nodes (the
+    emit step decides per chunk); ('own',) unrelated.  The prefix/suffix
+    search backs off a few bases because a chance palindromic base at the
+    inversion boundary can extend the literal common prefix past the true
+    breakpoint."""
     plans: list[tuple] = []
     rc_rep = _rc_seq(rep)
     for i, (_, seg) in enumerate(slot_segs):
@@ -244,6 +253,14 @@ def _plan_slot(rep: bytes, slot_segs: list) -> list[tuple]:
                         break
                 if plan[0] == "inv":
                     break
+            if plan[0] == "own" and xl0 + yl0 < n:
+                # SNP-bearing inversion: the middle is much closer to the
+                # reverse complement than to the forward representative
+                mid_s = seg[xl0 : n - yl0]
+                mid_r = rep[xl0 : n - yl0]
+                d_rc = _hamming(mid_s, _rc_seq(mid_r))
+                if d_rc <= len(mid_s) // 10 and d_rc * 2 < _hamming(mid_s, mid_r):
+                    plan = ("inv_snp", xl0, yl0)
         plans.append(plan)
     return plans
 
@@ -255,7 +272,7 @@ def _emit_rep(rep: bytes, plans: list[tuple], new_nodes, chunk_size: int) -> dic
     n = len(rep)
     cuts = {0, n}
     for p in plans:
-        if p[0] == "inv":
+        if p[0] in ("inv", "inv_snp"):
             cuts.add(p[1])
             cuts.add(n - p[2])
     bounds = sorted(cuts)
@@ -267,7 +284,8 @@ def _emit_rep(rep: bytes, plans: list[tuple], new_nodes, chunk_size: int) -> dic
 
 
 def _emit_follower(
-    segment: bytes, plan: tuple, rep_pieces: dict, node_ids: dict, new_nodes
+    segment: bytes, plan: tuple, rep_pieces: dict, node_ids: dict, new_nodes,
+    rep: bytes, chunk_size: int,
 ) -> tuple[list[int], list[int]]:
     def span(lo: int, hi: int) -> list[int]:
         ids: list[int] = []
@@ -290,6 +308,39 @@ def _emit_follower(
         mid = span(xl, n - yl)[::-1]
         tail = span(n - yl, n)
         return head + mid + tail, [0] * len(head) + [1] * len(mid) + [0] * len(tail)
+    if plan[0] == "inv_snp":
+        # walk the representative's chunk nodes across the inverted middle in
+        # reverse; chunks whose bytes match the reverse complement exactly are
+        # shared (strand 1), SNP-bearing chunks become parallel bubble nodes
+        xl, yl = plan[1], plan[2]
+        n = len(segment)
+        S = xl + (n - yl)  # seg index for rep index p is S - 1 - p
+        head = span(0, xl)
+        tail = span(n - yl, n)
+        mid_ids: list[int] = []
+        mid_st: list[int] = []
+        for (a, b), pid in sorted(rep_pieces.items(), reverse=True):
+            if a < xl or b > n - yl:
+                continue
+            offs = list(range(a, b, chunk_size))
+            for j in range(len(pid) - 1, -1, -1):
+                a2 = offs[j]
+                b2 = min(a2 + chunk_size, b)
+                seg_chunk = segment[S - b2 : S - a2]
+                if seg_chunk == _rc_seq(rep[a2:b2]):
+                    mid_ids.append(pid[j])
+                    mid_st.append(1)
+                else:
+                    own = node_ids.get(seg_chunk)
+                    if own is None:
+                        own = new_nodes(seg_chunk)
+                        node_ids[seg_chunk] = own
+                    mid_ids.extend(own)
+                    mid_st.extend([0] * len(own))
+        return (
+            head + mid_ids + tail,
+            [0] * len(head) + mid_st + [0] * len(tail),
+        )
     ids = node_ids.get(segment)  # 'own': dedupe exact/rc among non-rep segs
     if ids is not None:
         return ids, [0] * len(ids)
@@ -366,7 +417,7 @@ def build_pangenome_graph(
         node_ids: dict[bytes, list[int]] = {}
         for (name, segment), plan in zip(slot_segs, plans):
             ids, st = _emit_follower(
-                segment, plan, rep_pieces, node_ids, new_nodes
+                segment, plan, rep_pieces, node_ids, new_nodes, rep, chunk_size
             )
             paths[name].extend(ids)
             strands[name].extend(st)

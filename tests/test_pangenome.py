@@ -139,3 +139,29 @@ def test_segmental_inversion_shares_nodes():
         "the inverted block must traverse shared nodes in reverse"
     )
     assert _shared_frac(g) > 0.9
+
+
+def test_snp_bearing_inversion_shares_nodes():
+    """An inverted block carrying substitutions still shares the matching
+    chunks of the forward block reverse-oriented; only the SNP-bearing
+    chunks become parallel bubble nodes (PARITY known-gap closure)."""
+    rng = np.random.default_rng(12)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    ref = bases[rng.integers(0, 4, size=20000)].tobytes()
+    inv = bytearray(_rc(ref[8000:12000]))
+    snp_at = rng.choice(4000, size=5, replace=False)
+    for p in snp_at:
+        old = inv[p]
+        inv[p] = next(c for c in b"ACGT" if c != old)
+    binv = ref[:8000] + bytes(inv) + ref[12000:]
+    g = build_pangenome_graph({"GCF_0.1": ref, "GCF_1.1": binv}, chunk_size=256)
+    for i, name in enumerate(g.path_names):
+        want = ref if name == "GCF_0.1" else binv
+        assert g.path_seq(i).tobytes() == want, name
+    assert g.path_strands is not None and g.path_strands.any(), (
+        "SNP-free chunks of the inverted block must be shared in reverse"
+    )
+    # 5 SNPs hit at most 5 of the ~16 inverted 256bp chunks; everything else
+    # (flanks + clean inverted chunks) is shared — the old 'own' fallback
+    # duplicated the whole 4kb block and capped the fraction at 0.8
+    assert _shared_frac(g) > 0.9
