@@ -91,7 +91,9 @@ def bench_scale() -> tuple[float, dict]:
     print(
         f"# scale: {stats['total_reads']} reads, aligned "
         f"{stats['aligned_frac']:.3f}, species acc {stats['species_acc']:.3f}, "
-        f"{stats['wall_s']:.1f}s | e2e {e2e['wall_s']:.1f}s "
+        f"steady {stats['reads_per_s']:.0f} reads/s "
+        f"(wall {stats['wall_s']:.1f}s = {stats['wall_reads_per_s']:.0f}/s) | "
+        f"e2e {e2e['wall_s']:.1f}s "
         f"(align {e2e['align_s']:.1f}s + profile {e2e['profile_s']:.1f}s), "
         f"{e2e['strains_detected']} strains",
         file=sys.stderr,

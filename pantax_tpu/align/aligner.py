@@ -659,6 +659,9 @@ class Aligner:
                 lens[i - lo] = L
             return codes, lens
 
+        from ..utils import pipeline_depth
+
+        depth = pipeline_depth()
         pending = []
         out: list[GafRecord] = []
 
@@ -679,7 +682,7 @@ class Aligner:
             pending.append(
                 (lo, hi, len1, len2, self.dispatch_paired_codes(c1, len1, c2, len2))
             )
-            if len(pending) > 1:
+            if len(pending) >= depth:
                 drain(pending.pop(0))
         for entry in pending:
             drain(entry)
@@ -700,8 +703,12 @@ class Aligner:
 
             return self.align_reads(list(iter_fastx(path)), batch_size)
 
-        # two-deep pipeline: batch i+1 runs on device while batch i's GAF
-        # records are emitted on the host (carried across stream chunks)
+        # pipelined several batches deep: later batches run on device while
+        # earlier batches' GAF records are emitted on the host (the queue is
+        # carried across stream chunks; depth hides tunnel latency windows)
+        from ..utils import pipeline_depth
+
+        depth = pipeline_depth()
         pending: list[tuple[list, np.ndarray, object]] = []
         out: list[GafRecord] = []
 
@@ -737,7 +744,7 @@ class Aligner:
                 pending.append(
                     (ids[lo:hi], lens, self.dispatch_codes(codes, lens))
                 )
-                if len(pending) > 1:
+                if len(pending) >= depth:
                     drain(pending.pop(0))
         for entry in pending:
             drain(entry)

@@ -38,11 +38,15 @@ class AlignmentArrays:
     read_len: np.ndarray  # int64
 
 
+from .utils import pipeline_depth as _pipeline_depth
+
+
 def collect_alignment_arrays(aligner, codes, lens, batch: int) -> AlignmentArrays:
     """Align a codes matrix in pipelined batches, keeping results as arrays."""
     n = len(lens)
     parts = []
     pending = []
+    depth = _pipeline_depth()
 
     def drain(entry):
         lo, hi, dev = entry
@@ -62,7 +66,7 @@ def collect_alignment_arrays(aligner, codes, lens, batch: int) -> AlignmentArray
             )
             b_lens = np.concatenate([b_lens, np.zeros(batch - (hi - lo), b_lens.dtype)])
         pending.append((lo, hi, aligner.dispatch_codes(b_codes, b_lens)))
-        if len(pending) > 1:
+        if len(pending) >= depth:
             drain(pending.pop(0))
     for e in pending:
         drain(e)
@@ -93,6 +97,7 @@ def collect_paired_alignment_arrays(
     n = len(lens1)
     parts1, parts2 = [], []
     pending = []
+    depth = _pipeline_depth()
 
     def drain(entry):
         lo, hi, dev = entry
@@ -116,7 +121,7 @@ def collect_paired_alignment_arrays(
         b1, l1 = pad(codes1, lens1, lo, hi)
         b2, l2 = pad(codes2, lens2, lo, hi)
         pending.append((lo, hi, aligner.dispatch_paired_codes(b1, l1, b2, l2)))
-        if len(pending) > 1:
+        if len(pending) >= depth:
             drain(pending.pop(0))
     for e in pending:
         drain(e)
