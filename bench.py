@@ -52,22 +52,34 @@ def bench_example() -> float:
         codes_all[i, : min(len(s), L)] = encode_seq(s)[:L]
         lens_all[i] = min(len(s), L)
 
-    n_batches = 8
+    n_batches = 12
     total = BATCH * n_batches
     reps = (total + len(reads) - 1) // len(reads)
     codes = np.tile(codes_all, (reps, 1))[:total]
     lens = np.tile(lens_all, reps)[:total]
 
     aligner.align_codes(codes[:BATCH], lens[:BATCH])  # warmup/compile
-    times = []
+    # Pipelined dispatch (same policy as the production align_file/fastpath
+    # loops and the SCALE configs): keep `depth` batches in flight so the
+    # ~30ms tunnel round trip per dispatch overlaps device compute, and
+    # report the median inter-collect interval (steady rate, robust to
+    # tunnel-latency windows).
+    from pantax_tpu.utils import pipeline_depth
+
+    depth = pipeline_depth()
+    pending = []
+    marks = []
     for b in range(n_batches):
-        t0 = time.time()
-        aligner.align_codes(
-            codes[b * BATCH : (b + 1) * BATCH], lens[b * BATCH : (b + 1) * BATCH]
-        )
-        times.append(time.time() - t0)
-    # median batch time: robust to tunnel-latency outliers
-    return BATCH / sorted(times)[len(times) // 2]
+        sl = slice(b * BATCH, (b + 1) * BATCH)
+        pending.append(aligner.dispatch_codes(codes[sl], lens[sl]))
+        if len(pending) >= depth:
+            aligner.collect(pending.pop(0))
+            marks.append(time.time())
+    for dev in pending:
+        aligner.collect(dev)
+        marks.append(time.time())
+    gaps = sorted(np.diff(np.array(marks)))
+    return BATCH / float(gaps[len(gaps) // 2])
 
 
 def bench_scale() -> tuple[float, dict]:
