@@ -60,6 +60,36 @@ def _mix32_j(h):
     return h
 
 
+def pack_codes(codes: np.ndarray) -> np.ndarray:
+    """Host-side nibble pack: int8 codes (0..4) [B, L] -> uint8 [B, L/2].
+    Read batches cross the host->device link every dispatch; 4 bits per base
+    halves the upload (the reverse strand is derived on device, halving it
+    again — see _query_batch)."""
+    if codes.shape[1] % 2:
+        codes = np.pad(codes, ((0, 0), (0, 1)), constant_values=4)
+    c = codes.astype(np.uint8)
+    return c[:, 0::2] | (c[:, 1::2] << 4)
+
+
+def _unpack_codes_j(packed):
+    """Device-side inverse of pack_codes: uint8 [B, L/2] -> int8 [B, L]."""
+    b = packed.astype(jnp.int32)
+    c0 = b & 15
+    c1 = (b >> 4) & 15
+    return jnp.stack([c0, c1], axis=-1).reshape(b.shape[0], -1).astype(jnp.int8)
+
+
+def _rev_codes_j(codes, lens):
+    """Device-side left-aligned reverse complement of right-padded codes."""
+    B, Lr = codes.shape
+    cols = jnp.arange(Lr, dtype=jnp.int32)[None, :]
+    idx = jnp.clip(lens[:, None] - 1 - cols, 0, Lr - 1)
+    g = jnp.take_along_axis(codes, idx, axis=1)
+    return jnp.where(
+        (cols < lens[:, None]) & (g < 4), jnp.int8(3) - g, jnp.int8(4)
+    )
+
+
 def _kmer_hashes_j(codes, k: int):
     """codes int8 [B, L] -> (mixed canonical hash uint32 [B, n], valid [B, n])."""
     B, L = codes.shape
@@ -101,44 +131,48 @@ def _select_seeds(hashes, valid, density_bits: int, s_max: int):
 
 
 def _lookup_hits(
-    seed_table, bucket_lo, bucket_bits: int,
+    run_table, seed_pos, bucket_lo, bucket_bits: int, steps: int,
     sel_hash, sel_valid, hits_per_seed: int,
 ):
     """Text positions for each read seed: [B, S, C] (+validity).
 
-    seed_table int32 [S, 2] interleaves (key, pos), so one row gather serves
-    both the key verification and the hit position.  bucket_lo pre-resolves
-    the binary search to a bucket [lo, hi); a short in-bucket bisection then
-    finds the exact start of the seed's key run — probing from the bucket
-    head instead would lose hits whenever a smaller foreign key shares the
-    bucket (common on 10M+-seed DBs where buckets cap at 2^24)."""
-    S_len = seed_table.shape[0]
+    The sorted seed table is addressed at RUN granularity: run_table int32
+    [D, 3] holds one row (key, start, len) per distinct key, and bucket_lo
+    pre-resolves the hash's top bucket_bits to a run range [lo, hi).  A
+    ``steps``-deep bisection (static, = ceil(log2(max runs/bucket + 1))
+    measured at build — typically 2-4) finds the exact run.  Serial gathers
+    are the dominant kernel cost on TPU, and a deep repeat run costs nothing
+    here because it is one row regardless of length, where the previous
+    entry-granular bisection needed 10 gathers to cover max_occ-long runs.
+    Hit positions gather from seed_pos[start : start + C], masked by the
+    true run length; bisecting (rather than probing the bucket head) keeps
+    hits exact when a smaller foreign key shares the bucket."""
+    D = run_table.shape[0]
+    S_len = seed_pos.shape[0]
     shift = jnp.uint32(32 - bucket_bits)
     b = (sel_hash >> shift).astype(jnp.int32)
     lo = bucket_lo[b]
     hi = bucket_lo[b + 1]
-    # first index in [lo, hi) whose key >= sel_hash (uint32 order; keys are
-    # stored as bitcast int32).  10 steps cover runs up to 1024 (max_occ 512).
+    # first run index in [lo, hi) whose key >= sel_hash (uint32 order; keys
+    # are stored as bitcast int32)
     lo_s, hi_s = lo, hi
-    for _ in range(10):
+    keys_col = run_table[:, 0]
+    for _ in range(steps):
         mid = (lo_s + hi_s) >> 1
         key_mid = jax.lax.bitcast_convert_type(
-            seed_table[jnp.clip(mid, 0, S_len - 1), 0], jnp.uint32
+            keys_col[jnp.clip(mid, 0, D - 1)], jnp.uint32
         )
         go_right = (key_mid < sel_hash) & (lo_s < hi_s)
         lo_s = jnp.where(go_right, mid + 1, lo_s)
         hi_s = jnp.where(go_right, hi_s, jnp.maximum(mid, lo_s))
-    idx = lo_s[..., None] + jnp.arange(hits_per_seed, dtype=jnp.int32)
-    idx_c = jnp.clip(idx, 0, S_len - 1)
-    rows = seed_table[idx_c]  # [B, S, C, 2]
-    keys_i32 = rows[..., 0]
-    sel_i32 = sel_hash.astype(jnp.int32)  # bitcast-equal comparison
-    hit_valid = (
-        (keys_i32 == sel_i32[..., None])
-        & (idx < hi[..., None])
-        & sel_valid[..., None]
-    )
-    return rows[..., 1], hit_valid
+    row = run_table[jnp.clip(lo_s, 0, D - 1)]  # [B, S, 3]
+    key_j = jax.lax.bitcast_convert_type(row[..., 0], jnp.uint32)
+    found = (key_j == sel_hash) & (lo_s < hi) & sel_valid
+    c = jnp.arange(hits_per_seed, dtype=jnp.int32)
+    idx = row[..., 1][..., None] + c
+    pos = seed_pos[jnp.clip(idx, 0, S_len - 1)]
+    hit_valid = found[..., None] & (c < row[..., 2][..., None])
+    return pos, hit_valid
 
 
 def _vote_diagonals(diags, valid, band: int, top_k: int):
@@ -271,63 +305,61 @@ def _extract_windows(text2d, w0, W: int):
     return seg[:, :W]
 
 
-def _candidates_for_strand(
-    text2d, seed_table, bucket_lo, codes, read_len, cfg_static
+def _all_candidates(
+    text2d, run_table, seed_pos, bucket_lo, tstart, tnode,
+    codes_fwd, codes_rev, read_len, cfg_static
 ):
-    """Score top-K candidate locations for one strand of a read batch."""
-    (k, density_bits, bucket_bits, s_max, hits, top_k, pad, match, mismatch, gap) = cfg_static
-    B, Lr = codes.shape
+    """Scored candidate locations per read, both strands folded: arrays
+    (scores, ts, te, matches, strand, node, off), all [B, 2K].
+
+    Seeds are hashed and looked up ONCE per read, on the forward strand only:
+    canonical k-mer hashing is orientation-invariant, so the reverse-
+    complement read's k-mer at the mirrored position l-k-p has the SAME
+    canonical hash (hence the same index hits) as the forward k-mer at p.
+    The reverse-strand diagonal of a text hit t is then derived
+    arithmetically as t - (l-k-p), instead of re-hashing and re-gathering
+    the [2B] strand-doubled batch — which halves the seed-lookup stage, the
+    kernel's dominant cost (serial HBM gathers).  Only the cheap banded
+    extension runs on both strands."""
+    (k, density_bits, bucket_bits, steps, s_max, hits, top_k, pad, match,
+     mismatch, gap) = cfg_static[:11]
+    B, Lr = codes_fwd.shape
     W = Lr + 2 * pad
     n_extra = (W + 255) // 256
     T = (text2d.shape[0] - n_extra) * 256
 
-    hashes, valid = _kmer_hashes_j(codes, k)
+    hashes, valid = _kmer_hashes_j(codes_fwd, k)
     sel_pos, sel_hash, sel_valid = _select_seeds(hashes, valid, density_bits, s_max)
     hit_pos, hit_valid = _lookup_hits(
-        seed_table, bucket_lo, bucket_bits, sel_hash, sel_valid, hits
+        run_table, seed_pos, bucket_lo, bucket_bits, steps, sel_hash, sel_valid, hits
     )
-    diags = hit_pos - sel_pos[..., None]
-    diags = diags.reshape(B, -1)
-    hit_valid = hit_valid.reshape(B, -1)
-    cand_diag, cand_votes = _vote_diagonals(diags, hit_valid, band=pad, top_k=top_k)
+    p = sel_pos[..., None]
+    d_fwd = (hit_pos - p).reshape(B, -1)
+    d_rev = (hit_pos - (read_len[:, None, None] - k - p)).reshape(B, -1)
+    hv = hit_valid.reshape(B, -1)
+    cd_f, cv_f = _vote_diagonals(d_fwd, hv, band=pad, top_k=top_k)
+    cd_r, cv_r = _vote_diagonals(d_rev, hv, band=pad, top_k=top_k)
 
+    # banded extension on the stacked [2B] strand batch
+    cand_diag = jnp.concatenate([cd_f, cd_r], axis=0)   # [2B, K]
+    cand_votes = jnp.concatenate([cv_f, cv_r], axis=0)
+    codes_all = jnp.concatenate([codes_fwd, codes_rev], axis=0)
+    len_all = jnp.concatenate([read_len, read_len], axis=0)
     w0 = jnp.clip(cand_diag - pad, 0, T - W)
     flat_w0 = w0.reshape(-1)
     window = _extract_windows(text2d, flat_w0, W)
-    read_rep = jnp.repeat(codes, top_k, axis=0)
-    len_rep = jnp.repeat(read_len, top_k)
+    read_rep = jnp.repeat(codes_all, top_k, axis=0)
+    len_rep = jnp.repeat(len_all, top_k)
     score, start_off, end_off, matches = _banded_extend(
         window, read_rep, len_rep, pad, match, mismatch, gap
     )
-    ts = flat_w0 + start_off
-    te = flat_w0 + end_off
-    ok = (cand_votes.reshape(-1) > 0)
-    score = jnp.where(ok, score, NEG)
-    return (
-        score.reshape(B, top_k),
-        ts.reshape(B, top_k),
-        te.reshape(B, top_k),
-        matches.reshape(B, top_k),
+    K = top_k
+    s_all = jnp.where(
+        cand_votes > 0, score.reshape(2 * B, K), NEG
     )
-
-
-def _all_candidates(
-    text2d, seed_table, bucket_lo, tstart, tnode,
-    codes_fwd, codes_rev, read_len, cfg_static
-):
-    """Scored candidate locations per read, both strands folded: arrays
-    (scores, ts, te, matches, strand, node, off), all [B, 2K]."""
-    (k, density_bits, bucket_bits, s_max, hits, top_k, pad, match, mismatch, gap,
-     mapq_scale, min_score_frac) = cfg_static
-    inner = (k, density_bits, bucket_bits, s_max, hits, top_k, pad, match, mismatch, gap)
-    B = codes_fwd.shape[0]
-    # both strands in one pass: [2B, L] batch, candidates re-folded to [B, 2K]
-    codes_all = jnp.concatenate([codes_fwd, codes_rev], axis=0)
-    len_all = jnp.concatenate([read_len, read_len], axis=0)
-    s_all, ts_all, te_all, m_all = _candidates_for_strand(
-        text2d, seed_table, bucket_lo, codes_all, len_all, inner
-    )
-    K = s_all.shape[1]
+    ts_all = (flat_w0 + start_off).reshape(2 * B, K)
+    te_all = (flat_w0 + end_off).reshape(2 * B, K)
+    m_all = matches.reshape(2 * B, K)
     scores = jnp.concatenate([s_all[:B], s_all[B:]], axis=1)
     ts = jnp.concatenate([ts_all[:B], ts_all[B:]], axis=1)
     te = jnp.concatenate([te_all[:B], te_all[B:]], axis=1)
@@ -346,12 +378,14 @@ def _all_candidates(
 
 @partial(jax.jit, static_argnames=("cfg_static",))
 def _query_batch(
-    text2d, seed_table, bucket_lo, tstart, tnode,
-    codes_fwd, codes_rev, read_len, cfg_static
+    text2d, run_table, seed_pos, bucket_lo, tstart, tnode,
+    codes_packed, read_len, cfg_static
 ):
-    mapq_scale, min_score_frac = cfg_static[10], cfg_static[11]
+    mapq_scale, min_score_frac = cfg_static[11], cfg_static[12]
+    codes_fwd = _unpack_codes_j(codes_packed)
+    codes_rev = _rev_codes_j(codes_fwd, read_len)
     scores, ts, te, matches, strand, node, off = _all_candidates(
-        text2d, seed_table, bucket_lo, tstart, tnode,
+        text2d, run_table, seed_pos, bucket_lo, tstart, tnode,
         codes_fwd, codes_rev, read_len, cfg_static,
     )
 
@@ -378,9 +412,8 @@ def _query_batch(
 @partial(jax.jit, static_argnames=("cfg_static", "frag_max", "pair_bonus",
                                    "rescue_frac"))
 def _query_batch_paired(
-    text2d, seed_table, bucket_lo, tstart, tnode,
-    codes1_fwd, codes1_rev, len1,
-    codes2_fwd, codes2_rev, len2,
+    text2d, run_table, seed_pos, bucket_lo, tstart, tnode,
+    codes1_packed, len1, codes2_packed, len2,
     cfg_static, frag_max: int, pair_bonus: int, rescue_frac: float,
 ):
     """Joint fragment-model alignment of mate pairs.
@@ -394,14 +427,16 @@ def _query_batch_paired(
     consistent fragment is rescued at the relaxed ``rescue_frac`` threshold.
     Pair mapq is the joint score gap to the best alternative joint location.
     """
-    mapq_scale, min_score_frac = cfg_static[10], cfg_static[11]
-    B = codes1_fwd.shape[0]
+    mapq_scale, min_score_frac = cfg_static[11], cfg_static[12]
+    B = codes1_packed.shape[0]
     # candidates for both mates in one device pass
-    codes_fwd = jnp.concatenate([codes1_fwd, codes2_fwd], axis=0)
-    codes_rev = jnp.concatenate([codes1_rev, codes2_rev], axis=0)
     lens = jnp.concatenate([len1, len2], axis=0)
+    codes_fwd = _unpack_codes_j(
+        jnp.concatenate([codes1_packed, codes2_packed], axis=0)
+    )
+    codes_rev = _rev_codes_j(codes_fwd, lens)
     scores, ts, te, matches, strand, node, off = _all_candidates(
-        text2d, seed_table, bucket_lo, tstart, tnode,
+        text2d, run_table, seed_pos, bucket_lo, tstart, tnode,
         codes_fwd, codes_rev, lens, cfg_static,
     )
     K2 = scores.shape[1]
@@ -475,19 +510,52 @@ def _query_batch_paired(
 # ---------------------------------------------------------------------------
 # host wrapper
 # ---------------------------------------------------------------------------
-_RC = np.array([3, 2, 1, 0, 4], dtype=np.int8)
-
-
 def build_bucket_table(seed_keys: np.ndarray) -> tuple[int, np.ndarray]:
     """Host-side prefix table: bucket_lo[b] = first index in the sorted key
-    table whose key >= (b << (32 - bits)).  Sized so the average bucket run is
-    about 1 key (capped at 2^24 buckets = 64MB)."""
+    table whose key >= (b << (32 - bits)).  Sized at ~1/32 key per bucket —
+    each extra bit halves the expected max occupancy, and every saved
+    occupancy doubling removes one serial bisection gather from the device
+    lookup (the kernel's dominant cost); capped at 2^24 buckets = 64MB."""
     n = max(len(seed_keys), 1)
-    bits = int(np.clip(int(np.ceil(np.log2(n))) + 3, 12, 24))
+    bits = int(np.clip(int(np.ceil(np.log2(n))) + 5, 12, 24))
     size = 1 << bits
     bounds = np.arange(size + 1, dtype=np.uint64) << np.uint64(32 - bits)
     lo = np.searchsorted(seed_keys.astype(np.uint64), bounds).astype(np.int32)
     return bits, lo
+
+
+def build_seed_lookup(
+    seed_keys: np.ndarray, seed_pos: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, int, np.ndarray, int]:
+    """Run-granular device lookup tables from the sorted seed table:
+    (run_table int32 [D, 3] = (key, start, len) per distinct key,
+     pos int32 [S], bucket_bits, bucket_lo over runs, bisection steps).
+
+    ``steps`` = ceil(log2(max runs per bucket + 1)) is the static in-bucket
+    bisection depth the device kernel needs — typically 2-4, because distinct
+    mixed hashes spread evenly over buckets, while the previous entry-granular
+    table needed 10 steps to cover max_occ-long repeat runs."""
+    S = len(seed_keys)
+    pos = np.ascontiguousarray(seed_pos.astype(np.int32))
+    if S == 0:
+        bits, lo = build_bucket_table(np.zeros(0, dtype=np.uint32))
+        return (np.zeros((1, 3), np.int32), np.zeros(1, np.int32), bits, lo, 0)
+    starts = np.flatnonzero(
+        np.concatenate([[True], seed_keys[1:] != seed_keys[:-1]])
+    ).astype(np.int64)
+    ends = np.concatenate([starts[1:], [S]])
+    run_table = np.stack(
+        [
+            np.ascontiguousarray(seed_keys[starts]).view(np.int32),
+            starts.astype(np.int32),
+            (ends - starts).astype(np.int32),
+        ],
+        axis=1,
+    )
+    bits, lo = build_bucket_table(seed_keys[starts])
+    occ = int(np.diff(lo).max()) if len(lo) > 1 else 0
+    steps = int(np.ceil(np.log2(occ + 1))) if occ > 0 else 0
+    return run_table, pos, bits, lo, steps
 
 
 class Aligner:
@@ -501,14 +569,12 @@ class Aligner:
         self.mesh = mesh if mesh is not None else default_mesh()
         put = self._replicate
         self.text_d = put(index.text.reshape(-1, 256))
-        seed_table = np.stack(
-            [index.seed_keys.view(np.int32), index.seed_pos.astype(np.int32)],
-            axis=1,
-        )
-        self.seed_table_d = put(seed_table)
+        (run_table, pos, self.bucket_bits, bucket_lo,
+         self.lookup_steps) = build_seed_lookup(index.seed_keys, index.seed_pos)
+        self.run_table_d = put(run_table)
+        self.seed_pos_d = put(pos)
         self.tstart_d = put(index.tstart.astype(np.int32))
         self.tnode_d = put(index.tnode.astype(np.int32))
-        self.bucket_bits, bucket_lo = build_bucket_table(index.seed_keys)
         self.bucket_lo_d = put(bucket_lo)
 
     def _replicate(self, arr):
@@ -533,33 +599,19 @@ class Aligner:
         c = self.cfg
         return (
             self.index.k, self.index.density_bits, self.bucket_bits,
-            c.max_seeds, c.hits_per_seed,
+            self.lookup_steps, c.max_seeds, c.hits_per_seed,
             c.max_candidates, c.extension_band, c.match, c.mismatch, c.gap_extend,
             c.mapq_scale, c.min_score_frac,
         )
-
-    @staticmethod
-    def _rev_codes(codes: np.ndarray, lens: np.ndarray) -> np.ndarray:
-        """Left-aligned reverse complement (padding was on the right)."""
-        rev = _RC[codes[:, ::-1]]
-        B, Lr = codes.shape
-        shift = (Lr - lens)[:, None]
-        cols = np.arange(Lr)[None, :]
-        return np.where(
-            cols < lens[:, None],
-            rev[np.arange(B)[:, None], np.minimum(cols + shift, Lr - 1)],
-            4,
-        ).astype(np.int8)
 
     def dispatch_codes(self, codes: np.ndarray, lens: np.ndarray):
         """Launch the query asynchronously; returns device arrays.  Use
         collect() to materialize a BatchResult — keeping several batches in
         flight pipelines host work against device compute."""
-        rev = self._rev_codes(codes, lens)
         return _query_batch(
-            self.text_d, self.seed_table_d, self.bucket_lo_d,
+            self.text_d, self.run_table_d, self.seed_pos_d, self.bucket_lo_d,
             self.tstart_d, self.tnode_d,
-            self._shard_reads(codes), self._shard_reads(rev),
+            self._shard_reads(pack_codes(codes)),
             self._shard_reads(lens.astype(np.int32)), self._static(),
         )
 
@@ -568,13 +620,11 @@ class Aligner:
         device tuples, one per mate — collect() each."""
         c = self.cfg
         return _query_batch_paired(
-            self.text_d, self.seed_table_d, self.bucket_lo_d,
+            self.text_d, self.run_table_d, self.seed_pos_d, self.bucket_lo_d,
             self.tstart_d, self.tnode_d,
-            self._shard_reads(codes1),
-            self._shard_reads(self._rev_codes(codes1, lens1)),
+            self._shard_reads(pack_codes(codes1)),
             self._shard_reads(lens1.astype(np.int32)),
-            self._shard_reads(codes2),
-            self._shard_reads(self._rev_codes(codes2, lens2)),
+            self._shard_reads(pack_codes(codes2)),
             self._shard_reads(lens2.astype(np.int32)),
             self._static(), c.frag_max, c.pair_bonus, c.rescue_frac,
         )

@@ -51,9 +51,9 @@ def make_mesh(n_devices: int | None = None, graph_axis: int = 1) -> Mesh:
 
 def profile_step(
     # alignment index (replicated)
-    text2d, seed_table, bucket_lo, tstart, tnode,
-    # read batch (sharded over "reads")
-    codes_fwd, codes_rev, read_len,
+    text2d, run_table, seed_pos, bucket_lo, tstart, tnode,
+    # read batch (sharded over "reads"; nibble-packed, see aligner.pack_codes)
+    codes_packed, read_len,
     # graph coverage tables (replicated; global 0-based node space)
     nodes_len, base_offset, base_node,
     trio_hash_sorted, trio_order, trio_abc_sorted, trio_len,
@@ -71,8 +71,8 @@ def profile_step(
     zeroed rows contribute |0-0| = 0, identical to row selection).
     """
     ts, te, score, matches, mapq, strand, aligned = _query_batch(
-        text2d, seed_table, bucket_lo, tstart, tnode,
-        codes_fwd, codes_rev, read_len, cfg_static,
+        text2d, run_table, seed_pos, bucket_lo, tstart, tnode,
+        codes_packed, read_len, cfg_static,
     )
 
     # project text intervals onto the node index (fastpath.py:125-135 on host)
@@ -172,8 +172,8 @@ class ShardedProfiler:
                 admm_iters=admm_iters,
             ),
             in_shardings=(
-                repl, repl, repl, repl, repl,        # index arrays
-                reads_sh, reads_sh, reads_sh,        # read batch
+                repl, repl, repl, repl, repl, repl,  # index arrays
+                reads_sh, reads_sh,                  # read batch
                 repl, repl, repl,                    # coverage tables
                 repl, repl, repl, repl,              # trio tables
                 repl, repl,                          # A, min_depth

@@ -86,7 +86,7 @@ def test_default_mesh_routes_device_coverage():
 def test_coverage_totals_match_alignment_spans():
     """Sharded coverage sums to the total aligned bases."""
     import __graft_entry__ as g
-    from pantax_tpu.align.aligner import _RC, _query_batch, build_bucket_table
+    from pantax_tpu.align.aligner import _query_batch, build_seed_lookup, pack_codes
     from pantax_tpu.align.index import build_align_index
     from pantax_tpu.config import AlignConfig
     from pantax_tpu.ops.coverage import interval_node_coverage
@@ -94,19 +94,20 @@ def test_coverage_totals_match_alignment_spans():
     db = g._tiny_db()
     index = build_align_index(db)
     cfg = AlignConfig()
-    bucket_bits, bucket_lo = build_bucket_table(index.seed_keys)
+    run_table, pos, bucket_bits, bucket_lo, steps = build_seed_lookup(
+        index.seed_keys, index.seed_pos
+    )
     cfg_static = (
-        index.k, index.density_bits, bucket_bits, cfg.max_seeds,
+        index.k, index.density_bits, bucket_bits, steps, cfg.max_seeds,
         cfg.hits_per_seed, cfg.max_candidates, cfg.extension_band, cfg.match,
         cfg.mismatch, cfg.gap_extend, cfg.mapq_scale, cfg.min_score_frac,
     )
     codes, lens = g._reads_from_index(index, 128, 128, seed=5)
-    rev = _RC[codes[:, ::-1]]
     ts, te, *_rest = _query_batch(
         index.text.reshape(-1, 256),
-        np.stack([index.seed_keys.view(np.int32), index.seed_pos.astype(np.int32)], axis=1), bucket_lo,
+        run_table, pos, bucket_lo,
         index.tstart.astype(np.int32), index.tnode.astype(np.int32),
-        codes, rev, lens, cfg_static,
+        pack_codes(codes), lens.astype(np.int32), cfg_static,
     )
     aligned = np.asarray(_rest[-1])
     N = int(index.tnode.max())
