@@ -196,7 +196,7 @@ def run_e2e_benchmark(
     import shutil
 
     from .config import ProfilingConfig
-    from .fastpath import collect_alignment_arrays, profile_from_alignments
+    from .ops.fused import build_fused_tables, profile_fused
 
     index = build_align_index(db)
     aligner = Aligner(index)
@@ -206,16 +206,19 @@ def run_e2e_benchmark(
     # warmup: one full untimed pass so the timed run hits no compiles at all —
     # the full-size coverage/ADMM bucket shapes differ from any subsample's,
     # and a cold compile mid-run would be charged to the pipeline
-    arrays = collect_alignment_arrays(aligner, codes, lens, batch)
+    tables = build_fused_tables(db, index)
     shutil.rmtree(out_dir, ignore_errors=True)
-    profile_from_alignments(arrays, index, db, cfg, out_dir)
+    profile_fused(aligner, codes, lens, index, db, cfg, out_dir, batch,
+                  tables=tables)
 
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.time()
-    arrays = collect_alignment_arrays(aligner, codes, lens, batch)
-    t_align = time.time() - t0
-    profile_from_alignments(arrays, index, db, cfg, out_dir)
+    stage = {}
+    profile_fused(aligner, codes, lens, index, db, cfg, out_dir, batch,
+                  tables=tables, stage_out=stage)
     wall = time.time() - t0
+    # align+coverage run as one fused device pipeline; "profile" is the rest
+    t_align = stage.get("align_cover_s", wall)
     n_strains = max(sum(1 for _ in open(f"{out_dir}/strain_abundance.txt")) - 1, 0)
     return {
         "e2e_reads_per_s": n_reads / wall,
@@ -224,7 +227,7 @@ def run_e2e_benchmark(
         "profile_s": wall - t_align,
         "wall_s": wall,
         "total_reads": n_reads,
-        "aligned_frac": len(arrays.read_ids) / n_reads,
+        "aligned_frac": stage.get("n_aligned", 0) / n_reads,
         "strains_detected": n_strains,
     }
 

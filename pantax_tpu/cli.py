@@ -372,6 +372,13 @@ def _run_fastpath(args, db, index, tmp: Path, t0: float) -> int:
             log.error("--fastpath requires the native parser; rerun without it")
             return 1
         aligner = Aligner(index)
+
+        if not args.paired:
+            # fused flow: align+classify+coverage in one device program per
+            # batch (ops/fused.py); the resume artifact and all outputs are
+            # identical to the per-species flow (tests/test_fused.py)
+            return _run_fastpath_fused(args, db, index, aligner, tmp, t0,
+                                       arrays_file)
         all_arrays = []
 
         def run_file(rf, mate_bufs=None):
@@ -446,6 +453,69 @@ def _run_fastpath(args, db, index, tmp: Path, t0: float) -> int:
                             strain=args.strain or not args.species)
     with stage_timer("profiling"):
         profile_from_alignments(merged, index, db, cfg, tmp)
+
+    prefix = f"{args.pantax_output}_" if args.pantax_output else ""
+    _copy(tmp / "species_abundance.txt", Path(f"{prefix}species_abundance.txt"))
+    if cfg.strain:
+        _copy(tmp / "strain_abundance.txt",
+              Path(f"{prefix}strains_abundance.txt" if prefix else "strain_abundance.txt"))
+    if args.pantax_report:
+        _copy(tmp / "reads_classification.tsv", Path(args.pantax_report))
+    if not args.next_for_strain and not args.debug:
+        shutil.rmtree(tmp, ignore_errors=True)
+    log.info("- Done in %.1fs", time.time() - t0)
+    return 0
+
+
+def _run_fastpath_fused(args, db, index, aligner, tmp: Path, t0: float,
+                        arrays_file: Path) -> int:
+    """Streaming fused flow: parse buffers -> fused align+coverage steps ->
+    per-species-slice profiling.  Writes the same alignment_arrays.npz resume
+    artifact as the per-species flow."""
+    import numpy as np
+
+    from .align.aligner import _round_up
+    from .io.fastx import stream_fastx_buffers
+    from .ops.fused import FusedPipeline, build_fused_tables, profile_from_fused_result
+    from .utils.logging import stage_timer
+    from .utils.native import fastx_parse_native
+
+    tables = build_fused_tables(db, index)
+    pipe = FusedPipeline(aligner, tables, batch=args.batch_size)
+    with stage_timer("alignment+coverage (fused)"):
+        for rf in args.reads:
+            for buf in stream_fastx_buffers(rf):
+                parsed = fastx_parse_native(buf)
+                if parsed is None:
+                    raise ValueError(f"{rf}: unparseable FASTA/FASTQ chunk")
+                codes_flat, offsets, ids = parsed
+                if len(ids) == 0:
+                    continue
+                pad = _round_up(int(np.diff(offsets).max()))
+                codes, lens = _codes_matrix(codes_flat, offsets, pad)
+                pipe.feed(codes, lens, ids=ids)
+        result = pipe.finish()
+
+    reads = result[3]
+    keep_rows = np.flatnonzero(reads["aligned"])
+    ids = reads["ids"]
+    read_ids = ([ids[i] for i in keep_rows] if ids is not None
+                else [f"R{i}" for i in keep_rows])
+    np.savez(
+        arrays_file,
+        read_ids=np.array(read_ids, dtype=np.str_),
+        ts=reads["ts"][keep_rows].astype(np.int64),
+        te=reads["te"][keep_rows].astype(np.int64),
+        mapq=reads["mapq"][keep_rows].astype(np.int64),
+        read_len=reads["read_len"][keep_rows].astype(np.int64),
+    )
+    log.info("- Aligned %d reads", len(keep_rows))
+
+    cfg = _profiling_config(args, db, tmp, "short",
+                            species=True,
+                            strain=args.strain or not args.species)
+    with stage_timer("profiling"):
+        profile_from_fused_result(result, tables, index, db, cfg, tmp)
 
     prefix = f"{args.pantax_output}_" if args.pantax_output else ""
     _copy(tmp / "species_abundance.txt", Path(f"{prefix}species_abundance.txt"))

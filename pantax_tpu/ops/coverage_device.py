@@ -69,22 +69,28 @@ class DeviceGraphCoverageTables:
         )
 
 
-def _node_abundances_impl(
+def _coverage_scatter(
     nodes,          # int32 [R, L] local node ids, -1 pad
     lengths,        # int32 [R]
     read_start,     # int32 [R]
     read_end,       # int32 [R]
     nodes_len,      # int32 [N]
     base_offset,    # int32 [N + 1]
-    base_node,      # int32 [TB]
     trio_hash_sorted,   # uint32 [U]
     trio_order,         # int32 [U]
     trio_abc_sorted,    # int32 [U, 3]
-    trio_len,           # int32 [U] (original order)
     num_nodes: int,
     total_bases: int,
     num_trios: int,
 ):
+    """Per-batch additive coverage contributions: every output is a plain sum
+    over reads, so batches can be accumulated (the fused align+cover pipeline
+    carries these as donated device accumulators) and _coverage_finalize
+    applied once at the end — bit-identical to a single whole-batch call.
+
+    Returns (bases_per_node f32 [N], diff i32 [TB+1] — the per-base coverage
+    DIFFERENCE array, cumsummed only in finalize because "covered bases"
+    itself is not additive — and trio_bases f32 [U])."""
     R, L = nodes.shape
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
     valid = pos < lengths[:, None]
@@ -147,7 +153,8 @@ def _node_abundances_impl(
         contrib.reshape(-1), node_ids.reshape(-1), num_segments=num_nodes
     )
 
-    # exact per-base coverage
+    # exact per-base coverage: scatter the interval difference array only
+    # (cumsum + >0 count happen in _coverage_finalize)
     lo_in = jnp.clip(start_idx, 0, nlen)
     hi_in = jnp.clip(start_idx + alloc, lo_in, nlen)
     iv_lo = base_offset[node_ids] + lo_in
@@ -158,8 +165,6 @@ def _node_abundances_impl(
     hi = jnp.where(keep, iv_hi, total_bases).reshape(-1)
     diff = jnp.zeros(total_bases + 1, dtype=jnp.int32)
     diff = diff.at[lo].add(1).at[hi].add(-1)
-    covered = (jnp.cumsum(diff[:-1]) > 0).astype(jnp.float32)
-    node_base_cov = jax.ops.segment_sum(covered, base_node, num_segments=num_nodes)
 
     # trio windows
     if num_trios > 0 and L >= 3:
@@ -196,9 +201,48 @@ def _node_abundances_impl(
     else:
         trio_bases = jnp.zeros(max(num_trios, 1), dtype=jnp.float32)[:num_trios]
 
+    return bases_per_node, diff, trio_bases
+
+
+def _coverage_finalize(
+    bases_per_node, diff, trio_bases, nodes_len, base_node, trio_len,
+    num_nodes: int,
+):
+    """Accumulated scatter sums -> (node_abundance, trio_abundance,
+    node_base_cov): one diff-array cumsum, the covered-base segment sum, and
+    the length normalizations."""
+    covered = (jnp.cumsum(diff[:-1]) > 0).astype(jnp.float32)
+    node_base_cov = jax.ops.segment_sum(covered, base_node, num_segments=num_nodes)
     node_abundance = bases_per_node / jnp.maximum(nodes_len, 1)
     trio_abundance = trio_bases / jnp.maximum(trio_len.astype(jnp.float32), 1.0)
     return node_abundance, trio_abundance, node_base_cov.astype(jnp.int32)
+
+
+def _node_abundances_impl(
+    nodes,          # int32 [R, L] local node ids, -1 pad
+    lengths,        # int32 [R]
+    read_start,     # int32 [R]
+    read_end,       # int32 [R]
+    nodes_len,      # int32 [N]
+    base_offset,    # int32 [N + 1]
+    base_node,      # int32 [TB]
+    trio_hash_sorted,   # uint32 [U]
+    trio_order,         # int32 [U]
+    trio_abc_sorted,    # int32 [U, 3]
+    trio_len,           # int32 [U] (original order)
+    num_nodes: int,
+    total_bases: int,
+    num_trios: int,
+):
+    bases_per_node, diff, trio_bases = _coverage_scatter(
+        nodes, lengths, read_start, read_end, nodes_len, base_offset,
+        trio_hash_sorted, trio_order, trio_abc_sorted,
+        num_nodes=num_nodes, total_bases=total_bases, num_trios=num_trios,
+    )
+    return _coverage_finalize(
+        bases_per_node, diff, trio_bases, nodes_len, base_node, trio_len,
+        num_nodes=num_nodes,
+    )
 
 
 device_node_abundances = partial(

@@ -1,0 +1,534 @@
+"""Fused align->classify->coverage pipeline over the global node space.
+
+The per-species profiling flow (fastpath.py) downloads alignment intervals,
+re-groups reads by species on host, re-uploads per-species node rows, and
+runs one device coverage program per species — the host<->device round trips
+dominate the strain stage.  Here the whole per-read pipeline runs in ONE
+device program per batch:
+
+    align (aligner._query_batch) -> locate node segments -> classify by
+    haplotype -> scatter coverage contributions into GLOBAL accumulators
+
+with the accumulators donated across batches (they never leave the device),
+then a single finalize (diff-array cumsum + normalizations) and per-species
+SLICES of the global arrays feed the unchanged filters + batched PAO.  The
+semantics mirror fastpath.profile_from_alignments exactly (parity test:
+tests/test_fused.py); the reference's per-species loop is profile.rs:3291-3323
+with coverage get_node_abundances profile.rs:742-1026.
+
+Reads whose node span exceeds the static L_cap window are counted on device;
+the driver falls back to the per-species path when any occur (they don't on
+chunked / anchor-partition graphs, where 150bp reads cross a handful of
+nodes).
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .coverage_device import (
+    _coverage_finalize,
+    _coverage_scatter,
+    build_padded_tables,
+)
+
+log = logging.getLogger("pantax_tpu")
+
+
+# ---------------------------------------------------------------------------
+# text-position -> segment lookup (bucket-accelerated bisection; the same
+# serial-gather argument as the aligner's seed lookup: jnp.searchsorted over
+# the full segment table costs ~log2(M) serial gathers)
+# ---------------------------------------------------------------------------
+def build_pos_lookup(tstart: np.ndarray, text_len: int):
+    """(pos_lo int32 [nb+1], win_shift, steps) for locate_segment."""
+    M = len(tstart)
+    b = int(np.clip(int(np.ceil(np.log2(max(M, 2)))) + 2, 8, 22))
+    t_bits = int(np.ceil(np.log2(max(text_len, 2))))
+    win_shift = max(t_bits - b, 0)
+    nb = 1 << max(t_bits - win_shift, 1)
+    bounds = (np.arange(nb + 1, dtype=np.int64) << win_shift)
+    pos_lo = np.searchsorted(tstart.astype(np.int64), bounds, side="right")
+    pos_lo = pos_lo.astype(np.int32)
+    occ = int(np.diff(pos_lo).max()) if nb else 0
+    steps = int(np.ceil(np.log2(occ + 1))) if occ > 0 else 0
+    return pos_lo, win_shift, steps
+
+
+def locate_segment(tstart, pos_lo, win_shift: int, steps: int, ts):
+    """searchsorted(tstart, ts, side='right') - 1, via a static-depth
+    in-bucket bisection (first index with tstart[idx] > ts, minus one)."""
+    M = tstart.shape[0]
+    b = (ts >> win_shift).astype(jnp.int32)
+    lo = pos_lo[b]
+    hi = pos_lo[b + 1]
+    lo_s, hi_s = lo, hi
+    for _ in range(steps):
+        mid = (lo_s + hi_s) >> 1
+        key = tstart[jnp.clip(mid, 0, M - 1)]
+        go_right = (key <= ts) & (lo_s < hi_s)
+        lo_s = jnp.where(go_right, mid + 1, lo_s)
+        hi_s = jnp.where(go_right, hi_s, jnp.maximum(mid, lo_s))
+    return jnp.clip(lo_s - 1, 0, M - 1)
+
+
+# ---------------------------------------------------------------------------
+# fused device step
+# ---------------------------------------------------------------------------
+def _fused_step_impl(
+    # align index (replicated device arrays)
+    text2d, run_table, seed_pos, bucket_lo, tstart, tnode,
+    # classification tables
+    hap_offsets,     # int32 [H + 1] text start of each haplotype
+    hap_range,       # int32 [H] species-range index of each haplotype
+    pos_lo,          # int32 [nb + 1] segment bucket table
+    # coverage tables (global padded node space)
+    nodes_len, base_offset, trio_hash, trio_order, trio_abc,
+    # batch
+    codes_packed, read_len,
+    # donated accumulators
+    acc_bases, acc_diff, acc_trio,
+    *,
+    cfg_static, win_shift: int, pos_steps: int, L_cap: int,
+    num_nodes: int, total_bases: int, num_trios: int,
+):
+    from ..align.aligner import _query_batch
+
+    ts, te, score, matches, mapq, strand, aligned = _query_batch(
+        text2d, run_table, seed_pos, bucket_lo, tstart, tnode,
+        codes_packed, read_len, cfg_static,
+    )
+    B = ts.shape[0]
+    M = tstart.shape[0]
+
+    # classification by containing haplotype (fastpath.py:167-181 parity);
+    # the haplotype table is tiny (H+1 entries), so a plain searchsorted's
+    # log2(H) serial gathers of [B] are negligible next to the segment locate
+    h = jnp.clip(
+        jnp.searchsorted(hap_offsets, ts, side="right") - 1,
+        0, hap_range.shape[0] - 1,
+    )
+    ridx = jnp.where(aligned, hap_range[h], -1)
+
+    # node segment window
+    i0 = locate_segment(tstart, pos_lo, win_shift, pos_steps, ts)
+    cols = jnp.arange(1, L_cap + 1, dtype=jnp.int32)
+    nxt = i0[:, None] + cols[None, :]
+    starts_win = jnp.where(
+        nxt < M, tstart[jnp.clip(nxt, 0, M - 1)], jnp.int32(2**31 - 1)
+    )
+    te1 = jnp.maximum(te - 1, ts)
+    n_more = jnp.sum(starts_win <= te1[:, None], axis=1).astype(jnp.int32)
+    overflow = aligned & (n_more >= L_cap)
+    span = jnp.clip(n_more + 1, 1, L_cap)
+
+    keep = aligned & (ridx >= 0) & ~overflow
+    colsL = jnp.arange(L_cap, dtype=jnp.int32)[None, :]
+    take = jnp.clip(i0[:, None] + colsL, 0, M - 1)
+    nodes = jnp.where(
+        (colsL < span[:, None]) & keep[:, None],
+        tnode[take].astype(jnp.int32) - 1,
+        -1,
+    )
+    lengths = jnp.where(keep, span, 0)
+    read_start = jnp.where(keep, (ts - tstart[i0]).astype(jnp.int32), 0)
+    read_end = jnp.where(keep, read_start + (te - ts).astype(jnp.int32), 0)
+
+    d_bases, d_diff, d_trio = _coverage_scatter(
+        nodes, lengths, read_start, read_end,
+        nodes_len, base_offset, trio_hash, trio_order, trio_abc,
+        num_nodes=num_nodes, total_bases=total_bases, num_trios=num_trios,
+    )
+    return (
+        acc_bases + d_bases, acc_diff + d_diff, acc_trio + d_trio,
+        ts, te, mapq, aligned, ridx, overflow,
+    )
+
+
+_fused_step = partial(
+    jax.jit,
+    static_argnames=(
+        "cfg_static", "win_shift", "pos_steps", "L_cap",
+        "num_nodes", "total_bases", "num_trios",
+    ),
+    donate_argnums=(16, 17, 18),  # acc_bases, acc_diff, acc_trio
+)(_fused_step_impl)
+
+
+@partial(jax.jit, static_argnames=("num_nodes",))
+def _fused_finalize(acc_bases, acc_diff, acc_trio, nodes_len, base_node,
+                    trio_len, num_nodes: int):
+    return _coverage_finalize(
+        acc_bases, acc_diff, acc_trio, nodes_len, base_node, trio_len,
+        num_nodes=num_nodes,
+    )
+
+
+@partial(jax.jit, static_argnames=("TB_pad", "N_pad"))
+def _base_node_device(base_offset, TB_pad: int, N_pad: int):
+    """base_node[i] = node of flat base i, computed on device (the host
+    np.repeat + upload costs ~4 bytes per DB base — 400MB for a 100MB DB)."""
+    idx = jnp.arange(TB_pad, dtype=jnp.int32)
+    return jnp.clip(
+        jnp.searchsorted(base_offset, idx, side="right") - 1, 0, N_pad - 1
+    ).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# host-side tables + driver
+# ---------------------------------------------------------------------------
+@dataclass
+class FusedSpecies:
+    range_: object          # SpeciesRange
+    ridx: int               # index into the species-range table
+    off: int                # global 0-based node offset (range.start - 1)
+    num_nodes: int
+    trio_lo: int            # slice of the global trio table
+    trio_hi: int
+    paths: dict             # name -> node array (local)
+    nodes_len: np.ndarray
+    trio_index: object      # TrioIndex (hap_matrix, trio_len, ...)
+
+
+@dataclass
+class FusedTables:
+    species: list
+    ranges: list
+    # device arrays
+    hap_offsets_d: jnp.ndarray
+    hap_range_d: jnp.ndarray
+    pos_lo_d: jnp.ndarray
+    nodes_len_d: jnp.ndarray
+    base_offset_d: jnp.ndarray
+    base_node_d: jnp.ndarray
+    trio_hash_d: jnp.ndarray
+    trio_order_d: jnp.ndarray
+    trio_abc_d: jnp.ndarray
+    trio_len_d: jnp.ndarray
+    win_shift: int
+    pos_steps: int
+    N_pad: int
+    TB_pad: int
+    U_pad: int
+
+
+def build_fused_tables(db, index) -> FusedTables:
+    """Global coverage/classification tables + per-species metadata."""
+    from ..graph.core import load_species_range
+    from ..graph.trio import build_trio_index
+
+    ranges = load_species_range(db.range_file)
+    N = max(r.end for r in ranges)
+    nodes_len = np.ones(N, dtype=np.int64)
+    trio_nodes, trio_len, species = [], [], []
+    t_off = 0
+    for rj, r in enumerate(ranges):
+        g = db.load_graph(r.species)
+        off = r.start - 1
+        nodes_len[off:off + g.num_nodes] = g.nodes_len
+        paths = g.paths_dict()
+        ti = build_trio_index(g.nodes_len, paths)
+        u = ti.num_unique
+        if u:
+            trio_nodes.append(np.asarray(ti.trio_nodes) + off)
+            trio_len.append(np.asarray(ti.trio_len))
+        species.append(FusedSpecies(
+            range_=r, ridx=rj, off=off, num_nodes=g.num_nodes,
+            trio_lo=t_off, trio_hi=t_off + u,
+            paths=paths, nodes_len=g.nodes_len, trio_index=ti,
+        ))
+        t_off += u
+    tn = np.concatenate(trio_nodes) if trio_nodes else np.zeros((0, 3), np.int64)
+    tl = np.concatenate(trio_len) if trio_len else np.zeros(0, np.int64)
+    t = build_padded_tables(nodes_len, tn, tl)
+
+    range_of_species = {r.species: j for j, r in enumerate(ranges)}
+    hap_range = np.array(
+        [range_of_species.get(s, -1) for s in index.hap_species],
+        dtype=np.int32,
+    )
+    pos_lo, win_shift, steps = build_pos_lookup(
+        index.tstart.astype(np.int64), index.text_len
+    )
+    return FusedTables(
+        species=species,
+        ranges=ranges,
+        hap_offsets_d=jnp.asarray(index.hap_offsets.astype(np.int32)),
+        hap_range_d=jnp.asarray(hap_range),
+        pos_lo_d=jnp.asarray(pos_lo),
+        nodes_len_d=t.nodes_len,
+        base_offset_d=t.base_offset,
+        base_node_d=_base_node_device(t.base_offset, t.TB_pad, t.N_pad),
+        trio_hash_d=t.trio_hash,
+        trio_order_d=t.trio_order,
+        trio_abc_d=t.trio_abc,
+        trio_len_d=t.trio_len,
+        win_shift=win_shift,
+        pos_steps=steps,
+        N_pad=t.N_pad,
+        TB_pad=t.TB_pad,
+        U_pad=t.U_pad,
+    )
+
+
+class FusedPipeline:
+    """Incremental fused align+coverage: feed() read-chunks (any size; each
+    is cut into fixed ``batch`` dispatches), finish() once.  The coverage
+    accumulators never leave the device between feeds; per-read outputs are
+    collected lazily (device refs) so feeds pipeline like the plain aligner
+    loop."""
+
+    def __init__(self, aligner, tables: FusedTables, batch: int,
+                 L_cap: int = 32):
+        self.aligner = aligner
+        self.tables = tables
+        self.batch = batch
+        self.L_cap = L_cap
+        self.acc_b = jnp.zeros(tables.N_pad, dtype=jnp.float32)
+        self.acc_d = jnp.zeros(tables.TB_pad + 1, dtype=jnp.int32)
+        self.acc_t = jnp.zeros(tables.U_pad, dtype=jnp.float32)
+        self._per_read = []   # (n_valid, ids|None, lens, device outs)
+
+    def feed(self, codes, lens, ids=None) -> None:
+        from ..align.aligner import pack_codes
+
+        aligner, tables, batch = self.aligner, self.tables, self.batch
+        n = len(lens)
+        for lo in range(0, n, batch):
+            hi = min(lo + batch, n)
+            b_codes = codes[lo:hi]
+            b_lens = lens[lo:hi]
+            if hi - lo < batch:
+                b_codes = np.vstack([
+                    b_codes,
+                    np.full((batch - (hi - lo), codes.shape[1]), 4, np.int8),
+                ])
+                b_lens = np.concatenate(
+                    [b_lens, np.zeros(batch - (hi - lo), b_lens.dtype)]
+                )
+            out = _fused_step(
+                aligner.text_d, aligner.run_table_d, aligner.seed_pos_d,
+                aligner.bucket_lo_d, aligner.tstart_d, aligner.tnode_d,
+                tables.hap_offsets_d, tables.hap_range_d, tables.pos_lo_d,
+                tables.nodes_len_d, tables.base_offset_d,
+                tables.trio_hash_d, tables.trio_order_d, tables.trio_abc_d,
+                aligner._shard_reads(pack_codes(b_codes)),
+                aligner._shard_reads(b_lens.astype(np.int32)),
+                self.acc_b, self.acc_d, self.acc_t,
+                cfg_static=aligner._static(), win_shift=tables.win_shift,
+                pos_steps=tables.pos_steps, L_cap=self.L_cap,
+                num_nodes=tables.N_pad, total_bases=tables.TB_pad,
+                num_trios=tables.U_pad,
+            )
+            self.acc_b, self.acc_d, self.acc_t = out[:3]
+            self._per_read.append(
+                (hi - lo, ids[lo:hi] if ids is not None else None,
+                 np.asarray(lens[lo:hi]), out[3:])
+            )
+
+    def finish(self):
+        """-> (node_abund [N_pad], trio_abund [U_pad], node_base_cov [N_pad],
+        reads dict, n_overflow).  reads holds one row per FED read:
+        ts/te/mapq/aligned/ridx/read_len (+ids list when feed() got ids)."""
+        tables = self.tables
+        na, ta, bc = _fused_finalize(
+            self.acc_b, self.acc_d, self.acc_t, tables.nodes_len_d,
+            tables.base_node_d, tables.trio_len_d, num_nodes=tables.N_pad,
+        )
+        cols = {k: [] for k in ("ts", "te", "mapq", "aligned", "ridx")}
+        ids_all: list | None = [] if (
+            self._per_read and self._per_read[0][1] is not None
+        ) else None
+        lens_l = []
+        ov = 0
+        for m, ids, lens_chunk, (ts, te, mq, al, ri, o) in self._per_read:
+            cols["ts"].append(np.asarray(ts)[:m])
+            cols["te"].append(np.asarray(te)[:m])
+            cols["mapq"].append(np.asarray(mq)[:m])
+            cols["aligned"].append(np.asarray(al)[:m])
+            cols["ridx"].append(np.asarray(ri)[:m])
+            lens_l.append(lens_chunk)
+            ov += int(np.asarray(o)[:m].sum())
+            if ids_all is not None:
+                ids_all.extend(ids)
+        reads = {
+            k: (np.concatenate(v) if v else np.zeros(0, np.int64))
+            for k, v in cols.items()
+        }
+        reads["read_len"] = (
+            np.concatenate(lens_l) if lens_l else np.zeros(0, np.int64)
+        )
+        reads["ids"] = ids_all
+        return (
+            np.asarray(na, dtype=np.float64),
+            np.asarray(ta, dtype=np.float64),
+            np.asarray(bc),
+            reads,
+            ov,
+        )
+
+
+def fused_alignment_coverage(
+    aligner, codes, lens, tables: FusedTables, batch: int, L_cap: int = 32,
+):
+    """One-shot convenience wrapper over FusedPipeline."""
+    pipe = FusedPipeline(aligner, tables, batch, L_cap)
+    pipe.feed(codes, lens)
+    return pipe.finish()
+
+
+def profile_fused(
+    aligner, codes, lens, index, db, cfg, out_dir, batch: int,
+    tables: FusedTables | None = None, L_cap: int = 32,
+    stage_out: dict | None = None,
+) -> bool:
+    """One-shot fused species+strain profiling over a codes matrix.
+
+    Returns True when the fused coverage was used, False when any read
+    overflowed L_cap and the identical-semantics per-species flow
+    (fastpath.profile_from_alignments) handled the run instead — either way
+    the output tables are written."""
+    if tables is None:
+        tables = build_fused_tables(db, index)
+    t0 = time.time()
+    pipe = FusedPipeline(aligner, tables, batch, L_cap)
+    pipe.feed(codes, lens)
+    result = pipe.finish()
+    if stage_out is not None:
+        stage_out["align_cover_s"] = time.time() - t0
+        stage_out["n_aligned"] = int(result[3]["aligned"].sum())
+    return profile_from_fused_result(result, tables, index, db, cfg, out_dir)
+
+
+def profile_from_fused_result(
+    result, tables: FusedTables, index, db, cfg, out_dir,
+) -> bool:
+    """Write species+strain tables from a FusedPipeline.finish() result.
+
+    When any read overflowed the L_cap node window, reconstructs the exact
+    AlignmentArrays the per-species flow expects (everything needed was
+    downloaded per batch) and delegates to fastpath.profile_from_alignments
+    — no realignment, identical semantics.  Returns True iff the fused
+    coverage was used."""
+    from ..io.metadata import read_genomes_info
+    from ..profile.engine import finish_two_stage, prepare_two_stage
+    from ..profile.filters import HapMetrics, OtuState, first_filter_paths
+    from ..profile.report import abundance_constraint, abundance_est
+    from ..profile.species import read_species_mean_len, species_profiling
+    from ..utils.logging import stage_timer
+
+    node_abund, trio_abund, node_base_cov, reads, n_overflow = result
+    aligned = reads["aligned"]
+    keep_rows = np.flatnonzero(aligned)
+    ids = reads["ids"]
+    read_ids = (
+        [ids[i] for i in keep_rows] if ids is not None
+        else [f"R{i}" for i in keep_rows]
+    )
+
+    if n_overflow:
+        log.warning(
+            "fused path: %d reads span more nodes than the L_cap window; "
+            "delegating to the per-species flow", n_overflow,
+        )
+        from ..fastpath import AlignmentArrays, profile_from_alignments
+
+        arrays = AlignmentArrays(
+            read_ids=read_ids,
+            ts=reads["ts"][keep_rows].astype(np.int64),
+            te=reads["te"][keep_rows].astype(np.int64),
+            mapq=reads["mapq"][keep_rows].astype(np.int64),
+            read_len=reads["read_len"][keep_rows].astype(np.int64),
+        )
+        profile_from_alignments(arrays, index, db, cfg, out_dir)
+        return False
+
+    out = os.fspath(out_dir)
+    os.makedirs(out, exist_ok=True)
+    ridx = reads["ridx"][keep_rows]
+    mapq = reads["mapq"][keep_rows]
+    read_len = reads["read_len"][keep_rows]
+    species = np.array(
+        [tables.ranges[i].species if i >= 0 else "U" for i in ridx],
+        dtype=object,
+    )
+    with open(os.path.join(out, "reads_classification.tsv"), "w") as f:
+        f.write("\n".join(
+            f"{rid}\t{q}\t{sp}\t{rl}" for rid, q, sp, rl in zip(
+                read_ids, mapq, species, read_len
+            )
+        ))
+        if len(keep_rows):
+            f.write("\n")
+
+    keep = ridx >= 0
+    profile = species_profiling(
+        species[keep], read_len[keep], mapq[keep],
+        read_species_mean_len(db.stats_file), filtered=cfg.filtered,
+    )
+    profile.save(os.path.join(out, "species_abundance.txt"))
+    if not cfg.strain:
+        return True
+
+    abundant = {
+        str(row["species_taxid"]): float(row["predicted_abundance"])
+        for _, row in profile.df.iterrows()
+    }
+    selected = []
+    for sp in tables.species:
+        r = sp.range_
+        if cfg.mode == 0 and r.is_pan != 0:
+            continue
+        if cfg.mode == 1 and r.is_pan != 1:
+            continue
+        if cfg.designated_species and r.species not in cfg.designated_species:
+            continue
+        if abundant.get(r.species, 0.0) <= cfg.min_species_abundance:
+            continue
+        selected.append(sp)
+
+    # species with zero classified reads are skipped entirely (fastpath._work
+    # returns None on an empty selection — no metrics rows, no constraint)
+    counts = np.bincount(
+        ridx[keep].astype(np.int64), minlength=len(tables.ranges)
+    )
+
+    metrics = []
+    with stage_timer(f"strain profiling ({len(selected)} species, fused)"):
+        prepared = []
+        for sp in selected:
+            if counts[sp.ridx] == 0:
+                continue
+            na = node_abund[sp.off:sp.off + sp.num_nodes]
+            ta = trio_abund[sp.trio_lo:sp.trio_hi]
+            bc = node_base_cov[sp.off:sp.off + sp.num_nodes]
+            state = OtuState(
+                otu=sp.range_.species,
+                hap_metrics=[HapMetrics() for _ in sp.paths],
+            )
+            na_opt = np.where(na > cfg.min_depth, na, 0.0)
+            first_filter_paths(
+                state, sp.paths, sp.trio_index.hap_matrix, ta, na_opt, cfg
+            )
+            job = None
+            if state.possible_paths_idx:
+                job = prepare_two_stage(
+                    state, sp.num_nodes, sp.paths, na, bc, sp.nodes_len, cfg
+                )
+            prepared.append((state, job))
+        finish_two_stage([j for _, j in prepared if j is not None], cfg)
+    for state, _ in prepared:
+        abundance_constraint(profile, state.hap_metrics)
+        metrics.extend(state.hap_metrics)
+
+    genomes_info = read_genomes_info(db.genomes_info_file)
+    abundance_est(cfg, metrics, genomes_info, out)
+    return True

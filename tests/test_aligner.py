@@ -329,3 +329,38 @@ def test_paired_bulk_not_worse_than_independent(paired_setup):
     # mapq of correctly-placed pairs should not collapse
     ok = r1.aligned & (np.abs(r1.text_start - (hap_off + starts)) <= 2)
     assert float(r1.mapq[ok].mean()) >= float(i1.mapq[i1.aligned].mean())
+
+
+def test_pack_unpack_roundtrip():
+    """pack_codes (host nibble pack) inverts exactly through _unpack_codes_j,
+    including the odd-length pad column (value 4)."""
+    from pantax_tpu.align.aligner import _unpack_codes_j, pack_codes
+
+    rng = np.random.default_rng(3)
+    for L in (150, 151, 2):
+        codes = rng.integers(0, 5, size=(7, L)).astype(np.int8)
+        packed = pack_codes(codes)
+        assert packed.dtype == np.uint8 and packed.shape == (7, (L + 1) // 2)
+        un = np.asarray(_unpack_codes_j(packed))
+        assert np.array_equal(un[:, :L], codes)
+        if L % 2:
+            assert (un[:, L] == 4).all()  # pad column is sentinel
+
+
+def test_device_revcomp_matches_host():
+    """_rev_codes_j equals the host reverse complement on right-padded codes
+    (left-aligned result, N bases preserved, pad stays 4)."""
+    from pantax_tpu.align.aligner import _rev_codes_j
+
+    rng = np.random.default_rng(4)
+    B, Lr = 5, 32
+    codes = np.full((B, Lr), 4, dtype=np.int8)
+    lens = rng.integers(1, Lr + 1, size=B)
+    for i in range(B):
+        codes[i, : lens[i]] = rng.integers(0, 5, size=lens[i])  # incl. N=4
+    out = np.asarray(_rev_codes_j(codes, lens.astype(np.int32)))
+    for i in range(B):
+        fwd = codes[i, : lens[i]]
+        exp = np.where(fwd[::-1] < 4, 3 - fwd[::-1], 4).astype(np.int8)
+        assert np.array_equal(out[i, : lens[i]], exp)
+        assert (out[i, lens[i]:] == 4).all()

@@ -1,0 +1,145 @@
+"""Fused align+classify+coverage pipeline: batch additivity and full parity
+against the per-species fastpath flow on the example database."""
+import filecmp
+
+import numpy as np
+import pytest
+
+from pantax_tpu.align.aligner import Aligner
+from pantax_tpu.align.index import build_align_index
+from pantax_tpu.config import ProfilingConfig
+from pantax_tpu.db.construct import build_database
+from pantax_tpu.sim import simulate_reads
+
+EXAMPLE_INFO = "/root/reference/example/example_genomes_info.txt"
+BASE = "/root/reference/example/ngs"
+
+
+@pytest.fixture(scope="module")
+def db(tmp_path_factory):
+    return build_database(EXAMPLE_INFO, tmp_path_factory.mktemp("db"), base_dir=BASE)
+
+
+@pytest.fixture(scope="module")
+def index(db):
+    return build_align_index(db)
+
+
+@pytest.fixture(scope="module")
+def aligner(index):
+    return Aligner(index)
+
+
+def test_scatter_batches_accumulate(db, index):
+    """Summing _coverage_scatter over read sub-batches + one finalize equals
+    the single whole-batch _node_abundances_impl call bit-for-bit."""
+    import jax.numpy as jnp
+
+    from pantax_tpu.graph.core import load_species_range
+    from pantax_tpu.graph.trio import build_trio_index
+    from pantax_tpu.ops.coverage_device import (
+        _coverage_finalize, _coverage_scatter, _node_abundances_impl,
+        build_padded_tables,
+    )
+
+    r = load_species_range(db.range_file)[0]
+    g = db.load_graph(r.species)
+    ti = build_trio_index(g.nodes_len, g.paths_dict())
+    t = build_padded_tables(g.nodes_len, ti.trio_nodes, ti.trio_len)
+
+    rng = np.random.default_rng(0)
+    R, L = 64, 8
+    nodes = rng.integers(0, g.num_nodes, size=(R, L)).astype(np.int32)
+    lengths = rng.integers(1, L + 1, size=R).astype(np.int32)
+    rs = rng.integers(0, 5, size=R).astype(np.int32)
+    re = rs + rng.integers(1, 150, size=R).astype(np.int32)
+
+    kw = dict(num_nodes=t.N_pad, total_bases=t.TB_pad, num_trios=t.U_pad)
+    tables = (t.nodes_len, t.base_offset, t.trio_hash, t.trio_order, t.trio_abc)
+    whole = _node_abundances_impl(
+        nodes, lengths, rs, re, t.nodes_len, t.base_offset, t.base_node,
+        t.trio_hash, t.trio_order, t.trio_abc, t.trio_len, **kw,
+    )
+    acc = None
+    for lo in range(0, R, 16):
+        part = _coverage_scatter(
+            nodes[lo:lo + 16], lengths[lo:lo + 16], rs[lo:lo + 16],
+            re[lo:lo + 16], *tables, **kw,
+        )
+        acc = part if acc is None else tuple(a + p for a, p in zip(acc, part))
+    inc = _coverage_finalize(
+        *acc, t.nodes_len, t.base_node, t.trio_len, num_nodes=t.N_pad
+    )
+    for w, i in zip(whole, inc):
+        assert np.array_equal(np.asarray(w), np.asarray(i))
+
+
+def test_pos_lookup_matches_searchsorted(index):
+    from pantax_tpu.ops.fused import build_pos_lookup, locate_segment
+    import jax.numpy as jnp
+
+    tstart = index.tstart.astype(np.int32)
+    pos_lo, shift, steps = build_pos_lookup(
+        index.tstart.astype(np.int64), index.text_len
+    )
+    rng = np.random.default_rng(1)
+    ts = rng.integers(0, index.text_len, size=4096).astype(np.int32)
+    got = np.asarray(locate_segment(
+        jnp.asarray(tstart), jnp.asarray(pos_lo), shift, steps, jnp.asarray(ts)
+    ))
+    want = np.clip(
+        np.searchsorted(index.tstart, ts, side="right") - 1, 0, len(tstart) - 1
+    )
+    assert np.array_equal(got, want)
+
+
+def test_fused_profile_matches_fastpath(db, index, aligner, tmp_path):
+    """profile_fused writes byte-identical abundance tables to the
+    per-species fastpath flow on the same reads."""
+    from pantax_tpu.align.encode import encode_seq
+    from pantax_tpu.fastpath import (
+        collect_alignment_arrays, profile_from_alignments,
+    )
+    from pantax_tpu.ops.fused import profile_fused
+
+    reads = simulate_reads(db, {"GCF_002012065.1": 4, "GCF_024223415.1": 2,
+                                "GCF_006400955.1": 2,
+                                "MGYG000002538_genomic": 1},
+                           n_reads=3000, read_len=150, seed=11)
+    L = 160
+    codes = np.full((len(reads), L), 4, dtype=np.int8)
+    lens = np.zeros(len(reads), dtype=np.int64)
+    for i, r in enumerate(reads):
+        codes[i, : len(r.seq)] = encode_seq(r.seq)
+        lens[i] = len(r.seq)
+
+    cfg = ProfilingConfig.for_read_type("short")
+    out_fast = tmp_path / "fast"
+    arrays = collect_alignment_arrays(aligner, codes, lens, batch=1024)
+    profile_from_alignments(arrays, index, db, cfg, out_fast)
+
+    out_fused = tmp_path / "fused"
+    ok = profile_fused(aligner, codes, lens, index, db, cfg, out_fused,
+                       batch=1024)
+    assert ok, "fused path fell back (L_cap overflow) on the example DB"
+
+    # classification and species tables are byte-identical; the strain tables
+    # match to float tolerance (the fused path accumulates trio coverage per
+    # BATCH in float32, so the summation order differs from the one-call
+    # per-species path by last-ulp amounts)
+    for name in ("reads_classification.tsv", "species_abundance.txt"):
+        assert filecmp.cmp(out_fast / name, out_fused / name, shallow=False), (
+            f"{name} differs between fused and fastpath"
+        )
+    for name in ("strain_abundance.txt", "ori_strain_abundance.txt"):
+        a = (out_fast / name).read_text().splitlines()
+        b = (out_fused / name).read_text().splitlines()
+        assert len(a) == len(b), name
+        assert a[0] == b[0]
+        for ra, rb in zip(a[1:], b[1:]):
+            ca, cb = ra.split("\t"), rb.split("\t")
+            assert ca[:3] == cb[:3], (name, ra, rb)  # taxids + genome id
+            np.testing.assert_allclose(
+                [float(x) for x in ca[3:]], [float(x) for x in cb[3:]],
+                rtol=1e-6, atol=1e-9, err_msg=f"{name}: {ra} vs {rb}",
+            )
