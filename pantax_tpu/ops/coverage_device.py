@@ -35,6 +35,49 @@ def _mix3(a, b, c):
     return h ^ (h >> 16)
 
 
+def build_hash_lookup(hash_sorted: np.ndarray, n_real: int):
+    """(bucket_lo int32 [nb+1], bits, steps, probes) for _hash_bisect_left.
+
+    jnp.searchsorted over a U-entry sorted table costs log2(U) SERIAL gather
+    rounds (~73ms per 32k-read batch at U=1M on v5e); bucketing by the top
+    ``bits`` of the uniform hash cuts that to ~2-3 in-bucket bisection steps.
+    ``probes`` is the longest run of equal hashes among the n_real live
+    entries (the sentinel pad run is excluded — sentinels never match a
+    probe's abc verification), so the linear probe depth is exact, not a
+    heuristic."""
+    hs = np.asarray(hash_sorted, dtype=np.uint64)[:n_real]  # exclude sentinel
+    bits = int(np.clip(int(np.ceil(np.log2(max(n_real, 2)))) + 2, 8, 22))
+    nb = 1 << bits
+    bounds = np.arange(nb + 1, dtype=np.uint64) << np.uint64(32 - bits)
+    lo = np.searchsorted(hs, bounds, side="left").astype(np.int32)
+    occ = int(np.diff(lo).max()) if nb else 0
+    steps = int(np.ceil(np.log2(occ + 1))) + 1 if occ > 0 else 0
+    if n_real > 1:
+        brk = np.flatnonzero(np.diff(hs[:n_real]) != 0)  # longest equal run
+        edges = np.concatenate([[-1], brk, [n_real - 1]])
+        best = int(np.diff(edges).max())
+    else:
+        best = 1
+    return lo, bits, steps, max(best, 1)
+
+
+def _hash_bisect_left(table, bucket_lo, bits: int, steps: int, h):
+    """searchsorted(table, h, side='left') via static-depth in-bucket
+    bisection (table uint32 ascending, h uint32)."""
+    U = table.shape[0]
+    b = (h >> jnp.uint32(32 - bits)).astype(jnp.int32)
+    lo = bucket_lo[b]
+    hi = bucket_lo[b + 1]
+    for _ in range(steps):
+        mid = (lo + hi) >> 1
+        key = table[jnp.clip(mid, 0, U - 1)]
+        go = key < h
+        open_ = lo < hi
+        lo = jnp.where(open_ & go, mid + 1, lo)
+        hi = jnp.where(open_ & ~go, mid, hi)
+    return lo
+
+
 @dataclass
 class DeviceGraphCoverageTables:
     """Static per-species device arrays for coverage computation."""
@@ -79,9 +122,16 @@ def _coverage_scatter(
     trio_hash_sorted,   # uint32 [U]
     trio_order,         # int32 [U]
     trio_abc_sorted,    # int32 [U, 3]
+    *,
     num_nodes: int,
     total_bases: int,
     num_trios: int,
+    acc=None,
+    trio_bucket=None,
+    trio_bits: int = 0,
+    trio_steps: int = 0,
+    trio_probes: int = 4,
+    has_dups: bool = True,
 ):
     """Per-batch additive coverage contributions: every output is a plain sum
     over reads, so batches can be accumulated (the fused align+cover pipeline
@@ -90,7 +140,25 @@ def _coverage_scatter(
 
     Returns (bases_per_node f32 [N], diff i32 [TB+1] — the per-base coverage
     DIFFERENCE array, cumsummed only in finalize because "covered bases"
-    itself is not additive — and trio_bases f32 [U])."""
+    itself is not additive — and trio_bases f32 [U]).
+
+    ``acc`` (optional) is a prior (bases, diff, trio) triple to scatter INTO:
+    when the caller donates these buffers the updates are in place, so the
+    big [TB+1] diff array is touched once per batch instead of being
+    materialized fresh and then added.
+
+    ``trio_bucket``/``trio_bits``/``trio_steps`` (from build_hash_lookup)
+    replace the trio-table searchsorted's log2(U) serial gather rounds with a
+    bucketed bisection; ``trio_probes`` is the exact max equal-hash run.
+    ``has_dups=False`` skips the first-occurrence dedup sorts when the caller
+    proves no node repeats within any read window (fused path, host-checked):
+    then every occurrence IS a first occurrence."""
+    if acc is None:
+        acc_b = jnp.zeros(num_nodes, dtype=jnp.float32)
+        acc_d = jnp.zeros(total_bases + 1, dtype=jnp.int32)
+        acc_t = jnp.zeros(num_trios, dtype=jnp.float32)
+    else:
+        acc_b, acc_d, acc_t = acc
     R, L = nodes.shape
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
     valid = pos < lengths[:, None]
@@ -116,41 +184,43 @@ def _coverage_scatter(
 
     # first occurrence + broadcast of the first-occurrence allocation:
     # rows are independent -> sort (node, pos) within each row
-    sort_node = jnp.where(valid, node_ids, num_nodes)  # pads group at the end
-    # jnp.argsort is stable and positions are already ascending within each
-    # row, so sorting on the node id alone yields (node, pos) order — a
-    # composite node*L+pos key would overflow int32 on large graphs.
-    order = jnp.argsort(sort_node, axis=1)
-    node_sorted = jnp.take_along_axis(sort_node, order, axis=1)
-    alloc_sorted = jnp.take_along_axis(alloc, order, axis=1)
-    is_start = jnp.concatenate(
-        [jnp.ones((R, 1), bool), node_sorted[:, 1:] != node_sorted[:, :-1]],
-        axis=1,
-    )
-    # first value of each group propagated forward: cumulative trick
-    grp = jnp.cumsum(is_start.astype(jnp.int32), axis=1)
-    first_val_sorted = jnp.where(is_start, alloc_sorted, 0)
-    # propagate via segment-max style scan: since only group starts are
-    # nonzero, a prefix "carry" works: carry[i] = value at the latest start
-    def carry_scan(c, x):
-        v, s = x
-        c = jnp.where(s, v, c)
-        return c, c
-    _, bcast_sorted = jax.lax.scan(
-        carry_scan,
-        jnp.zeros(R, dtype=alloc.dtype),
-        (first_val_sorted.T, is_start.T),
-    )
-    bcast_sorted = bcast_sorted.T
-    inv = jnp.argsort(order, axis=1)
-    first_occ = jnp.take_along_axis(is_start, inv, axis=1) & valid
-    per_pos_val = jnp.take_along_axis(bcast_sorted, inv, axis=1)
-    per_pos_val = jnp.where(valid, per_pos_val, 0)
+    if has_dups:
+        sort_node = jnp.where(valid, node_ids, num_nodes)  # pads group last
+        # jnp.argsort is stable and positions are already ascending within
+        # each row, so sorting on the node id alone yields (node, pos) order —
+        # a composite node*L+pos key would overflow int32 on large graphs.
+        order = jnp.argsort(sort_node, axis=1)
+        node_sorted = jnp.take_along_axis(sort_node, order, axis=1)
+        alloc_sorted = jnp.take_along_axis(alloc, order, axis=1)
+        is_start = jnp.concatenate(
+            [jnp.ones((R, 1), bool), node_sorted[:, 1:] != node_sorted[:, :-1]],
+            axis=1,
+        )
+        first_val_sorted = jnp.where(is_start, alloc_sorted, 0)
+        # propagate via segment-max style scan: since only group starts are
+        # nonzero, a prefix "carry" works: carry[i] = latest start's value
+        def carry_scan(c, x):
+            v, s = x
+            c = jnp.where(s, v, c)
+            return c, c
+        _, bcast_sorted = jax.lax.scan(
+            carry_scan,
+            jnp.zeros(R, dtype=alloc.dtype),
+            (first_val_sorted.T, is_start.T),
+        )
+        bcast_sorted = bcast_sorted.T
+        inv = jnp.argsort(order, axis=1)
+        first_occ = jnp.take_along_axis(is_start, inv, axis=1) & valid
+        per_pos_val = jnp.take_along_axis(bcast_sorted, inv, axis=1)
+        per_pos_val = jnp.where(valid, per_pos_val, 0)
+    else:
+        first_occ = valid
+        per_pos_val = alloc
 
     # bases per node (first occurrences only)
     contrib = jnp.where(first_occ, alloc, 0).astype(jnp.float32)
-    bases_per_node = jax.ops.segment_sum(
-        contrib.reshape(-1), node_ids.reshape(-1), num_segments=num_nodes
+    bases_per_node = acc_b.at[node_ids.reshape(-1)].add(
+        contrib.reshape(-1), mode="drop"
     )
 
     # exact per-base coverage: scatter the interval difference array only
@@ -163,8 +233,7 @@ def _coverage_scatter(
     keep = valid & (~single | in_bounds)
     lo = jnp.where(keep, iv_lo, total_bases).reshape(-1)
     hi = jnp.where(keep, iv_hi, total_bases).reshape(-1)
-    diff = jnp.zeros(total_bases + 1, dtype=jnp.int32)
-    diff = diff.at[lo].add(1).at[hi].add(-1)
+    diff = acc_d.at[lo].add(1).at[hi].add(-1)
 
     # trio windows
     if num_trios > 0 and L >= 3:
@@ -179,11 +248,17 @@ def _coverage_scatter(
         win_sum = (
             per_pos_val[:, :-2] + per_pos_val[:, 1:-1] + per_pos_val[:, 2:]
         ).astype(jnp.float32)
-        idx0 = jnp.searchsorted(trio_hash_sorted, h.reshape(-1))
-        # linear probe (hash collisions): check up to 4 slots
+        if trio_bucket is not None:
+            idx0 = _hash_bisect_left(
+                trio_hash_sorted, trio_bucket, trio_bits, trio_steps,
+                h.reshape(-1),
+            )
+        else:
+            idx0 = jnp.searchsorted(trio_hash_sorted, h.reshape(-1))
+        # linear probe (hash collisions): check the equal-hash run
         match = jnp.full(idx0.shape, -1, dtype=jnp.int32)
         caf, wbf, ccf = ca.reshape(-1), wb.reshape(-1), cc.reshape(-1)
-        for probe in range(4):
+        for probe in range(trio_probes):
             cand = jnp.clip(idx0 + probe, 0, num_trios - 1)
             abc = trio_abc_sorted[cand]
             hit = (
@@ -192,14 +267,13 @@ def _coverage_scatter(
             )
             match = jnp.where(hit, trio_order[cand], match)
         wvf = w_valid.reshape(-1)
+        # sentinel index num_trios is out of bounds -> dropped by the scatter
         seg = jnp.where(wvf & (match >= 0), match, num_trios)
-        trio_bases = jax.ops.segment_sum(
-            jnp.where(wvf, win_sum.reshape(-1), 0.0),
-            seg,
-            num_segments=num_trios + 1,
-        )[:num_trios]
+        trio_bases = acc_t.at[seg].add(
+            jnp.where(wvf, win_sum.reshape(-1), 0.0), mode="drop"
+        )
     else:
-        trio_bases = jnp.zeros(max(num_trios, 1), dtype=jnp.float32)[:num_trios]
+        trio_bases = acc_t
 
     return bases_per_node, diff, trio_bases
 
@@ -230,14 +304,22 @@ def _node_abundances_impl(
     trio_order,         # int32 [U]
     trio_abc_sorted,    # int32 [U, 3]
     trio_len,           # int32 [U] (original order)
+    trio_bucket=None,   # int32 [nb + 1] (build_hash_lookup), optional
+    *,
     num_nodes: int,
     total_bases: int,
     num_trios: int,
+    trio_bits: int = 0,
+    trio_steps: int = 0,
+    trio_probes: int = 4,
+    has_dups: bool = True,
 ):
     bases_per_node, diff, trio_bases = _coverage_scatter(
         nodes, lengths, read_start, read_end, nodes_len, base_offset,
         trio_hash_sorted, trio_order, trio_abc_sorted,
         num_nodes=num_nodes, total_bases=total_bases, num_trios=num_trios,
+        trio_bucket=trio_bucket, trio_bits=trio_bits, trio_steps=trio_steps,
+        trio_probes=trio_probes, has_dups=has_dups,
     )
     return _coverage_finalize(
         bases_per_node, diff, trio_bases, nodes_len, base_node, trio_len,
@@ -246,14 +328,21 @@ def _node_abundances_impl(
 
 
 device_node_abundances = partial(
-    jax.jit, static_argnames=("num_nodes", "total_bases", "num_trios")
+    jax.jit,
+    static_argnames=(
+        "num_nodes", "total_bases", "num_trios",
+        "trio_bits", "trio_steps", "trio_probes", "has_dups",
+    ),
 )(_node_abundances_impl)
 
 
 _SHARDED_CACHE: dict = {}
 
 
-def sharded_node_abundances(mesh, num_nodes: int, total_bases: int, num_trios: int):
+def sharded_node_abundances(
+    mesh, num_nodes: int, total_bases: int, num_trios: int,
+    trio_bits: int = 0, trio_steps: int = 0, trio_probes: int = 4,
+):
     """device_node_abundances jitted over ``mesh`` with the read batch sharded
     along the "reads" axis; graph tables replicated; the three dense outputs
     replicated (XLA merges the per-shard segment-sums with psums over ICI).
@@ -262,7 +351,8 @@ def sharded_node_abundances(mesh, num_nodes: int, total_bases: int, num_trios: i
     cross-shard reduction is exact and the outputs are bit-identical to the
     single-device computation (guarded by tests/test_parallel.py).
     """
-    key = (id(mesh), num_nodes, total_bases, num_trios)
+    key = (id(mesh), num_nodes, total_bases, num_trios,
+           trio_bits, trio_steps, trio_probes)
     fn = _SHARDED_CACHE.get(key)
     if fn is None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -275,11 +365,15 @@ def sharded_node_abundances(mesh, num_nodes: int, total_bases: int, num_trios: i
                 num_nodes=num_nodes,
                 total_bases=total_bases,
                 num_trios=num_trios,
+                trio_bits=trio_bits,
+                trio_steps=trio_steps,
+                trio_probes=trio_probes,
             ),
             in_shardings=(
                 reads, reads, reads, reads,          # nodes, lengths, rs, re
                 repl, repl, repl,                    # nodes_len, base_offset, base_node
                 repl, repl, repl, repl,              # trio tables
+                repl,                                # trio_bucket
             ),
             out_shardings=(repl, repl, repl),
         )
@@ -307,8 +401,12 @@ class PaddedCoverageTables:
     base_node: jnp.ndarray      # int32 [TB_pad]
     trio_hash: jnp.ndarray      # uint32 [U_pad]
     trio_order: jnp.ndarray     # int32 [U_pad]
-    trio_abc: jnp.ndarray       # int32 [U_pad, 3]
+    trio_abc: jnp.ndarray      # int32 [U_pad, 3]
     trio_len: jnp.ndarray       # int32 [U_pad]
+    trio_bucket: jnp.ndarray    # int32 [nb + 1] hash-bucket table
+    trio_bits: int
+    trio_steps: int
+    trio_probes: int
     N: int
     U: int
     N_pad: int
@@ -341,7 +439,12 @@ def build_padded_tables(nodes_len, trio_nodes, trio_len) -> PaddedCoverageTables
     trio_abc[:U] = np.asarray(tables.trio_abc_sorted)
     trio_len_p = np.ones(U_pad, dtype=np.int32)
     trio_len_p[:U] = trio_len
+    bucket_lo, bits, steps, probes = build_hash_lookup(trio_hash, U)
     return PaddedCoverageTables(
+        trio_bucket=jnp.asarray(bucket_lo),
+        trio_bits=bits,
+        trio_steps=steps,
+        trio_probes=probes,
         nodes_len=tables.nodes_len,
         base_offset=tables.base_offset,
         base_node=jnp.asarray(base_node_p),
@@ -390,14 +493,20 @@ def node_abundances_device(packed, nodes_len, trio_index, mesh=None):
         jnp.asarray(nodes_p), jnp.asarray(lengths_p),
         jnp.asarray(rs_p), jnp.asarray(re_p),
         t.nodes_len, t.base_offset, t.base_node,
-        t.trio_hash, t.trio_order, t.trio_abc, t.trio_len,
+        t.trio_hash, t.trio_order, t.trio_abc, t.trio_len, t.trio_bucket,
     )
     if mesh is None:
         na, ta, bc = device_node_abundances(
-            *dyn_args, num_nodes=N_pad, total_bases=TB_pad, num_trios=U_pad
+            *dyn_args, num_nodes=N_pad, total_bases=TB_pad, num_trios=U_pad,
+            trio_bits=t.trio_bits, trio_steps=t.trio_steps,
+            trio_probes=t.trio_probes,
         )
     else:
-        na, ta, bc = sharded_node_abundances(mesh, N_pad, TB_pad, U_pad)(*dyn_args)
+        na, ta, bc = sharded_node_abundances(
+            mesh, N_pad, TB_pad, U_pad,
+            trio_bits=t.trio_bits, trio_steps=t.trio_steps,
+            trio_probes=t.trio_probes,
+        )(*dyn_args)
     return (
         np.asarray(na, dtype=np.float64)[:N],
         np.asarray(ta, dtype=np.float64)[:U],

@@ -80,6 +80,39 @@ def locate_segment(tstart, pos_lo, win_shift: int, steps: int, ts):
     return jnp.clip(lo_s - 1, 0, M - 1)
 
 
+def _window_has_dup_nodes(index, W: int = 64) -> bool:
+    """True iff some haplotype path visits the SAME node twice within any
+    window of W consecutive segments — the only case where per-read
+    first-occurrence dedup (profile/coverage.py semantics) can differ from
+    counting every window position.  W=64 covers the largest L_cap, so a
+    False here lets the fused step skip the dedup sorts entirely."""
+    tnode = np.asarray(index.tnode)
+    if len(tnode) < 2:
+        return False
+    hap = np.searchsorted(index.hap_offsets, index.tstart, side="right") - 1
+    for k in range(1, min(W, len(tnode))):
+        if ((tnode[:-k] == tnode[k:]) & (hap[:-k] == hap[k:])).any():
+            return True
+    return False
+
+
+def auto_node_window(index, read_pad: int, band: int = 16) -> int:
+    """Static bound on how many text segments one alignment can span: the
+    worst case is a read of the padded length (+ DP band slack) starting at
+    the LAST base of each segment.  On 1024bp-chunk graphs this is 2-4 for
+    150bp reads — an 8-16x cut in per-batch scatter indices vs a fixed
+    window of 32.  The L_cap overflow fallback still guards correctness, so
+    a tighter bound can only cost a fallback, never wrong output."""
+    tstart = np.asarray(index.tstart, dtype=np.int64)
+    if len(tstart) < 2:
+        return 4
+    W = read_pad + band + 2
+    i = np.arange(len(tstart) - 1)
+    te = tstart[i + 1] - 1 + W  # read ends before this text position
+    span = int((np.searchsorted(tstart, te, side="left") - i).max()) + 1
+    return max(4, min(1 << int(np.ceil(np.log2(span))), 64))
+
+
 # ---------------------------------------------------------------------------
 # fused device step
 # ---------------------------------------------------------------------------
@@ -91,7 +124,7 @@ def _fused_step_impl(
     hap_range,       # int32 [H] species-range index of each haplotype
     pos_lo,          # int32 [nb + 1] segment bucket table
     # coverage tables (global padded node space)
-    nodes_len, base_offset, trio_hash, trio_order, trio_abc,
+    nodes_len, base_offset, trio_hash, trio_order, trio_abc, trio_bucket,
     # batch
     codes_packed, read_len,
     # donated accumulators
@@ -99,6 +132,7 @@ def _fused_step_impl(
     *,
     cfg_static, win_shift: int, pos_steps: int, L_cap: int,
     num_nodes: int, total_bases: int, num_trios: int,
+    trio_bits: int, trio_steps: int, trio_probes: int, has_dups: bool,
 ):
     from ..align.aligner import _query_batch
 
@@ -142,15 +176,15 @@ def _fused_step_impl(
     read_start = jnp.where(keep, (ts - tstart[i0]).astype(jnp.int32), 0)
     read_end = jnp.where(keep, read_start + (te - ts).astype(jnp.int32), 0)
 
-    d_bases, d_diff, d_trio = _coverage_scatter(
+    n_bases, n_diff, n_trio = _coverage_scatter(
         nodes, lengths, read_start, read_end,
         nodes_len, base_offset, trio_hash, trio_order, trio_abc,
         num_nodes=num_nodes, total_bases=total_bases, num_trios=num_trios,
+        acc=(acc_bases, acc_diff, acc_trio),
+        trio_bucket=trio_bucket, trio_bits=trio_bits, trio_steps=trio_steps,
+        trio_probes=trio_probes, has_dups=has_dups,
     )
-    return (
-        acc_bases + d_bases, acc_diff + d_diff, acc_trio + d_trio,
-        ts, te, mapq, aligned, ridx, overflow,
-    )
+    return (n_bases, n_diff, n_trio, ts, te, mapq, aligned, ridx, overflow)
 
 
 _fused_step = partial(
@@ -158,8 +192,9 @@ _fused_step = partial(
     static_argnames=(
         "cfg_static", "win_shift", "pos_steps", "L_cap",
         "num_nodes", "total_bases", "num_trios",
+        "trio_bits", "trio_steps", "trio_probes", "has_dups",
     ),
-    donate_argnums=(16, 17, 18),  # acc_bases, acc_diff, acc_trio
+    donate_argnums=(17, 18, 19),  # acc_bases, acc_diff, acc_trio
 )(_fused_step_impl)
 
 
@@ -213,6 +248,11 @@ class FusedTables:
     trio_order_d: jnp.ndarray
     trio_abc_d: jnp.ndarray
     trio_len_d: jnp.ndarray
+    trio_bucket_d: jnp.ndarray
+    trio_bits: int
+    trio_steps: int
+    trio_probes: int
+    has_dups: bool
     win_shift: int
     pos_steps: int
     N_pad: int
@@ -271,6 +311,11 @@ def build_fused_tables(db, index) -> FusedTables:
         trio_order_d=t.trio_order,
         trio_abc_d=t.trio_abc,
         trio_len_d=t.trio_len,
+        trio_bucket_d=t.trio_bucket,
+        trio_bits=t.trio_bits,
+        trio_steps=t.trio_steps,
+        trio_probes=t.trio_probes,
+        has_dups=_window_has_dup_nodes(index),
         win_shift=win_shift,
         pos_steps=steps,
         N_pad=t.N_pad,
@@ -287,11 +332,11 @@ class FusedPipeline:
     loop."""
 
     def __init__(self, aligner, tables: FusedTables, batch: int,
-                 L_cap: int = 32):
+                 L_cap: int | None = None):
         self.aligner = aligner
         self.tables = tables
         self.batch = batch
-        self.L_cap = L_cap
+        self.L_cap = L_cap  # None -> auto_node_window at first feed
         self.acc_b = jnp.zeros(tables.N_pad, dtype=jnp.float32)
         self.acc_d = jnp.zeros(tables.TB_pad + 1, dtype=jnp.int32)
         self.acc_t = jnp.zeros(tables.U_pad, dtype=jnp.float32)
@@ -301,6 +346,10 @@ class FusedPipeline:
         from ..align.aligner import pack_codes
 
         aligner, tables, batch = self.aligner, self.tables, self.batch
+        if self.L_cap is None:
+            self.L_cap = auto_node_window(
+                aligner.index, codes.shape[1], aligner.cfg.extension_band
+            )
         n = len(lens)
         for lo in range(0, n, batch):
             hi = min(lo + batch, n)
@@ -320,6 +369,7 @@ class FusedPipeline:
                 tables.hap_offsets_d, tables.hap_range_d, tables.pos_lo_d,
                 tables.nodes_len_d, tables.base_offset_d,
                 tables.trio_hash_d, tables.trio_order_d, tables.trio_abc_d,
+                tables.trio_bucket_d,
                 aligner._shard_reads(pack_codes(b_codes)),
                 aligner._shard_reads(b_lens.astype(np.int32)),
                 self.acc_b, self.acc_d, self.acc_t,
@@ -327,6 +377,8 @@ class FusedPipeline:
                 pos_steps=tables.pos_steps, L_cap=self.L_cap,
                 num_nodes=tables.N_pad, total_bases=tables.TB_pad,
                 num_trios=tables.U_pad,
+                trio_bits=tables.trio_bits, trio_steps=tables.trio_steps,
+                trio_probes=tables.trio_probes, has_dups=tables.has_dups,
             )
             self.acc_b, self.acc_d, self.acc_t = out[:3]
             self._per_read.append(
@@ -377,7 +429,8 @@ class FusedPipeline:
 
 
 def fused_alignment_coverage(
-    aligner, codes, lens, tables: FusedTables, batch: int, L_cap: int = 32,
+    aligner, codes, lens, tables: FusedTables, batch: int,
+    L_cap: int | None = None,
 ):
     """One-shot convenience wrapper over FusedPipeline."""
     pipe = FusedPipeline(aligner, tables, batch, L_cap)
@@ -387,7 +440,7 @@ def fused_alignment_coverage(
 
 def profile_fused(
     aligner, codes, lens, index, db, cfg, out_dir, batch: int,
-    tables: FusedTables | None = None, L_cap: int = 32,
+    tables: FusedTables | None = None, L_cap: int | None = None,
     stage_out: dict | None = None,
 ) -> bool:
     """One-shot fused species+strain profiling over a codes matrix.
@@ -425,14 +478,12 @@ def profile_from_fused_result(
     from ..profile.species import read_species_mean_len, species_profiling
     from ..utils.logging import stage_timer
 
+    import pandas as pd
+
     node_abund, trio_abund, node_base_cov, reads, n_overflow = result
     aligned = reads["aligned"]
     keep_rows = np.flatnonzero(aligned)
     ids = reads["ids"]
-    read_ids = (
-        [ids[i] for i in keep_rows] if ids is not None
-        else [f"R{i}" for i in keep_rows]
-    )
 
     if n_overflow:
         log.warning(
@@ -442,7 +493,10 @@ def profile_from_fused_result(
         from ..fastpath import AlignmentArrays, profile_from_alignments
 
         arrays = AlignmentArrays(
-            read_ids=read_ids,
+            read_ids=(
+                [ids[i] for i in keep_rows] if ids is not None
+                else [f"R{i}" for i in keep_rows]
+            ),
             ts=reads["ts"][keep_rows].astype(np.int64),
             te=reads["te"][keep_rows].astype(np.int64),
             mapq=reads["mapq"][keep_rows].astype(np.int64),
@@ -456,18 +510,21 @@ def profile_from_fused_result(
     ridx = reads["ridx"][keep_rows]
     mapq = reads["mapq"][keep_rows]
     read_len = reads["read_len"][keep_rows]
-    species = np.array(
-        [tables.ranges[i].species if i >= 0 else "U" for i in ridx],
-        dtype=object,
+    # vectorized species names + id column; pandas' C csv writer beats a
+    # per-row f-string join by ~2s/1M reads
+    sp_names = np.array([r.species for r in tables.ranges] + ["U"],
+                        dtype=object)
+    species = sp_names[np.where(ridx >= 0, ridx, len(tables.ranges))]
+    if ids is not None:
+        read_ids = np.asarray(ids, dtype=object)[keep_rows]
+    else:
+        read_ids = np.char.add("R", keep_rows.astype(np.str_)).astype(object)
+    pd.DataFrame(
+        {"id": read_ids, "mapq": mapq, "species": species, "len": read_len}
+    ).to_csv(
+        os.path.join(out, "reads_classification.tsv"),
+        sep="\t", header=False, index=False,
     )
-    with open(os.path.join(out, "reads_classification.tsv"), "w") as f:
-        f.write("\n".join(
-            f"{rid}\t{q}\t{sp}\t{rl}" for rid, q, sp, rl in zip(
-                read_ids, mapq, species, read_len
-            )
-        ))
-        if len(keep_rows):
-            f.write("\n")
 
     keep = ridx >= 0
     profile = species_profiling(

@@ -92,9 +92,14 @@ def distributed_node_abundances(packed_local, nodes_len, trio_index,
     tables = [
         jax.device_put(np.asarray(x), repl)
         for x in (t.nodes_len, t.base_offset, t.base_node,
-                  t.trio_hash, t.trio_order, t.trio_abc, t.trio_len)
+                  t.trio_hash, t.trio_order, t.trio_abc, t.trio_len,
+                  t.trio_bucket)
     ]
-    fn = sharded_node_abundances(mesh, t.N_pad, t.TB_pad, t.U_pad)
+    fn = sharded_node_abundances(
+        mesh, t.N_pad, t.TB_pad, t.U_pad,
+        trio_bits=t.trio_bits, trio_steps=t.trio_steps,
+        trio_probes=t.trio_probes,
+    )
     na, ta, bc = fn(nodes, lengths, rs, re, *tables)
     N, U = t.N, t.U
     return (

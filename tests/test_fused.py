@@ -60,13 +60,17 @@ def test_scatter_batches_accumulate(db, index):
         nodes, lengths, rs, re, t.nodes_len, t.base_offset, t.base_node,
         t.trio_hash, t.trio_order, t.trio_abc, t.trio_len, **kw,
     )
-    acc = None
+    # chained accumulators (what the fused pipeline donates across batches)
+    acc = (
+        jnp.zeros(t.N_pad, jnp.float32),
+        jnp.zeros(t.TB_pad + 1, jnp.int32),
+        jnp.zeros(t.U_pad, jnp.float32),
+    )
     for lo in range(0, R, 16):
-        part = _coverage_scatter(
+        acc = _coverage_scatter(
             nodes[lo:lo + 16], lengths[lo:lo + 16], rs[lo:lo + 16],
-            re[lo:lo + 16], *tables, **kw,
+            re[lo:lo + 16], *tables, **kw, acc=acc,
         )
-        acc = part if acc is None else tuple(a + p for a, p in zip(acc, part))
     inc = _coverage_finalize(
         *acc, t.nodes_len, t.base_node, t.trio_len, num_nodes=t.N_pad
     )
@@ -91,6 +95,59 @@ def test_pos_lookup_matches_searchsorted(index):
         np.searchsorted(index.tstart, ts, side="right") - 1, 0, len(tstart) - 1
     )
     assert np.array_equal(got, want)
+
+
+def test_hash_bisect_matches_searchsorted():
+    """Bucketed trio-hash bisection == np.searchsorted side='left' for
+    queries hitting, missing, and beyond the table."""
+    import jax.numpy as jnp
+
+    from pantax_tpu.ops.coverage_device import (
+        _hash_bisect_left, build_hash_lookup,
+    )
+
+    rng = np.random.default_rng(7)
+    U, U_pad = 5000, 8192
+    table = np.full(U_pad, np.iinfo(np.uint32).max, dtype=np.uint32)
+    real = np.sort(rng.integers(0, 2**32, size=U, dtype=np.uint64)).astype(np.uint32)
+    real[100:104] = real[100]  # equal-hash run -> probes > 1
+    real = np.sort(real)
+    table[:U] = real
+    lo, bits, steps, probes = build_hash_lookup(table, U)
+    assert probes >= 4
+    q = np.concatenate([
+        rng.integers(0, 2**32, size=3000, dtype=np.uint64).astype(np.uint32),
+        real[rng.integers(0, U, size=1000)],          # exact hits
+        np.array([0, 2**32 - 1], dtype=np.uint32),     # extremes
+    ])
+    got = np.asarray(_hash_bisect_left(
+        jnp.asarray(table), jnp.asarray(lo), bits, steps, jnp.asarray(q)
+    ))
+    want = np.searchsorted(real.astype(np.uint64), q.astype(np.uint64),
+                           side="left")
+    assert np.array_equal(got, want)
+
+
+def test_window_dup_detection(index):
+    from pantax_tpu.ops.fused import _window_has_dup_nodes, auto_node_window
+
+    # the example DB's chunked/anchor graphs never revisit a node in-window
+    assert _window_has_dup_nodes(index) is False
+    cap = auto_node_window(index, 160)
+    assert 4 <= cap <= 64
+
+    # synthetic index with a repeated node inside one hap window
+    class FakeIdx:
+        tnode = np.array([1, 2, 3, 2, 5], dtype=np.int64)
+        tstart = np.array([0, 100, 200, 300, 400], dtype=np.int64)
+        hap_offsets = np.array([0, 500], dtype=np.int64)
+    assert _window_has_dup_nodes(FakeIdx()) is True
+    # same revisit but in a different haplotype -> not a within-read dup
+    class FakeIdx2:
+        tnode = np.array([1, 2, 3, 2, 5], dtype=np.int64)
+        tstart = np.array([0, 100, 200, 300, 400], dtype=np.int64)
+        hap_offsets = np.array([0, 300, 500], dtype=np.int64)
+    assert _window_has_dup_nodes(FakeIdx2()) is False
 
 
 def test_fused_profile_matches_fastpath(db, index, aligner, tmp_path):
