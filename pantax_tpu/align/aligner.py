@@ -235,7 +235,11 @@ def _banded_extend(window, read, read_len, pad: int, match: int, mismatch: int, 
             f"(needs 2*band < {1 << _SH_MATCH})"
         )
     sh_score, bias = packed_layout(Lr)
-    Wb = 2 * pad + 1
+    # band rows [-pad, pad-1] around the voted diagonal: 2*pad rows pack
+    # exactly into sublane tiles of 8 (17 rows would pad to 24 — 40% more
+    # VPU work); the dropped +pad edge only matters for a net >= pad-base
+    # deletion ahead of the seed, beyond the DP's indel design point anyway
+    Wb = 2 * pad
     # Materialize the gathered window before the scan: without the barrier XLA
     # fuses the text gather into the scan body and re-executes it every step
     # (~100x slowdown observed on v5e).
@@ -310,7 +314,7 @@ def _all_candidates(
     codes_fwd, codes_rev, read_len, cfg_static
 ):
     """Scored candidate locations per read, both strands folded: arrays
-    (scores, ts, te, matches, strand, node, off), all [B, 2K].
+    (scores, ts, te, matches, strand, node, off), all [B, K].
 
     Seeds are hashed and looked up ONCE per read, on the forward strand only:
     canonical k-mer hashing is orientation-invariant, so the reverse-
@@ -340,33 +344,42 @@ def _all_candidates(
     cd_f, cv_f = _vote_diagonals(d_fwd, hv, band=pad, top_k=top_k)
     cd_r, cv_r = _vote_diagonals(d_rev, hv, band=pad, top_k=top_k)
 
-    # banded extension on the stacked [2B] strand batch
-    cand_diag = jnp.concatenate([cd_f, cd_r], axis=0)   # [2B, K]
-    cand_votes = jnp.concatenate([cv_f, cv_r], axis=0)
-    codes_all = jnp.concatenate([codes_fwd, codes_rev], axis=0)
-    len_all = jnp.concatenate([read_len, read_len], axis=0)
+    # strand union: extend only the top_k best-voted candidates across BOTH
+    # strands.  The true strand's diagonal collects nearly all seed votes
+    # (wrong-strand diagonals only get chance collisions), so folding the
+    # strands before extension halves the [2B*K] DP + window batch — the
+    # kernel's dominant cost — without losing the best location.  Ties favor
+    # the forward slots (same preference as the old stacked order).
+    K = top_k
+    diag_u = jnp.concatenate([cd_f, cd_r], axis=1)          # [B, 2K]
+    vote_u = jnp.concatenate([cv_f, cv_r], axis=1)
+    cols2k = jnp.arange(2 * K, dtype=jnp.int32)[None, :]
+    sel_cols = []
+    v = vote_u
+    for _ in range(K):
+        b = jnp.argmax(v, axis=1).astype(jnp.int32)
+        sel_cols.append(b)
+        v = jnp.where(cols2k == b[:, None], -1, v)
+    sel = jnp.stack(sel_cols, axis=1)                       # [B, K]
+    cand_diag = jnp.take_along_axis(diag_u, sel, axis=1)
+    cand_votes = jnp.take_along_axis(vote_u, sel, axis=1)
+    strand = (sel >= K).astype(jnp.int8)                    # [B, K]
+
+    codes_pair = jnp.stack([codes_fwd, codes_rev], axis=1)  # [B, 2, Lr]
+    read_rep = jnp.take_along_axis(
+        codes_pair, strand.astype(jnp.int32)[:, :, None], axis=1
+    ).reshape(B * K, -1)
+    len_rep = jnp.repeat(read_len, K)
     w0 = jnp.clip(cand_diag - pad, 0, T - W)
     flat_w0 = w0.reshape(-1)
     window = _extract_windows(text2d, flat_w0, W)
-    read_rep = jnp.repeat(codes_all, top_k, axis=0)
-    len_rep = jnp.repeat(len_all, top_k)
     score, start_off, end_off, matches = _banded_extend(
         window, read_rep, len_rep, pad, match, mismatch, gap
     )
-    K = top_k
-    s_all = jnp.where(
-        cand_votes > 0, score.reshape(2 * B, K), NEG
-    )
-    ts_all = (flat_w0 + start_off).reshape(2 * B, K)
-    te_all = (flat_w0 + end_off).reshape(2 * B, K)
-    m_all = matches.reshape(2 * B, K)
-    scores = jnp.concatenate([s_all[:B], s_all[B:]], axis=1)
-    ts = jnp.concatenate([ts_all[:B], ts_all[B:]], axis=1)
-    te = jnp.concatenate([te_all[:B], te_all[B:]], axis=1)
-    matches = jnp.concatenate([m_all[:B], m_all[B:]], axis=1)
-    strand = jnp.concatenate(
-        [jnp.zeros((B, K), jnp.int8), jnp.ones((B, K), jnp.int8)], axis=1
-    )
+    scores = jnp.where(cand_votes > 0, score.reshape(B, K), NEG)
+    ts = (flat_w0 + start_off).reshape(B, K)
+    te = (flat_w0 + end_off).reshape(B, K)
+    matches = matches.reshape(B, K)
 
     # graph location of each candidate: (node id, offset within node)
     i0 = jnp.searchsorted(tstart, ts, side="right") - 1

@@ -66,7 +66,7 @@ class AlignConfig:
 
     max_seeds: int = 24         # sampled seeds per read strand
     hits_per_seed: int = 4      # index hits taken per seed
-    max_candidates: int = 2     # extension candidates per strand after voting
+    max_candidates: int = 2     # extension candidates after strand-union voting
     extension_band: int = 8     # banded-DP half band (band = 2*pad+1 = 17)
     match: int = 1
     mismatch: int = -1

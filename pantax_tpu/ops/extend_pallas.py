@@ -71,7 +71,7 @@ def _dp_kernel(
     bias: int,
 ):
     blk = pl.program_id(0)
-    Wb = 2 * pad + 1
+    Wb = 2 * pad  # band rows [-pad, pad-1], matching aligner._banded_extend
     SLOTS = 8
 
     def get_dma(j):
@@ -214,7 +214,7 @@ def banded_extend_pallas(
             ],
             scratch_shapes=[
                 pltpu.VMEM((block * FETCH,), jnp.int8),
-                pltpu.VMEM((Lr, 2 * pad + 1, block), jnp.int8),
+                pltpu.VMEM((Lr, 2 * pad, block), jnp.int8),
                 pltpu.SemaphoreType.DMA((8,)),
             ],
         ),
@@ -253,7 +253,7 @@ def _dp_only_kernel(
     sh_score: int,
     bias: int,
 ):
-    Wb = 2 * pad + 1
+    Wb = 2 * pad  # band rows [-pad, pad-1], matching aligner._banded_extend
     # int32 comparisons: v5e Mosaic rejects int8 vector compares here
     winT = win_ref[:].astype(jnp.int32).T    # [W, NB]
     readT = read_ref[:].astype(jnp.int32).T  # [Lr, NB]
@@ -342,7 +342,7 @@ def banded_extend_pallas_dponly(
             pl.BlockSpec((block,), lambda b: (b,), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Lr, 2 * pad + 1, block), jnp.int8),
+            pltpu.VMEM((Lr, 2 * pad, block), jnp.int8),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N,), jnp.int32),

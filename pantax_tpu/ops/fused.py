@@ -395,29 +395,34 @@ class FusedPipeline:
             self.acc_b, self.acc_d, self.acc_t, tables.nodes_len_d,
             tables.base_node_d, tables.trio_len_d, num_nodes=tables.N_pad,
         )
-        cols = {k: [] for k in ("ts", "te", "mapq", "aligned", "ridx")}
-        ids_all: list | None = [] if (
-            self._per_read and self._per_read[0][1] is not None
-        ) else None
-        lens_l = []
+        names = ("ts", "te", "mapq", "aligned", "ridx")
+        reads = {k: np.zeros(0, np.int64) for k in names}
+        reads["read_len"] = np.zeros(0, np.int64)
+        ids_all: list | None = None
         ov = 0
-        for m, ids, lens_chunk, (ts, te, mq, al, ri, o) in self._per_read:
-            cols["ts"].append(np.asarray(ts)[:m])
-            cols["te"].append(np.asarray(te)[:m])
-            cols["mapq"].append(np.asarray(mq)[:m])
-            cols["aligned"].append(np.asarray(al)[:m])
-            cols["ridx"].append(np.asarray(ri)[:m])
-            lens_l.append(lens_chunk)
-            ov += int(np.asarray(o)[:m].sum())
-            if ids_all is not None:
-                ids_all.extend(ids)
-        reads = {
-            k: (np.concatenate(v) if v else np.zeros(0, np.int64))
-            for k, v in cols.items()
-        }
-        reads["read_len"] = (
-            np.concatenate(lens_l) if lens_l else np.zeros(0, np.int64)
-        )
+        if self._per_read:
+            if self._per_read[0][1] is not None:
+                ids_all = []
+                for _, ids, _, _ in self._per_read:
+                    ids_all.extend(ids)
+            # concatenate per column ON DEVICE, then one transfer each: the
+            # per-batch np.asarray pattern pays a ~30ms tunnel round trip per
+            # array (6 x n_batches trips dominated the finish on axon)
+            B = self.batch
+            ms = [m for m, _, _, _ in self._per_read]
+            per_col = list(zip(*(out for _, _, _, out in self._per_read)))
+            valid = np.zeros(len(ms) * B, dtype=bool)
+            for i, m in enumerate(ms):
+                valid[i * B : i * B + m] = True
+            for name, arrs in zip(names, per_col[:5]):
+                cat = jnp.concatenate(arrs) if len(arrs) > 1 else arrs[0]
+                reads[name] = np.asarray(cat)[valid]
+            ov_cat = (jnp.concatenate(per_col[5]) if len(per_col[5]) > 1
+                      else per_col[5][0])
+            ov = int(np.asarray(ov_cat)[valid].sum())
+            reads["read_len"] = np.concatenate(
+                [lens for _, _, lens, _ in self._per_read]
+            )
         reads["ids"] = ids_all
         return (
             np.asarray(na, dtype=np.float64),
