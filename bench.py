@@ -35,7 +35,7 @@ from pantax_tpu.benchmarks import (
 )
 from pantax_tpu.io.fastx import iter_fastx
 
-BATCH = int(os.environ.get("PANTAX_TPU_BENCH_BATCH", 32768))
+BATCH = int(os.environ.get("PANTAX_TPU_BENCH_BATCH", 65536))
 BASELINE_READS_PER_S = 2500.0  # 10x a ~250 reads/s/core CPU graph aligner
 
 

@@ -68,7 +68,7 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["hifi", "ontr10", "ontr9", "clr"],
                    help="sets chunking and DP band width (GraphAligner's "
                         "--precise-clipping analog, alignment.rs:144-165)")
-    a.add_argument("--batch-size", type=int, default=16384)
+    a.add_argument("--batch-size", type=int, default=65536)
     a.add_argument("--mesh", default="auto", metavar="auto|off|N",
                    help="shard read batches over a device mesh: 'auto' uses "
                         "all visible chips (coverage psum-merged over ICI), "

@@ -476,12 +476,7 @@ def profile_from_fused_result(
     downloaded per batch) and delegates to fastpath.profile_from_alignments
     — no realignment, identical semantics.  Returns True iff the fused
     coverage was used."""
-    from ..io.metadata import read_genomes_info
-    from ..profile.engine import finish_two_stage, prepare_two_stage
-    from ..profile.filters import HapMetrics, OtuState, first_filter_paths
-    from ..profile.report import abundance_constraint, abundance_est
-    from ..profile.species import read_species_mean_len, species_profiling
-    from ..utils.logging import stage_timer
+    import threading
 
     import pandas as pd
 
@@ -516,7 +511,8 @@ def profile_from_fused_result(
     mapq = reads["mapq"][keep_rows]
     read_len = reads["read_len"][keep_rows]
     # vectorized species names + id column; pandas' C csv writer beats a
-    # per-row f-string join by ~2s/1M reads
+    # per-row f-string join by ~2s/1M reads, and the write overlaps the
+    # species/strain stages (independent output)
     sp_names = np.array([r.species for r in tables.ranges] + ["U"],
                         dtype=object)
     species = sp_names[np.where(ridx >= 0, ridx, len(tables.ranges))]
@@ -524,16 +520,38 @@ def profile_from_fused_result(
         read_ids = np.asarray(ids, dtype=object)[keep_rows]
     else:
         read_ids = np.char.add("R", keep_rows.astype(np.str_)).astype(object)
-    pd.DataFrame(
-        {"id": read_ids, "mapq": mapq, "species": species, "len": read_len}
-    ).to_csv(
-        os.path.join(out, "reads_classification.tsv"),
-        sep="\t", header=False, index=False,
+    writer = threading.Thread(
+        target=pd.DataFrame(
+            {"id": read_ids, "mapq": mapq, "species": species, "len": read_len}
+        ).to_csv,
+        args=(os.path.join(out, "reads_classification.tsv"),),
+        kwargs=dict(sep="\t", header=False, index=False),
     )
+    writer.start()
+    try:
+        return _profile_fused_tail(
+            tables, db, cfg, out, profile_input=(
+                ridx, mapq, read_len, sp_names,
+                node_abund, trio_abund, node_base_cov,
+            ),
+        )
+    finally:
+        writer.join()
 
+
+def _profile_fused_tail(tables, db, cfg, out, profile_input) -> bool:
+    from ..io.metadata import read_genomes_info
+    from ..profile.engine import finish_two_stage, prepare_two_stage
+    from ..profile.filters import HapMetrics, OtuState, first_filter_paths
+    from ..profile.report import abundance_constraint, abundance_est
+    from ..profile.species import read_species_mean_len, species_profiling_codes
+    from ..utils.logging import stage_timer
+
+    (ridx, mapq, read_len, sp_names,
+     node_abund, trio_abund, node_base_cov) = profile_input
     keep = ridx >= 0
-    profile = species_profiling(
-        species[keep], read_len[keep], mapq[keep],
+    profile = species_profiling_codes(
+        ridx[keep], sp_names[:-1], read_len[keep], mapq[keep],
         read_species_mean_len(db.stats_file), filtered=cfg.filtered,
     )
     profile.save(os.path.join(out, "species_abundance.txt"))
