@@ -348,16 +348,10 @@ def _run_fastpath(args, db, index, tmp: Path, t0: float) -> int:
     arrays are checkpointed to <tmp>/alignment_arrays.npz for resume."""
     import numpy as np
 
-    from .align.aligner import Aligner, _round_up
-    from .fastpath import (
-        AlignmentArrays,
-        collect_alignment_arrays,
-        collect_paired_alignment_arrays,
-        profile_from_alignments,
-    )
-    from .io.fastx import stream_fastx_buffers
+    from .align.aligner import Aligner
+    from .fastpath import AlignmentArrays, profile_from_alignments
     from .utils.logging import stage_timer
-    from .utils.native import fastx_parse_native, load_native
+    from .utils.native import load_native
 
     arrays_file = tmp / "alignment_arrays.npz"
     if arrays_file.exists() and not args.force:
@@ -372,80 +366,12 @@ def _run_fastpath(args, db, index, tmp: Path, t0: float) -> int:
             log.error("--fastpath requires the native parser; rerun without it")
             return 1
         aligner = Aligner(index)
-
-        if not args.paired:
-            # fused flow: align+classify+coverage in one device program per
-            # batch (ops/fused.py); the resume artifact and all outputs are
-            # identical to the per-species flow (tests/test_fused.py)
-            return _run_fastpath_fused(args, db, index, aligner, tmp, t0,
-                                       arrays_file)
-        all_arrays = []
-
-        def run_file(rf, mate_bufs=None):
-            for buf in stream_fastx_buffers(rf):
-                parsed = fastx_parse_native(buf)
-                if parsed is None:
-                    raise ValueError(f"{rf}: unparseable FASTA/FASTQ chunk")
-                codes_flat, offsets, ids = parsed
-                if len(ids) == 0:
-                    continue
-                pad = _round_up(int(np.diff(offsets).max()))
-                codes, lens = _codes_matrix(codes_flat, offsets, pad)
-                arrays = collect_alignment_arrays(
-                    aligner, codes, lens, batch=args.batch_size
-                )
-                arrays.read_ids = [ids[int(r[1:])] for r in arrays.read_ids]
-                all_arrays.append(arrays)
-
-        def run_paired(r1, r2):
-            s1 = stream_fastx_buffers(r1)
-            s2 = stream_fastx_buffers(r2)
-            for buf1, buf2 in zip(s1, s2):
-                p1 = fastx_parse_native(buf1)
-                p2 = fastx_parse_native(buf2)
-                if p1 is None or p2 is None:
-                    raise ValueError("unparseable FASTA/FASTQ chunk")
-                cf1, of1, ids1 = p1
-                cf2, of2, ids2 = p2
-                if len(ids1) != len(ids2):
-                    raise ValueError(
-                        "paired files desynchronized (unequal chunk read "
-                        "counts); re-run without --fastpath"
-                    )
-                pad = _round_up(int(max(np.diff(of1).max(), np.diff(of2).max())))
-                c1, l1 = _codes_matrix(cf1, of1, pad)
-                c2, l2 = _codes_matrix(cf2, of2, pad)
-                a1, a2 = collect_paired_alignment_arrays(
-                    aligner, c1, l1, c2, l2, batch=args.batch_size
-                )
-                a1.read_ids = [ids1[int(r[1:])] for r in a1.read_ids]
-                a2.read_ids = [ids2[int(r[1:])] for r in a2.read_ids]
-                all_arrays.extend([a1, a2])
-
-        with stage_timer("alignment"):
-            if args.paired and len(args.reads) == 2:
-                run_paired(args.reads[0], args.reads[1])
-            else:
-                if args.paired:
-                    log.warning(
-                        "--fastpath paired mode needs two mate files; "
-                        "aligning independently"
-                    )
-                for rf in args.reads:
-                    run_file(rf)
-        merged = AlignmentArrays(
-            read_ids=[r for a in all_arrays for r in a.read_ids],
-            ts=np.concatenate([a.ts for a in all_arrays]) if all_arrays else np.zeros(0, np.int64),
-            te=np.concatenate([a.te for a in all_arrays]) if all_arrays else np.zeros(0, np.int64),
-            mapq=np.concatenate([a.mapq for a in all_arrays]) if all_arrays else np.zeros(0, np.int64),
-            read_len=np.concatenate([a.read_len for a in all_arrays]) if all_arrays else np.zeros(0, np.int64),
-        )
-        np.savez(
-            arrays_file,
-            read_ids=np.array(merged.read_ids, dtype=np.str_),
-            ts=merged.ts, te=merged.te, mapq=merged.mapq,
-            read_len=merged.read_len,
-        )
+        # fused flow: align+classify+coverage in one device program per
+        # batch (ops/fused.py; paired mode uses the joint fragment-model
+        # step); the resume artifact and all outputs are identical to the
+        # per-species flow (tests/test_fused.py)
+        return _run_fastpath_fused(args, db, index, aligner, tmp, t0,
+                                   arrays_file)
     log.info("- Aligned %d reads", len(merged.read_ids))
 
     cfg = _profiling_config(args, db, tmp, "short",
@@ -482,28 +408,56 @@ def _run_fastpath_fused(args, db, index, aligner, tmp: Path, t0: float,
 
     tables = build_fused_tables(db, index)
     pipe = FusedPipeline(aligner, tables, batch=args.batch_size)
+
+    def parse(rf, buf):
+        parsed = fastx_parse_native(buf)
+        if parsed is None:
+            raise ValueError(f"{rf}: unparseable FASTA/FASTQ chunk")
+        return parsed
+
     with stage_timer("alignment+coverage (fused)"):
-        for rf in args.reads:
-            for buf in stream_fastx_buffers(rf):
-                parsed = fastx_parse_native(buf)
-                if parsed is None:
-                    raise ValueError(f"{rf}: unparseable FASTA/FASTQ chunk")
-                codes_flat, offsets, ids = parsed
-                if len(ids) == 0:
+        if args.paired and len(args.reads) == 2:
+            r1, r2 = args.reads
+            for buf1, buf2 in zip(stream_fastx_buffers(r1),
+                                  stream_fastx_buffers(r2)):
+                cf1, of1, ids1 = parse(r1, buf1)
+                cf2, of2, ids2 = parse(r2, buf2)
+                if len(ids1) != len(ids2):
+                    raise ValueError(
+                        "paired files desynchronized (unequal chunk read "
+                        "counts); re-run without --fastpath"
+                    )
+                if len(ids1) == 0:
                     continue
-                pad = _round_up(int(np.diff(offsets).max()))
-                codes, lens = _codes_matrix(codes_flat, offsets, pad)
-                pipe.feed(codes, lens, ids=ids)
+                pad = _round_up(int(max(np.diff(of1).max(),
+                                        np.diff(of2).max())))
+                c1, l1 = _codes_matrix(cf1, of1, pad)
+                c2, l2 = _codes_matrix(cf2, of2, pad)
+                pipe.feed_paired(c1, l1, c2, l2, ids1=ids1, ids2=ids2)
+        else:
+            if args.paired:
+                log.warning(
+                    "--fastpath paired mode needs two mate files; "
+                    "aligning independently"
+                )
+            for rf in args.reads:
+                for buf in stream_fastx_buffers(rf):
+                    codes_flat, offsets, ids = parse(rf, buf)
+                    if len(ids) == 0:
+                        continue
+                    pad = _round_up(int(np.diff(offsets).max()))
+                    codes, lens = _codes_matrix(codes_flat, offsets, pad)
+                    pipe.feed(codes, lens, ids=ids)
         result = pipe.finish()
 
     reads = result[3]
     keep_rows = np.flatnonzero(reads["aligned"])
     ids = reads["ids"]
-    read_ids = ([ids[i] for i in keep_rows] if ids is not None
-                else [f"R{i}" for i in keep_rows])
+    read_ids = (np.asarray(ids, dtype=np.str_)[keep_rows] if ids is not None
+                else np.char.add("R", keep_rows.astype(np.str_)))
     np.savez(
         arrays_file,
-        read_ids=np.array(read_ids, dtype=np.str_),
+        read_ids=np.asarray(read_ids, dtype=np.str_),
         ts=reads["ts"][keep_rows].astype(np.int64),
         te=reads["te"][keep_rows].astype(np.int64),
         mapq=reads["mapq"][keep_rows].astype(np.int64),

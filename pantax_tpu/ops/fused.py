@@ -116,31 +116,19 @@ def auto_node_window(index, read_pad: int, band: int = 16) -> int:
 # ---------------------------------------------------------------------------
 # fused device step
 # ---------------------------------------------------------------------------
-def _fused_step_impl(
-    # align index (replicated device arrays)
-    text2d, run_table, seed_pos, bucket_lo, tstart, tnode,
-    # classification tables
-    hap_offsets,     # int32 [H + 1] text start of each haplotype
-    hap_range,       # int32 [H] species-range index of each haplotype
-    pos_lo,          # int32 [nb + 1] segment bucket table
-    # coverage tables (global padded node space)
+def _classify_scatter(
+    ts, te, aligned,
+    hap_offsets, hap_range, pos_lo, tstart, tnode,
     nodes_len, base_offset, trio_hash, trio_order, trio_abc, trio_bucket,
-    # batch
-    codes_packed, read_len,
-    # donated accumulators
-    acc_bases, acc_diff, acc_trio,
+    acc,
     *,
-    cfg_static, win_shift: int, pos_steps: int, L_cap: int,
+    win_shift: int, pos_steps: int, L_cap: int,
     num_nodes: int, total_bases: int, num_trios: int,
     trio_bits: int, trio_steps: int, trio_probes: int, has_dups: bool,
 ):
-    from ..align.aligner import _query_batch
-
-    ts, te, score, matches, mapq, strand, aligned = _query_batch(
-        text2d, run_table, seed_pos, bucket_lo, tstart, tnode,
-        codes_packed, read_len, cfg_static,
-    )
-    B = ts.shape[0]
+    """Classify aligned text intervals by containing haplotype and scatter
+    their coverage contributions into ``acc``; shared by the single-end and
+    paired fused steps.  Returns (ridx, overflow, new_acc)."""
     M = tstart.shape[0]
 
     # classification by containing haplotype (fastpath.py:167-181 parity);
@@ -176,13 +164,50 @@ def _fused_step_impl(
     read_start = jnp.where(keep, (ts - tstart[i0]).astype(jnp.int32), 0)
     read_end = jnp.where(keep, read_start + (te - ts).astype(jnp.int32), 0)
 
-    n_bases, n_diff, n_trio = _coverage_scatter(
+    new_acc = _coverage_scatter(
         nodes, lengths, read_start, read_end,
         nodes_len, base_offset, trio_hash, trio_order, trio_abc,
         num_nodes=num_nodes, total_bases=total_bases, num_trios=num_trios,
-        acc=(acc_bases, acc_diff, acc_trio),
+        acc=acc,
         trio_bucket=trio_bucket, trio_bits=trio_bits, trio_steps=trio_steps,
         trio_probes=trio_probes, has_dups=has_dups,
+    )
+    return ridx, overflow, new_acc
+
+
+def _fused_step_impl(
+    # align index (replicated device arrays)
+    text2d, run_table, seed_pos, bucket_lo, tstart, tnode,
+    # classification tables
+    hap_offsets,     # int32 [H + 1] text start of each haplotype
+    hap_range,       # int32 [H] species-range index of each haplotype
+    pos_lo,          # int32 [nb + 1] segment bucket table
+    # coverage tables (global padded node space)
+    nodes_len, base_offset, trio_hash, trio_order, trio_abc, trio_bucket,
+    # batch
+    codes_packed, read_len,
+    # donated accumulators
+    acc_bases, acc_diff, acc_trio,
+    *,
+    cfg_static, win_shift: int, pos_steps: int, L_cap: int,
+    num_nodes: int, total_bases: int, num_trios: int,
+    trio_bits: int, trio_steps: int, trio_probes: int, has_dups: bool,
+):
+    from ..align.aligner import _query_batch
+
+    ts, te, score, matches, mapq, strand, aligned = _query_batch(
+        text2d, run_table, seed_pos, bucket_lo, tstart, tnode,
+        codes_packed, read_len, cfg_static,
+    )
+    ridx, overflow, (n_bases, n_diff, n_trio) = _classify_scatter(
+        ts, te, aligned,
+        hap_offsets, hap_range, pos_lo, tstart, tnode,
+        nodes_len, base_offset, trio_hash, trio_order, trio_abc, trio_bucket,
+        (acc_bases, acc_diff, acc_trio),
+        win_shift=win_shift, pos_steps=pos_steps, L_cap=L_cap,
+        num_nodes=num_nodes, total_bases=total_bases, num_trios=num_trios,
+        trio_bits=trio_bits, trio_steps=trio_steps, trio_probes=trio_probes,
+        has_dups=has_dups,
     )
     return (n_bases, n_diff, n_trio, ts, te, mapq, aligned, ridx, overflow)
 
@@ -196,6 +221,60 @@ _fused_step = partial(
     ),
     donate_argnums=(17, 18, 19),  # acc_bases, acc_diff, acc_trio
 )(_fused_step_impl)
+
+
+def _fused_step_paired_impl(
+    text2d, run_table, seed_pos, bucket_lo, tstart, tnode,
+    hap_offsets, hap_range, pos_lo,
+    nodes_len, base_offset, trio_hash, trio_order, trio_abc, trio_bucket,
+    codes1_packed, len1, codes2_packed, len2,
+    acc_bases, acc_diff, acc_trio,
+    *,
+    cfg_static, frag_max: int, pair_bonus: int, rescue_frac: float,
+    win_shift: int, pos_steps: int, L_cap: int,
+    num_nodes: int, total_bases: int, num_trios: int,
+    trio_bits: int, trio_steps: int, trio_probes: int, has_dups: bool,
+):
+    """Paired fragment-model variant: one joint mate query
+    (aligner._query_batch_paired — fragment scoring, rescue, pair mapq),
+    then classify+scatter on the concatenated [2B] mate intervals.  Per-read
+    outputs are returned mate1-block then mate2-block."""
+    from ..align.aligner import _query_batch_paired
+
+    r1, r2 = _query_batch_paired(
+        text2d, run_table, seed_pos, bucket_lo, tstart, tnode,
+        codes1_packed, len1, codes2_packed, len2,
+        cfg_static, frag_max, pair_bonus, rescue_frac,
+    )
+    (ts1, te1, _s1, _m1, mq1, _st1, al1) = r1
+    (ts2, te2, _s2, _m2, mq2, _st2, al2) = r2
+    ts = jnp.concatenate([ts1, ts2])
+    te = jnp.concatenate([te1, te2])
+    aligned = jnp.concatenate([al1, al2])
+    ridx, overflow, (n_bases, n_diff, n_trio) = _classify_scatter(
+        ts, te, aligned,
+        hap_offsets, hap_range, pos_lo, tstart, tnode,
+        nodes_len, base_offset, trio_hash, trio_order, trio_abc, trio_bucket,
+        (acc_bases, acc_diff, acc_trio),
+        win_shift=win_shift, pos_steps=pos_steps, L_cap=L_cap,
+        num_nodes=num_nodes, total_bases=total_bases, num_trios=num_trios,
+        trio_bits=trio_bits, trio_steps=trio_steps, trio_probes=trio_probes,
+        has_dups=has_dups,
+    )
+    mapq = jnp.concatenate([mq1, mq2])
+    return (n_bases, n_diff, n_trio, ts, te, mapq, aligned, ridx, overflow)
+
+
+_fused_step_paired = partial(
+    jax.jit,
+    static_argnames=(
+        "cfg_static", "frag_max", "pair_bonus", "rescue_frac",
+        "win_shift", "pos_steps", "L_cap",
+        "num_nodes", "total_bases", "num_trios",
+        "trio_bits", "trio_steps", "trio_probes", "has_dups",
+    ),
+    donate_argnums=(19, 20, 21),  # acc_bases, acc_diff, acc_trio
+)(_fused_step_paired_impl)
 
 
 @partial(jax.jit, static_argnames=("num_nodes",))
@@ -384,6 +463,74 @@ class FusedPipeline:
             self._per_read.append(
                 (hi - lo, ids[lo:hi] if ids is not None else None,
                  np.asarray(lens[lo:hi]), out[3:])
+            )
+
+    def feed_paired(self, codes1, lens1, codes2, lens2,
+                    ids1=None, ids2=None) -> None:
+        """Joint fragment-model feed: both mates of each pair go through
+        aligner._query_batch_paired (pair scoring + rescue + pair mapq) and
+        one coverage scatter.  Per-read rows appear mate1-block then
+        mate2-block per dispatched batch."""
+        from ..align.aligner import pack_codes
+
+        aligner, tables, batch = self.aligner, self.tables, self.batch
+        c = aligner.cfg
+        if self.L_cap is None:
+            self.L_cap = auto_node_window(
+                aligner.index, max(codes1.shape[1], codes2.shape[1]),
+                c.extension_band,
+            )
+        n = len(lens1)
+        if len(lens2) != n:
+            raise ValueError("paired feed requires equal mate counts")
+
+        def pad(codes, lens, lo, hi):
+            bc, bl = codes[lo:hi], lens[lo:hi]
+            if hi - lo < batch:
+                bc = np.vstack([
+                    bc,
+                    np.full((batch - (hi - lo), codes.shape[1]), 4, np.int8),
+                ])
+                bl = np.concatenate(
+                    [bl, np.zeros(batch - (hi - lo), bl.dtype)]
+                )
+            return bc, bl
+
+        for lo in range(0, n, batch):
+            hi = min(lo + batch, n)
+            b1, l1 = pad(codes1, lens1, lo, hi)
+            b2, l2 = pad(codes2, lens2, lo, hi)
+            out = _fused_step_paired(
+                aligner.text_d, aligner.run_table_d, aligner.seed_pos_d,
+                aligner.bucket_lo_d, aligner.tstart_d, aligner.tnode_d,
+                tables.hap_offsets_d, tables.hap_range_d, tables.pos_lo_d,
+                tables.nodes_len_d, tables.base_offset_d,
+                tables.trio_hash_d, tables.trio_order_d, tables.trio_abc_d,
+                tables.trio_bucket_d,
+                aligner._shard_reads(pack_codes(b1)),
+                aligner._shard_reads(l1.astype(np.int32)),
+                aligner._shard_reads(pack_codes(b2)),
+                aligner._shard_reads(l2.astype(np.int32)),
+                self.acc_b, self.acc_d, self.acc_t,
+                cfg_static=aligner._static(), frag_max=c.frag_max,
+                pair_bonus=c.pair_bonus, rescue_frac=c.rescue_frac,
+                win_shift=tables.win_shift,
+                pos_steps=tables.pos_steps, L_cap=self.L_cap,
+                num_nodes=tables.N_pad, total_bases=tables.TB_pad,
+                num_trios=tables.U_pad,
+                trio_bits=tables.trio_bits, trio_steps=tables.trio_steps,
+                trio_probes=tables.trio_probes, has_dups=tables.has_dups,
+            )
+            self.acc_b, self.acc_d, self.acc_t = out[:3]
+            B = batch
+            m = hi - lo
+            self._per_read.append(
+                (m, ids1[lo:hi] if ids1 is not None else None,
+                 np.asarray(lens1[lo:hi]), tuple(a[:B] for a in out[3:]))
+            )
+            self._per_read.append(
+                (m, ids2[lo:hi] if ids2 is not None else None,
+                 np.asarray(lens2[lo:hi]), tuple(a[B:] for a in out[3:]))
             )
 
     def finish(self):

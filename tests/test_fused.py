@@ -97,6 +97,79 @@ def test_pos_lookup_matches_searchsorted(index):
     assert np.array_equal(got, want)
 
 
+def test_fused_paired_matches_fastpath(db, index, aligner, tmp_path):
+    """feed_paired (joint fragment step + shared coverage scatter) writes
+    byte-identical classification/species tables and ulp-level strain tables
+    vs the per-species paired flow on the same mate pairs."""
+    from pantax_tpu.fastpath import (
+        AlignmentArrays, collect_paired_alignment_arrays,
+        profile_from_alignments,
+    )
+    from pantax_tpu.ops.fused import (
+        FusedPipeline, build_fused_tables, profile_from_fused_result,
+    )
+
+    rng = np.random.default_rng(21)
+    n, Lr, frag, L = 2000, 150, 400, 160
+    H = len(index.hap_names)
+    hap = rng.integers(0, H, size=n)
+    spans = np.diff(index.hap_offsets) - 1
+    starts = (
+        index.hap_offsets[hap]
+        + rng.integers(0, np.maximum(spans[hap] - frag - 64, 1))
+    ).astype(np.int64)
+    cols = np.arange(Lr)
+    c1 = np.full((n, L), 4, np.int8)
+    c2 = np.full((n, L), 4, np.int8)
+    c1[:, :Lr] = index.text[starts[:, None] + cols]
+    m2 = index.text[(starts + frag - Lr)[:, None] + cols]
+    rc = (3 - m2[:, ::-1]).astype(np.int8)
+    c2[:, :Lr] = np.where(rc < 0, 4, rc)
+    l1 = np.full(n, Lr, np.int64)
+    l2 = l1.copy()
+    ids = [f"P{i}" for i in range(n)]
+
+    cfg = ProfilingConfig.for_read_type("short")
+    out_fast = tmp_path / "pfast"
+    a1, a2 = collect_paired_alignment_arrays(aligner, c1, l1, c2, l2,
+                                             batch=2048)
+    a1.read_ids = [ids[int(r[1:])] for r in a1.read_ids]
+    a2.read_ids = [ids[int(r[1:])] for r in a2.read_ids]
+    merged = AlignmentArrays(
+        read_ids=a1.read_ids + a2.read_ids,
+        ts=np.concatenate([a1.ts, a2.ts]),
+        te=np.concatenate([a1.te, a2.te]),
+        mapq=np.concatenate([a1.mapq, a2.mapq]),
+        read_len=np.concatenate([a1.read_len, a2.read_len]),
+    )
+    profile_from_alignments(merged, index, db, cfg, out_fast)
+
+    out_fused = tmp_path / "pfused"
+    tables = build_fused_tables(db, index)
+    pipe = FusedPipeline(aligner, tables, batch=2048)
+    pipe.feed_paired(c1, l1, c2, l2, ids1=ids, ids2=ids)
+    result = pipe.finish()
+    assert result[4] == 0, "paired fused fell back (L_cap overflow)"
+    ok = profile_from_fused_result(result, tables, index, db, cfg, out_fused)
+    assert ok
+
+    for name in ("reads_classification.tsv", "species_abundance.txt"):
+        assert filecmp.cmp(out_fast / name, out_fused / name, shallow=False), (
+            f"{name} differs between fused-paired and fastpath-paired"
+        )
+    for name in ("strain_abundance.txt", "ori_strain_abundance.txt"):
+        a = (out_fast / name).read_text().splitlines()
+        b = (out_fused / name).read_text().splitlines()
+        assert len(a) == len(b) and a[0] == b[0], name
+        for ra, rb in zip(a[1:], b[1:]):
+            ca, cb = ra.split("\t"), rb.split("\t")
+            assert ca[:3] == cb[:3], (name, ra, rb)
+            np.testing.assert_allclose(
+                [float(x) for x in ca[3:]], [float(x) for x in cb[3:]],
+                rtol=1e-6, atol=1e-9, err_msg=f"{name}: {ra} vs {rb}",
+            )
+
+
 def test_hash_bisect_matches_searchsorted():
     """Bucketed trio-hash bisection == np.searchsorted side='left' for
     queries hitting, missing, and beyond the table."""
