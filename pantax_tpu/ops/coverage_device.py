@@ -84,7 +84,6 @@ class DeviceGraphCoverageTables:
 
     nodes_len: jnp.ndarray      # int32 [N]
     base_offset: jnp.ndarray    # int32 [N + 1]
-    base_node: jnp.ndarray      # int32 [TB] node id of every base
     trio_hash_sorted: jnp.ndarray  # uint32 [U]
     trio_order: jnp.ndarray        # int32 [U] -> original trio index
     trio_abc_sorted: jnp.ndarray   # int32 [U, 3] canonical triples, hash order
@@ -94,9 +93,6 @@ class DeviceGraphCoverageTables:
         nodes_len = np.asarray(nodes_len, dtype=np.int32)
         base_offset = np.zeros(len(nodes_len) + 1, dtype=np.int32)
         np.cumsum(nodes_len, out=base_offset[1:])
-        base_node = np.repeat(
-            np.arange(len(nodes_len), dtype=np.int32), nodes_len
-        )
         tn = np.asarray(trio_nodes, dtype=np.int64).reshape(-1, 3)
         h = np.asarray(
             _mix3(jnp.asarray(tn[:, 0]), jnp.asarray(tn[:, 1]), jnp.asarray(tn[:, 2]))
@@ -105,7 +101,6 @@ class DeviceGraphCoverageTables:
         return cls(
             nodes_len=jnp.asarray(nodes_len),
             base_offset=jnp.asarray(base_offset),
-            base_node=jnp.asarray(base_node),
             trio_hash_sorted=jnp.asarray(h[order]),
             trio_order=jnp.asarray(order),
             trio_abc_sorted=jnp.asarray(tn[order].astype(np.int32)),
@@ -279,17 +274,23 @@ def _coverage_scatter(
 
 
 def _coverage_finalize(
-    bases_per_node, diff, trio_bases, nodes_len, base_node, trio_len,
+    bases_per_node, diff, trio_bases, nodes_len, base_offset, trio_len,
     num_nodes: int,
 ):
     """Accumulated scatter sums -> (node_abundance, trio_abundance,
-    node_base_cov): one diff-array cumsum, the covered-base segment sum, and
+    node_base_cov): one diff-array cumsum, covered-base counts per node via
+    a SECOND prefix sum gathered at the node base offsets (a segment_sum
+    over the TB-length base->node table costs a TB-element scatter — ~1s at
+    33M bases — where two scans + an [N+1] gather are bandwidth-cheap), and
     the length normalizations."""
-    covered = (jnp.cumsum(diff[:-1]) > 0).astype(jnp.float32)
-    node_base_cov = jax.ops.segment_sum(covered, base_node, num_segments=num_nodes)
+    covered = (jnp.cumsum(diff[:-1]) > 0).astype(jnp.int32)
+    prefix = jnp.concatenate(
+        [jnp.zeros(1, dtype=jnp.int32), jnp.cumsum(covered)]
+    )
+    node_base_cov = prefix[base_offset[1:]] - prefix[base_offset[:-1]]
     node_abundance = bases_per_node / jnp.maximum(nodes_len, 1)
     trio_abundance = trio_bases / jnp.maximum(trio_len.astype(jnp.float32), 1.0)
-    return node_abundance, trio_abundance, node_base_cov.astype(jnp.int32)
+    return node_abundance, trio_abundance, node_base_cov
 
 
 def _node_abundances_impl(
@@ -299,7 +300,6 @@ def _node_abundances_impl(
     read_end,       # int32 [R]
     nodes_len,      # int32 [N]
     base_offset,    # int32 [N + 1]
-    base_node,      # int32 [TB]
     trio_hash_sorted,   # uint32 [U]
     trio_order,         # int32 [U]
     trio_abc_sorted,    # int32 [U, 3]
@@ -322,7 +322,7 @@ def _node_abundances_impl(
         trio_probes=trio_probes, has_dups=has_dups,
     )
     return _coverage_finalize(
-        bases_per_node, diff, trio_bases, nodes_len, base_node, trio_len,
+        bases_per_node, diff, trio_bases, nodes_len, base_offset, trio_len,
         num_nodes=num_nodes,
     )
 
@@ -371,7 +371,7 @@ def sharded_node_abundances(
             ),
             in_shardings=(
                 reads, reads, reads, reads,          # nodes, lengths, rs, re
-                repl, repl, repl,                    # nodes_len, base_offset, base_node
+                repl, repl,                          # nodes_len, base_offset
                 repl, repl, repl, repl,              # trio tables
                 repl,                                # trio_bucket
             ),
@@ -398,7 +398,6 @@ class PaddedCoverageTables:
 
     nodes_len: jnp.ndarray      # int32 [N_pad]
     base_offset: jnp.ndarray    # int32 [N_pad + 1]
-    base_node: jnp.ndarray      # int32 [TB_pad]
     trio_hash: jnp.ndarray      # uint32 [U_pad]
     trio_order: jnp.ndarray     # int32 [U_pad]
     trio_abc: jnp.ndarray      # int32 [U_pad, 3]
@@ -426,10 +425,6 @@ def build_padded_tables(nodes_len, trio_nodes, trio_len) -> PaddedCoverageTables
     tables = DeviceGraphCoverageTables.build(nodes_len_p, trio_nodes)
     TB = int(np.asarray(tables.base_offset)[-1])
     TB_pad = _pow2(TB)
-    base_node = np.asarray(tables.base_node)
-    base_node_p = np.full(TB_pad, N_pad - 1, dtype=np.int32)
-    base_node_p[:TB] = base_node
-
     U_pad = _pow2(U, lo=64)
     trio_hash = np.full(U_pad, np.iinfo(np.uint32).max, dtype=np.uint32)
     trio_hash[:U] = np.asarray(tables.trio_hash_sorted)
@@ -447,7 +442,6 @@ def build_padded_tables(nodes_len, trio_nodes, trio_len) -> PaddedCoverageTables
         trio_probes=probes,
         nodes_len=tables.nodes_len,
         base_offset=tables.base_offset,
-        base_node=jnp.asarray(base_node_p),
         trio_hash=jnp.asarray(trio_hash),
         trio_order=jnp.asarray(trio_order),
         trio_abc=jnp.asarray(trio_abc),
@@ -492,7 +486,7 @@ def node_abundances_device(packed, nodes_len, trio_index, mesh=None):
     dyn_args = (
         jnp.asarray(nodes_p), jnp.asarray(lengths_p),
         jnp.asarray(rs_p), jnp.asarray(re_p),
-        t.nodes_len, t.base_offset, t.base_node,
+        t.nodes_len, t.base_offset,
         t.trio_hash, t.trio_order, t.trio_abc, t.trio_len, t.trio_bucket,
     )
     if mesh is None:

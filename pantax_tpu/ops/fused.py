@@ -278,22 +278,12 @@ _fused_step_paired = partial(
 
 
 @partial(jax.jit, static_argnames=("num_nodes",))
-def _fused_finalize(acc_bases, acc_diff, acc_trio, nodes_len, base_node,
+def _fused_finalize(acc_bases, acc_diff, acc_trio, nodes_len, base_offset,
                     trio_len, num_nodes: int):
     return _coverage_finalize(
-        acc_bases, acc_diff, acc_trio, nodes_len, base_node, trio_len,
+        acc_bases, acc_diff, acc_trio, nodes_len, base_offset, trio_len,
         num_nodes=num_nodes,
     )
-
-
-@partial(jax.jit, static_argnames=("TB_pad", "N_pad"))
-def _base_node_device(base_offset, TB_pad: int, N_pad: int):
-    """base_node[i] = node of flat base i, computed on device (the host
-    np.repeat + upload costs ~4 bytes per DB base — 400MB for a 100MB DB)."""
-    idx = jnp.arange(TB_pad, dtype=jnp.int32)
-    return jnp.clip(
-        jnp.searchsorted(base_offset, idx, side="right") - 1, 0, N_pad - 1
-    ).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -322,7 +312,6 @@ class FusedTables:
     pos_lo_d: jnp.ndarray
     nodes_len_d: jnp.ndarray
     base_offset_d: jnp.ndarray
-    base_node_d: jnp.ndarray
     trio_hash_d: jnp.ndarray
     trio_order_d: jnp.ndarray
     trio_abc_d: jnp.ndarray
@@ -385,7 +374,6 @@ def build_fused_tables(db, index) -> FusedTables:
         pos_lo_d=jnp.asarray(pos_lo),
         nodes_len_d=t.nodes_len,
         base_offset_d=t.base_offset,
-        base_node_d=_base_node_device(t.base_offset, t.TB_pad, t.N_pad),
         trio_hash_d=t.trio_hash,
         trio_order_d=t.trio_order,
         trio_abc_d=t.trio_abc,
@@ -540,7 +528,7 @@ class FusedPipeline:
         tables = self.tables
         na, ta, bc = _fused_finalize(
             self.acc_b, self.acc_d, self.acc_t, tables.nodes_len_d,
-            tables.base_node_d, tables.trio_len_d, num_nodes=tables.N_pad,
+            tables.base_offset_d, tables.trio_len_d, num_nodes=tables.N_pad,
         )
         names = ("ts", "te", "mapq", "aligned", "ridx")
         reads = {k: np.zeros(0, np.int64) for k in names}

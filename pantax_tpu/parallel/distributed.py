@@ -91,7 +91,7 @@ def distributed_node_abundances(packed_local, nodes_len, trio_index,
     re = gput(pad1(packed_local.read_end, np.int32), (R_global,))
     tables = [
         jax.device_put(np.asarray(x), repl)
-        for x in (t.nodes_len, t.base_offset, t.base_node,
+        for x in (t.nodes_len, t.base_offset,
                   t.trio_hash, t.trio_order, t.trio_abc, t.trio_len,
                   t.trio_bucket)
     ]

@@ -55,7 +55,7 @@ def profile_step(
     # read batch (sharded over "reads"; nibble-packed, see aligner.pack_codes)
     codes_packed, read_len,
     # graph coverage tables (replicated; global 0-based node space)
-    nodes_len, base_offset, base_node,
+    nodes_len, base_offset,
     trio_hash_sorted, trio_order, trio_abc_sorted, trio_len,
     # PAO inputs (replicated)
     A, min_depth,
@@ -94,7 +94,7 @@ def profile_step(
 
     node_abund, trio_abund, node_base_cov = _node_abundances_impl(
         nodes, lengths, read_start, read_end,
-        nodes_len, base_offset, base_node,
+        nodes_len, base_offset,
         trio_hash_sorted, trio_order, trio_abc_sorted, trio_len,
         num_nodes=num_nodes, total_bases=total_bases, num_trios=num_trios,
     )
@@ -174,7 +174,7 @@ class ShardedProfiler:
             in_shardings=(
                 repl, repl, repl, repl, repl, repl,  # index arrays
                 reads_sh, reads_sh,                  # read batch
-                repl, repl, repl,                    # coverage tables
+                repl, repl,                          # coverage tables
                 repl, repl, repl, repl,              # trio tables
                 repl, repl,                          # A, min_depth
             ),

@@ -57,7 +57,7 @@ def test_scatter_batches_accumulate(db, index):
     kw = dict(num_nodes=t.N_pad, total_bases=t.TB_pad, num_trios=t.U_pad)
     tables = (t.nodes_len, t.base_offset, t.trio_hash, t.trio_order, t.trio_abc)
     whole = _node_abundances_impl(
-        nodes, lengths, rs, re, t.nodes_len, t.base_offset, t.base_node,
+        nodes, lengths, rs, re, t.nodes_len, t.base_offset,
         t.trio_hash, t.trio_order, t.trio_abc, t.trio_len, **kw,
     )
     # chained accumulators (what the fused pipeline donates across batches)
@@ -72,7 +72,7 @@ def test_scatter_batches_accumulate(db, index):
             re[lo:lo + 16], *tables, **kw, acc=acc,
         )
     inc = _coverage_finalize(
-        *acc, t.nodes_len, t.base_node, t.trio_len, num_nodes=t.N_pad
+        *acc, t.nodes_len, t.base_offset, t.trio_len, num_nodes=t.N_pad
     )
     for w, i in zip(whole, inc):
         assert np.array_equal(np.asarray(w), np.asarray(i))
