@@ -205,6 +205,7 @@ def _vote_diagonals(diags, valid, band: int, top_k: int):
 # update a plain vector max on the VPU.  Field widths depend on the padded
 # read length (matches can reach Lr; scores span roughly +-2*Lr).
 _SH_MATCH = 5
+_DP_UNROLL = 4  # scan-body unroll of the banded DP (module-level for tuning)
 
 
 def packed_layout(Lr: int) -> tuple[int, int]:
@@ -282,7 +283,7 @@ def _banded_extend(window, read, read_len, pad: int, match: int, mismatch: int, 
         return (state, out), None
 
     (state, out), _ = jax.lax.scan(
-        step, (state, out), jnp.arange(1, Lr, dtype=jnp.int32), unroll=4
+        step, (state, out), jnp.arange(1, Lr, dtype=jnp.int32), unroll=_DP_UNROLL
     )
     b_best = jnp.argmax(out, axis=0)  # [N]
     cell = jnp.max(out, axis=0)

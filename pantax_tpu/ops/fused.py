@@ -601,6 +601,64 @@ def profile_fused(
     return profile_from_fused_result(result, tables, index, db, cfg, out_dir)
 
 
+def _write_classification_tsv(out_path, keep_rows, ids, ridx, mapq, read_len,
+                              sp_names) -> None:
+    """reads_classification.tsv (id, mapq, species, read_len — no header).
+
+    Arrow assembles + writes the table in C++ with the GIL released (a
+    pandas DataFrame of 2M object-dtype ids costs ~7s to even construct and
+    holds the GIL, defeating the overlap thread); pandas fallback when
+    pyarrow is unavailable.  Output is byte-identical between the two for
+    ids without separators/quotes (both quote only when needed)."""
+    u_col = np.where(ridx >= 0, ridx, len(sp_names) - 1)
+
+    def _pandas_write():
+        import pandas as pd
+
+        species = sp_names[u_col]
+        if ids is not None:
+            read_ids = np.asarray(ids, dtype=object)[keep_rows]
+        else:
+            read_ids = np.char.add(
+                "R", keep_rows.astype(np.str_)
+            ).astype(object)
+        pd.DataFrame(
+            {"id": read_ids, "mapq": mapq, "species": species,
+             "len": read_len}
+        ).to_csv(out_path, sep="\t", header=False, index=False)
+
+    try:
+        import pyarrow as pa
+        import pyarrow.compute as pac
+        import pyarrow.csv as pacsv
+    except Exception:
+        _pandas_write()
+        return
+    if ids is not None:
+        id_col = pac.take(pa.array(ids, pa.string()), pa.array(keep_rows))
+    else:
+        id_col = pac.binary_join_element_wise(
+            "R", pac.cast(pa.array(keep_rows), pa.string()), ""
+        )
+    sp_col = pac.take(
+        pa.array([str(s) for s in sp_names], pa.string()), pa.array(u_col)
+    )
+    tbl = pa.table({
+        "id": id_col, "mapq": pa.array(mapq),
+        "species": sp_col, "len": pa.array(read_len),
+    })
+    try:
+        # quoting "none" = raw values (arrow's "needed" still quotes every
+        # string); errors if an id embeds the delimiter/quote -> pandas then
+        pacsv.write_csv(
+            tbl, out_path,
+            pacsv.WriteOptions(include_header=False, delimiter="\t",
+                               quoting_style="none"),
+        )
+    except pa.ArrowInvalid:
+        _pandas_write()
+
+
 def profile_from_fused_result(
     result, tables: FusedTables, index, db, cfg, out_dir,
 ) -> bool:
@@ -612,8 +670,6 @@ def profile_from_fused_result(
     — no realignment, identical semantics.  Returns True iff the fused
     coverage was used."""
     import threading
-
-    import pandas as pd
 
     node_abund, trio_abund, node_base_cov, reads, n_overflow = result
     aligned = reads["aligned"]
@@ -645,22 +701,14 @@ def profile_from_fused_result(
     ridx = reads["ridx"][keep_rows]
     mapq = reads["mapq"][keep_rows]
     read_len = reads["read_len"][keep_rows]
-    # vectorized species names + id column; pandas' C csv writer beats a
-    # per-row f-string join by ~2s/1M reads, and the write overlaps the
-    # species/strain stages (independent output)
     sp_names = np.array([r.species for r in tables.ranges] + ["U"],
                         dtype=object)
-    species = sp_names[np.where(ridx >= 0, ridx, len(tables.ranges))]
-    if ids is not None:
-        read_ids = np.asarray(ids, dtype=object)[keep_rows]
-    else:
-        read_ids = np.char.add("R", keep_rows.astype(np.str_)).astype(object)
+    # the classification write overlaps the species/strain stages
+    # (independent output; the arrow writer releases the GIL)
     writer = threading.Thread(
-        target=pd.DataFrame(
-            {"id": read_ids, "mapq": mapq, "species": species, "len": read_len}
-        ).to_csv,
-        args=(os.path.join(out, "reads_classification.tsv"),),
-        kwargs=dict(sep="\t", header=False, index=False),
+        target=_write_classification_tsv,
+        args=(os.path.join(out, "reads_classification.tsv"),
+              keep_rows, ids, ridx, mapq, read_len, sp_names),
     )
     writer.start()
     try:
