@@ -31,8 +31,14 @@ def test_two_process_coverage_bitwise_matches_single(tmp_path):
     env = {
         **os.environ,
         "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        # tests dir (for _dist_worker imports) + repo root (so the worker
+        # finds pantax_tpu even when the package is not pip-installed)
         "PYTHONPATH": os.pathsep.join(
-            [os.path.dirname(__file__), os.environ.get("PYTHONPATH", "")]
+            [
+                os.path.dirname(__file__),
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                os.environ.get("PYTHONPATH", ""),
+            ]
         ),
     }
     procs = [

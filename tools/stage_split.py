@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Microbenchmark: per-stage device time of the short-read alignment kernel.
+
+Times nested prefixes of the query pipeline (hash+select -> +lookup -> +vote
+-> +window+DP -> full _query_batch) on the scale-benchmark database, so the
+difference between consecutive prefixes approximates each stage's cost.
+axon's block_until_ready does not block, so each timing transfers one output
+element to host (CLAUDE.md gotcha).
+
+Usage: python tools/stage_split.py [batch]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pantax_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pantax_tpu.align import aligner as A
+from pantax_tpu.align.aligner import Aligner, pack_codes
+from pantax_tpu.align.index import build_align_index
+from pantax_tpu.benchmarks import scale_db, simulate_read_batch
+
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
+
+
+def main() -> None:
+    db = scale_db(os.environ.get("PANTAX_TPU_SCALE_DIR", "/tmp/pantax_tpu_scale"))
+    index = build_align_index(db)
+    al = Aligner(index)
+    codes, lens, _ = simulate_read_batch(index, BATCH, 150, 0.01)
+    packed = al._shard_reads(pack_codes(codes))
+    lens_d = al._shard_reads(lens.astype(np.int32))
+    cfg = al._static()
+    (k, density_bits, bucket_bits, steps, s_max, hits, top_k, pad, match,
+     mismatch, gap) = cfg[:11]
+
+    def stage_hash(packed, lens_d):
+        codes_fwd = A._unpack_codes_j(packed)
+        hashes, valid = A._kmer_hashes_j(codes_fwd, k)
+        sp, sh, sv = A._select_seeds(hashes, valid, density_bits, s_max)
+        return sp.sum() + sh.sum().astype(jnp.int32)
+
+    def stage_lookup(packed, lens_d):
+        codes_fwd = A._unpack_codes_j(packed)
+        hashes, valid = A._kmer_hashes_j(codes_fwd, k)
+        sp, sh, sv = A._select_seeds(hashes, valid, density_bits, s_max)
+        hp, hv = A._lookup_hits(
+            al.run_table_d, al.seed_pos_d, al.bucket_lo_d, bucket_bits, steps,
+            sh, sv, hits,
+        )
+        return hp.sum() + hv.sum()
+
+    def stage_vote(packed, lens_d):
+        codes_fwd = A._unpack_codes_j(packed)
+        hashes, valid = A._kmer_hashes_j(codes_fwd, k)
+        sp, sh, sv = A._select_seeds(hashes, valid, density_bits, s_max)
+        hp, hv = A._lookup_hits(
+            al.run_table_d, al.seed_pos_d, al.bucket_lo_d, bucket_bits, steps,
+            sh, sv, hits,
+        )
+        B = codes_fwd.shape[0]
+        p = sp[..., None]
+        d_fwd = (hp - p).reshape(B, -1)
+        d_rev = (hp - (lens_d[:, None, None] - k - p)).reshape(B, -1)
+        hvf = hv.reshape(B, -1)
+        cd_f, cv_f = A._vote_diagonals(d_fwd, hvf, band=pad, top_k=top_k)
+        cd_r, cv_r = A._vote_diagonals(d_rev, hvf, band=pad, top_k=top_k)
+        return cd_f.sum() + cv_f.sum() + cd_r.sum() + cv_r.sum()
+
+    def stage_full_cand(packed, lens_d):
+        codes_fwd = A._unpack_codes_j(packed)
+        codes_rev = A._rev_codes_j(codes_fwd, lens_d)
+        out = A._all_candidates(
+            al.text_d, al.run_table_d, al.seed_pos_d, al.bucket_lo_d,
+            al.tstart_d, al.tnode_d, codes_fwd, codes_rev, lens_d, cfg,
+        )
+        return sum(o.sum().astype(jnp.int32) for o in out[:4])
+
+    def stage_query(packed, lens_d):
+        out = A._query_batch(
+            al.text_d, al.run_table_d, al.seed_pos_d, al.bucket_lo_d,
+            al.tstart_d, al.tnode_d, packed, lens_d, cfg,
+        )
+        return out[2].sum()
+
+    stages = [
+        ("hash+select", jax.jit(stage_hash)),
+        ("+seed lookup", jax.jit(stage_lookup)),
+        ("+vote", jax.jit(stage_vote)),
+        ("+window+DP (all cands)", jax.jit(stage_full_cand)),
+        ("full _query_batch", jax.jit(stage_query)),
+    ]
+    prev = 0.0
+    print(f"batch={BATCH} Lr={codes.shape[1]}")
+    for name, fn in stages:
+        r = fn(packed, lens_d)
+        np.asarray(r)  # force (compile + run)
+        ts = []
+        for _ in range(6):
+            t0 = time.time()
+            r = fn(packed, lens_d)
+            np.asarray(r)
+            ts.append(time.time() - t0)
+        t = sorted(ts)[len(ts) // 2] * 1e3
+        print(f"{name:26s} {t:8.1f} ms  (+{t - prev:7.1f} ms)")
+        prev = t
+
+
+if __name__ == "__main__":
+    main()
