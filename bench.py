@@ -6,7 +6,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Default config: the reference's own example workload (21,300 real 150bp reads
 against the example-genome database — BASELINE.md config 1), tiled to 4 full
 batches.  Set PANTAX_TPU_BENCH_SCALE=1 for the synthetic 10-species /
-30-strain community with 1M simulated reads (config 4).
+30-strain community with 1M simulated reads (config 4), =2 for the 102-strain
+community at 2M short reads, =5 for the 102-strain community at 10M mixed
+short+long reads (config 5, single-chip slice).
 
 Baseline: the reference pipeline's aligner (vg giraffe) sustains on the order
 of 250 reads/s/core for short reads on CPU; BASELINE.md's target is >= 10x the
@@ -88,8 +90,32 @@ def bench_scale() -> tuple[float, dict]:
 
     setup_logging()  # stage timers -> stderr (the JSON line goes to stdout)
 
+    if os.environ.get("PANTAX_TPU_BENCH_SCALE") == "5":
+        # BASELINE config 5 (single-chip slice): 102 strains, 10M mixed reads
+        from pantax_tpu.benchmarks import run_mixed_benchmark
+
+        db = scale_db(
+            os.environ.get("PANTAX_TPU_SCALE2_DIR", "/tmp/pantax_tpu_scale2"),
+            n_species=34, strains_per=3,
+        )
+        m = run_mixed_benchmark(db, batch=BATCH)
+        print(
+            f"# mixed: {m['total_reads']} reads "
+            f"(short {m['short_s']:.1f}s @ {m['short_reads_per_s']:.0f}/s "
+            f"aligned {m['short_aligned_frac']:.3f} -> "
+            f"{m['strains_detected']} strains; "
+            f"long {m['long_s']:.1f}s @ {m['long_reads_per_s']:.0f}/s "
+            f"aligned {m['long_aligned_frac']:.3f})",
+            file=sys.stderr,
+        )
+        extra = {
+            "short_reads_per_sec": round(m["short_reads_per_s"], 1),
+            "long_reads_per_sec": round(m["long_reads_per_s"], 1),
+            "strains_detected": m["strains_detected"],
+        }
+        return m["reads_per_s"], extra
     if os.environ.get("PANTAX_TPU_BENCH_SCALE") == "2":
-        # BASELINE config 5 (single-chip slice): 34 species x 3 = 102 strains
+        # BASELINE config 5's DB at 2M short reads: 34 species x 3 = 102 strains
         db = scale_db(
             os.environ.get("PANTAX_TPU_SCALE2_DIR", "/tmp/pantax_tpu_scale2"),
             n_species=34, strains_per=3,
@@ -138,7 +164,7 @@ def bench_example_e2e() -> dict:
 
 
 def main() -> None:
-    scale = os.environ.get("PANTAX_TPU_BENCH_SCALE") in ("1", "2")
+    scale = os.environ.get("PANTAX_TPU_BENCH_SCALE") in ("1", "2", "5")
     extra = {}
     if scale:
         rate, extra = bench_scale()
@@ -150,6 +176,8 @@ def main() -> None:
         metric = "scale_1M_reads_aligned_per_sec_per_chip"
     elif os.environ.get("PANTAX_TPU_BENCH_SCALE") == "2":
         metric = "community102_2M_reads_aligned_per_sec_per_chip"
+    elif os.environ.get("PANTAX_TPU_BENCH_SCALE") == "5":
+        metric = "community102_10M_mixed_reads_per_sec_per_chip"
     print(
         json.dumps(
             {

@@ -232,6 +232,70 @@ def run_e2e_benchmark(
     }
 
 
+def run_mixed_benchmark(
+    db: DatabasePaths, n_short: int = 9_900_000, n_long: int = 100_000,
+    batch: int = 65536, long_len: int = 8192, read_type: str = "hifi",
+    long_batch: int = 2048, out_dir: str = "/tmp/pantax_tpu_mixed",
+):
+    """BASELINE config 5, single-chip slice: 10M mixed reads (99% 150bp NGS +
+    1% 8kb HiFi-like) against the 102-strain community database.
+
+    The short fraction streams through the fused align+classify+coverage
+    pipeline to full species/strain tables; the long fraction runs chunked
+    alignment + the reference's best-alignment GAF filter
+    (gaf_filter.rs:44-97 semantics).  Both stages are warmed (compiles are a
+    DB-build cost, not a query cost), then timed back to back; the headline
+    rate is total reads over combined wall."""
+    import shutil
+
+    from .align.long_read import LONG_READ_PRESETS, align_long_reads
+    from .config import ProfilingConfig
+    from .io.gaf import filter_best_long_read_alignments
+    from .ops.fused import build_fused_tables, profile_fused
+
+    index = build_align_index(db)
+    aligner = Aligner(index)
+    cfg = ProfilingConfig.for_read_type("short")
+    tables = build_fused_tables(db, index)
+
+    codes, lens, _hap = simulate_read_batch(index, n_short, 150, 0.01, seed=5)
+    long_reads, _lhap = simulate_long_reads(index, n_long, long_len, seed=9)
+    chunk = LONG_READ_PRESETS[read_type]
+
+    # warmup both kernels + the fused finalize/profile shapes
+    shutil.rmtree(out_dir, ignore_errors=True)
+    profile_fused(aligner, codes[: 2 * batch], lens[: 2 * batch], index, db,
+                  cfg, out_dir, batch, tables=tables)
+    align_long_reads(aligner, long_reads[: long_batch // 4], chunk=chunk,
+                     batch_size=long_batch)
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    stage = {}
+    t0 = time.time()
+    profile_fused(aligner, codes, lens, index, db, cfg, out_dir, batch,
+                  tables=tables, stage_out=stage)
+    short_s = time.time() - t0
+    t1 = time.time()
+    gaf = align_long_reads(aligner, long_reads, chunk=chunk,
+                           batch_size=long_batch)
+    gaf = filter_best_long_read_alignments(gaf)
+    long_s = time.time() - t1
+    total = n_short + n_long
+    n_strains = max(
+        sum(1 for _ in open(f"{out_dir}/strain_abundance.txt")) - 1, 0)
+    return {
+        "total_reads": total,
+        "reads_per_s": total / (short_s + long_s),
+        "short_reads_per_s": n_short / short_s,
+        "long_reads_per_s": n_long / long_s,
+        "short_s": short_s,
+        "long_s": long_s,
+        "short_aligned_frac": stage.get("n_aligned", 0) / n_short,
+        "long_aligned_frac": len(gaf) / n_long,
+        "strains_detected": n_strains,
+    }
+
+
 def accuracy_benchmark(
     db: DatabasePaths, n_reads: int = 262144, batch: int = 16384,
     error_rate: float = 0.01, seed: int = 11, out_dir: str = "/tmp/pantax_tpu_acc",

@@ -733,11 +733,12 @@ def _profile_fused_tail(tables, db, cfg, out, profile_input) -> bool:
     (ridx, mapq, read_len, sp_names,
      node_abund, trio_abund, node_base_cov) = profile_input
     keep = ridx >= 0
-    profile = species_profiling_codes(
-        ridx[keep], sp_names[:-1], read_len[keep], mapq[keep],
-        read_species_mean_len(db.stats_file), filtered=cfg.filtered,
-    )
-    profile.save(os.path.join(out, "species_abundance.txt"))
+    with stage_timer("species profiling (fused)"):
+        profile = species_profiling_codes(
+            ridx[keep], sp_names[:-1], read_len[keep], mapq[keep],
+            read_species_mean_len(db.stats_file), filtered=cfg.filtered,
+        )
+        profile.save(os.path.join(out, "species_abundance.txt"))
     if not cfg.strain:
         return True
 
@@ -787,11 +788,13 @@ def _profile_fused_tail(tables, db, cfg, out, profile_input) -> bool:
                     state, sp.num_nodes, sp.paths, na, bc, sp.nodes_len, cfg
                 )
             prepared.append((state, job))
-        finish_two_stage([j for _, j in prepared if j is not None], cfg)
+        with stage_timer("PAO solves (fused)"):
+            finish_two_stage([j for _, j in prepared if j is not None], cfg)
     for state, _ in prepared:
         abundance_constraint(profile, state.hap_metrics)
         metrics.extend(state.hap_metrics)
 
-    genomes_info = read_genomes_info(db.genomes_info_file)
-    abundance_est(cfg, metrics, genomes_info, out)
+    with stage_timer("abundance report (fused)"):
+        genomes_info = read_genomes_info(db.genomes_info_file)
+        abundance_est(cfg, metrics, genomes_info, out)
     return True

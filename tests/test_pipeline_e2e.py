@@ -140,6 +140,24 @@ def test_small_community_accuracy(tmp_path):
     assert r["l1_error"] < 0.12
 
 
+def test_mixed_benchmark_smoke(tmp_path):
+    """run_mixed_benchmark (BASELINE config 5 harness) at CPU-test sizes:
+    short fraction through the fused pipeline to strain tables, long fraction
+    through chunked alignment + best-alignment filter."""
+    from pantax_tpu.benchmarks import run_mixed_benchmark, scale_db
+
+    db = scale_db(tmp_path / "scale", n_species=2, strains_per=2,
+                  genome_len=50_000, snp_rate=0.01, seed=5)
+    m = run_mixed_benchmark(
+        db, n_short=4096, n_long=64, batch=1024, long_len=4096,
+        long_batch=256, out_dir=str(tmp_path / "mixed"),
+    )
+    assert m["total_reads"] == 4096 + 64
+    assert m["short_aligned_frac"] > 0.95
+    assert m["long_aligned_frac"] > 0.9
+    assert m["strains_detected"] == 4
+
+
 def test_fastpath_matches_gaf_pipeline(example_db, tmp_path):
     """Array-native profiling (no GAF text) reproduces the GAF pipeline."""
     import pandas as pd
