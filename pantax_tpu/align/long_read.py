@@ -42,22 +42,34 @@ def align_long_reads(
         return []
     idx = aligner.index
 
-    # cut into chunks, remember provenance
-    chunk_meta: list[tuple[int, int]] = []  # (read_idx, offset)
-    seqs: list[bytes] = []
-    for ri, (_, seq) in enumerate(reads):
-        for off in range(0, max(len(seq) - chunk // 2, 1), chunk):
-            piece = seq[off : off + chunk]
-            if len(piece) >= 64:
-                chunk_meta.append((ri, off))
-                seqs.append(piece)
-
-    n = len(seqs)
-    codes = np.full(( (n + batch_size - 1)//batch_size * batch_size, chunk), 4, dtype=np.int8)
-    lens = np.zeros(codes.shape[0], dtype=np.int64)
-    for i, s in enumerate(seqs):
-        codes[i, : len(s)] = encode_seq(s)
-        lens[i] = len(s)
+    # cut into chunks — vectorized (one encode + one reshape per read; the
+    # previous per-chunk encode loop dominated host wall at millions of
+    # chunks).  Offsets are 0, chunk, 2*chunk, ... below max(len - chunk/2, 1)
+    # and a chunk is kept iff it has >= 64 bases; since piece length shrinks
+    # with offset, kept chunks are a prefix, so counts compose per read.
+    R = len(reads)
+    enc = [encode_seq(seq) for _, seq in reads]
+    rl = np.array([len(e) for e in enc], dtype=np.int64)
+    span = np.maximum(rl - chunk // 2, 1)
+    n_off = (span + chunk - 1) // chunk           # offsets generated
+    n_fit = np.maximum((rl - 64) // chunk + 1, 0)  # offsets with >= 64 bases
+    n_chunks = np.minimum(n_off, n_fit)
+    first = np.zeros(R + 1, dtype=np.int64)
+    np.cumsum(n_chunks, out=first[1:])
+    n = int(first[-1])
+    n_pad = (n + batch_size - 1) // batch_size * batch_size
+    codes = np.full((n_pad, chunk), 4, dtype=np.int8)
+    for ri in range(R):
+        k = int(n_chunks[ri])
+        if k == 0:
+            continue
+        take = min(k * chunk, int(rl[ri]))
+        block = codes[int(first[ri]) : int(first[ri]) + k].reshape(-1)
+        block[:take] = enc[ri][:take]
+    read_idx = np.repeat(np.arange(R, dtype=np.int64), n_chunks)
+    chunk_off = (np.arange(n, dtype=np.int64) - first[read_idx]) * chunk
+    lens = np.zeros(n_pad, dtype=np.int64)
+    lens[:n] = np.minimum(chunk, rl[read_idx] - chunk_off)
 
     ts = np.zeros(n, dtype=np.int64)
     te = np.zeros(n, dtype=np.int64)
@@ -66,9 +78,12 @@ def align_long_reads(
     strand = np.zeros(n, dtype=np.int8)
     aligned = np.zeros(n, dtype=bool)
 
-    # two-deep pipeline: keep a batch in flight while the previous one's
-    # results transfer (the serial align_codes loop left the device idle for
-    # a dispatch round-trip per batch — 3x wall time on the tunnel)
+    # pipelined dispatch: keep several batches in flight while results
+    # transfer (the serial align_codes loop left the device idle for a
+    # dispatch round-trip per batch — 3x wall time on the tunnel)
+    from ..utils import pipeline_depth
+
+    depth = pipeline_depth()
     pending: list[tuple[int, object]] = []
 
     def drain(entry):
@@ -90,14 +105,12 @@ def align_long_reads(
             (lo, aligner.dispatch_codes(codes[lo : lo + batch_size],
                                         lens[lo : lo + batch_size]))
         )
-        if len(pending) > 1:
+        if len(pending) >= depth:
             drain(pending.pop(0))
     for entry in pending:
         drain(entry)
 
     hap_of = np.searchsorted(idx.hap_offsets, ts, side="right") - 1
-    read_idx = np.array([m[0] for m in chunk_meta], dtype=np.int64)
-    chunk_off = np.array([m[1] for m in chunk_meta], dtype=np.int64)
     n_reads = len(reads)
     total_chunks = np.bincount(read_idx, minlength=n_reads)
 
