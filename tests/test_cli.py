@@ -106,3 +106,24 @@ def test_cli_paired_modes(workdir):
     b = open("pe1_species_abundance.txt").read()
     assert a == b, "two-file and interleaved paired modes must agree"
     assert "562" in a
+
+
+def test_sketch_cli_prebuilds_fast_cache(workdir):
+    """pantax-tpu-sketch pre-builds the --syldb sketch cache (the reference's
+    standalone sketch binary role, sketch.rs:1-6)."""
+    from pantax_tpu.db.sketch_cli import main as sketch_main
+
+    rc = sketch_main(["-f", EXAMPLE_INFO, "-o", "sketches", "--base-dir", BASE])
+    assert rc == 0
+    import glob
+
+    files = glob.glob("sketches/*.sketch.npz")
+    assert len(files) == 4
+    # the CLI's --fast path consumes the same cache layout
+    _subset_fastq(NGS, "subfast.fq", 500)
+    rc = main(["-f", EXAMPLE_INFO, "-d", "dbfast", "--create", "--fast",
+               "-s", "-r", "subfast.fq", "--syldb", "sketches",
+               "--base-dir", BASE])
+    assert rc == 0
+    # --fast builds the screened DB under <db>_fast (construct.rs semantics)
+    assert os.path.exists("dbfast_fast/species_range.txt")
