@@ -423,6 +423,38 @@ def _query_batch(
     )
 
 
+def _pack_result_rows(res7):
+    """Pack a 7-tuple query result into one int32 [4, B] array so the host
+    boundary pays ONE device->host transfer per batch instead of seven (each
+    transfer costs a ~30ms round trip through the axon tunnel, and the seven
+    per-batch collects dominated steady-state wall in slow tunnel windows).
+    Rows: text_start, text_end, (score<<16 | matches), (mapq<<2|strand<<1|
+    aligned).  Scores are clipped to int16 (reads are <= 8192bp, so real
+    scores fit; only the NEG sentinel clips, and `aligned` carries validity).
+    """
+    ts, te, score, matches, mapq, strand, aligned = res7
+    hi = (jnp.clip(score, -32768, 32767).astype(jnp.int32) << 16) | (
+        matches.astype(jnp.int32) & 0xFFFF
+    )
+    flags = (
+        (mapq.astype(jnp.int32) << 2)
+        | (strand.astype(jnp.int32) << 1)
+        | aligned.astype(jnp.int32)
+    )
+    return jnp.stack([ts.astype(jnp.int32), te.astype(jnp.int32), hi, flags])
+
+
+@partial(jax.jit, static_argnames=("cfg_static",))
+def _query_batch_packed(
+    text2d, run_table, seed_pos, bucket_lo, tstart, tnode,
+    codes_packed, read_len, cfg_static
+):
+    return _pack_result_rows(_query_batch(
+        text2d, run_table, seed_pos, bucket_lo, tstart, tnode,
+        codes_packed, read_len, cfg_static,
+    ))
+
+
 @partial(jax.jit, static_argnames=("cfg_static", "frag_max", "pair_bonus",
                                    "rescue_frac"))
 def _query_batch_paired(
@@ -519,6 +551,21 @@ def _query_batch_paired(
         (t2(ts2), t2(te[B:]), s2b, t2(matches[B:]),
          jnp.where(aligned2, mapq2, 0), t2(st2), aligned2),
     )
+
+
+@partial(jax.jit, static_argnames=("cfg_static", "frag_max", "pair_bonus",
+                                   "rescue_frac"))
+def _query_batch_paired_packed(
+    text2d, run_table, seed_pos, bucket_lo, tstart, tnode,
+    codes1_packed, len1, codes2_packed, len2,
+    cfg_static, frag_max: int, pair_bonus: int, rescue_frac: float,
+):
+    r1, r2 = _query_batch_paired(
+        text2d, run_table, seed_pos, bucket_lo, tstart, tnode,
+        codes1_packed, len1, codes2_packed, len2,
+        cfg_static, frag_max, pair_bonus, rescue_frac,
+    )
+    return jnp.concatenate([_pack_result_rows(r1), _pack_result_rows(r2)])
 
 
 # ---------------------------------------------------------------------------
@@ -619,10 +666,11 @@ class Aligner:
         )
 
     def dispatch_codes(self, codes: np.ndarray, lens: np.ndarray):
-        """Launch the query asynchronously; returns device arrays.  Use
-        collect() to materialize a BatchResult — keeping several batches in
-        flight pipelines host work against device compute."""
-        return _query_batch(
+        """Launch the query asynchronously; returns one packed device array
+        ([4, B] int32 — see _pack_result_rows).  Use collect() to materialize
+        a BatchResult — keeping several batches in flight pipelines host work
+        against device compute."""
+        return _query_batch_packed(
             self.text_d, self.run_table_d, self.seed_pos_d, self.bucket_lo_d,
             self.tstart_d, self.tnode_d,
             self._shard_reads(pack_codes(codes)),
@@ -630,10 +678,11 @@ class Aligner:
         )
 
     def dispatch_paired_codes(self, codes1, lens1, codes2, lens2):
-        """Launch a joint mate-pair query (fragment model); returns a pair of
-        device tuples, one per mate — collect() each."""
+        """Launch a joint mate-pair query (fragment model); returns one
+        packed device array ([8, B] int32: mate1 rows then mate2 rows) —
+        materialize with collect_pair()."""
         c = self.cfg
-        return _query_batch_paired(
+        return _query_batch_paired_packed(
             self.text_d, self.run_table_d, self.seed_pos_d, self.bucket_lo_d,
             self.tstart_d, self.tnode_d,
             self._shard_reads(pack_codes(codes1)),
@@ -645,13 +694,30 @@ class Aligner:
 
     def align_paired_codes(self, codes1, lens1, codes2, lens2):
         """Joint mate-pair alignment -> (BatchResult mate1, BatchResult mate2)."""
-        out1, out2 = self.dispatch_paired_codes(codes1, lens1, codes2, lens2)
-        return self.collect(out1), self.collect(out2)
+        return self.collect_pair(self.dispatch_paired_codes(
+            codes1, lens1, codes2, lens2))
+
+    @staticmethod
+    def _unpack_result(arr: np.ndarray) -> BatchResult:
+        ts, te, hi, flags = arr
+        return BatchResult(
+            ts, te, hi >> 16, hi & 0xFFFF, (flags >> 2) & 0x3F,
+            ((flags >> 1) & 1).astype(np.int8), (flags & 1).astype(bool),
+        )
 
     @staticmethod
     def collect(out) -> BatchResult:
-        ts, te, score, matches, mapq, strand, aligned = (np.asarray(x) for x in out)
-        return BatchResult(ts, te, score, matches, mapq, strand, aligned)
+        if isinstance(out, tuple):  # unpacked 7-tuple (in-jit consumers)
+            ts, te, score, matches, mapq, strand, aligned = (
+                np.asarray(x) for x in out
+            )
+            return BatchResult(ts, te, score, matches, mapq, strand, aligned)
+        return Aligner._unpack_result(np.asarray(out))
+
+    @staticmethod
+    def collect_pair(out) -> tuple[BatchResult, BatchResult]:
+        arr = np.asarray(out)
+        return Aligner._unpack_result(arr[:4]), Aligner._unpack_result(arr[4:])
 
     def align_codes(self, codes: np.ndarray, lens: np.ndarray) -> BatchResult:
         """codes int8 [B, Lr] padded with 4; lens int32 [B]."""
@@ -731,9 +797,7 @@ class Aligner:
 
         def drain(entry):
             lo, hi, lens1, lens2, dev = entry
-            d1, d2 = dev
-            res1 = self.collect(d1)
-            res2 = self.collect(d2)
+            res1, res2 = self.collect_pair(dev)
             chunk1 = [(ids1[i], None) for i in range(lo, hi)]
             chunk2 = [(ids2[i], None) for i in range(lo, hi)]
             out.extend(self._emit_gaf_lens(chunk1, lens1, res1))

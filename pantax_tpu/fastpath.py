@@ -101,10 +101,9 @@ def collect_paired_alignment_arrays(
 
     def drain(entry):
         lo, hi, dev = entry
-        d1, d2 = dev
         m = hi - lo
-        for res, parts in ((aligner.collect(d1), parts1),
-                           (aligner.collect(d2), parts2)):
+        res1, res2 = aligner.collect_pair(dev)
+        for res, parts in ((res1, parts1), (res2, parts2)):
             keep = res.aligned[:m]
             parts.append((lo, keep, res.text_start[:m][keep],
                           res.text_end[:m][keep], res.mapq[:m][keep]))
