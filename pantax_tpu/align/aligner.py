@@ -423,6 +423,42 @@ def _query_batch(
     )
 
 
+@partial(jax.jit, static_argnames=("cfg_static",))
+def _extend_batch(
+    text2d, codes_packed, read_len, w0, strand, cfg_static
+):
+    """Seed-free banded extension at HOST-PREDICTED windows.
+
+    The blockwise long-read DP (SURVEY §2.4/§5: carried-band sequence
+    parallelism) re-uses this: chunk c+1's window is predicted from chunk
+    c's alignment (neighbor-carried band state), so only a stride of chunks
+    pays the seed-lookup stage, and seed-failed chunks are rescued at
+    positions interpolated from their aligned neighbors.  `strand` picks the
+    forward or reverse-complement chunk per row; mapq is 0 (a predicted
+    placement carries no independent location evidence — the merge sums
+    evidence from seeded chunks only).
+    """
+    pad, match, mismatch, gap = cfg_static[7:11]
+    min_score_frac = cfg_static[12]
+    codes_fwd = _unpack_codes_j(codes_packed)
+    codes_rev = _rev_codes_j(codes_fwd, read_len)
+    read = jnp.where((strand == 1)[:, None], codes_rev, codes_fwd)
+    Lr = read.shape[1]
+    W = Lr + 2 * pad
+    n_extra = (W + 255) // 256
+    T = (text2d.shape[0] - n_extra) * 256  # same bound as _all_candidates
+    w0c = jnp.clip(w0.astype(jnp.int32), 0, T - W)
+    window = _extract_windows(text2d, w0c, W)
+    score, start_off, end_off, matches = _banded_extend(
+        window, read, read_len, pad, match, mismatch, gap
+    )
+    ts = w0c + start_off
+    te = w0c + end_off
+    aligned = score >= (min_score_frac * read_len).astype(jnp.int32)
+    mapq = jnp.zeros_like(score)
+    return _pack_result_rows((ts, te, score, matches, mapq, strand, aligned))
+
+
 def _pack_result_rows(res7):
     """Pack a 7-tuple query result into one int32 [4, B] array so the host
     boundary pays ONE device->host transfer per batch instead of seven (each
@@ -675,6 +711,19 @@ class Aligner:
             self.tstart_d, self.tnode_d,
             self._shard_reads(pack_codes(codes)),
             self._shard_reads(lens.astype(np.int32)), self._static(),
+        )
+
+    def dispatch_extend(self, codes, lens, w0, strand):
+        """Seed-free banded extension at predicted window starts ``w0``
+        (int32 [B], text coords); ``strand`` int8 [B] picks fwd/revcomp per
+        row.  Returns a packed device array for collect()."""
+        return _extend_batch(
+            self.text_d,
+            self._shard_reads(pack_codes(codes)),
+            self._shard_reads(lens.astype(np.int32)),
+            self._shard_reads(w0.astype(np.int32)),
+            self._shard_reads(strand.astype(np.int32)),
+            self._static(),
         )
 
     def dispatch_paired_codes(self, codes1, lens1, codes2, lens2):

@@ -30,6 +30,17 @@ LONG_READ_PRESETS = {
     "clr": 256,
 }
 
+# seed-lookup stride per technology: at low error rates nearly every chunk
+# extends cleanly from its neighbour's predicted window (the rescue pass), so
+# only every other chunk pays the seed stage; high-error technologies keep
+# full seeding for placement robustness
+LONG_READ_SEED_STRIDE = {
+    "hifi": 2,
+    "ontr10": 2,
+    "ontr9": 1,
+    "clr": 1,
+}
+
 
 def align_long_reads(
     aligner: Aligner,
@@ -37,6 +48,7 @@ def align_long_reads(
     chunk: int = 512,
     batch_size: int = 2048,
     min_chunk_frac: float = 0.5,
+    seed_stride: int = 1,
 ) -> list[GafRecord]:
     if not reads:
         return []
@@ -78,6 +90,27 @@ def align_long_reads(
     strand = np.zeros(n, dtype=np.int8)
     aligned = np.zeros(n, dtype=bool)
 
+    # seed only every `seed_stride`-th chunk (plus each read's last): skipped
+    # chunks are aligned by the rescue pass below at windows predicted from
+    # their neighbours, trading the seed-lookup stage (the kernel's dominant
+    # fixed cost) for a cheap banded extension (SURVEY §2.4: blockwise DP
+    # with carried band state)
+    if seed_stride > 1:
+        within = chunk_off // chunk
+        seeded_rows = (within % seed_stride == 0) | (
+            within == n_chunks[read_idx] - 1
+        )
+        s_idx = np.flatnonzero(seeded_rows)
+        ns = len(s_idx)
+        ns_pad = (ns + batch_size - 1) // batch_size * batch_size
+        s_codes = np.full((ns_pad, chunk), 4, dtype=np.int8)
+        s_codes[:ns] = codes[s_idx]
+        s_lens = np.zeros(ns_pad, dtype=np.int64)
+        s_lens[:ns] = lens[s_idx]
+    else:
+        s_idx = None
+        ns, s_codes, s_lens = n, codes, lens
+
     # pipelined dispatch: keep several batches in flight while results
     # transfer (the serial align_codes loop left the device idle for a
     # dispatch round-trip per batch — 3x wall time on the tunnel)
@@ -89,21 +122,22 @@ def align_long_reads(
     def drain(entry):
         lo, dev = entry
         res = aligner.collect(dev)
-        hi = min(lo + batch_size, n)
+        hi = min(lo + batch_size, ns)
         m = hi - lo
         if m <= 0:
             return
-        ts[lo:hi] = res.text_start[:m]
-        te[lo:hi] = res.text_end[:m]
-        matches[lo:hi] = res.matches[:m]
-        mapq[lo:hi] = res.mapq[:m]
-        strand[lo:hi] = res.strand[:m]
-        aligned[lo:hi] = res.aligned[:m]
+        rows = slice(lo, hi) if s_idx is None else s_idx[lo:hi]
+        ts[rows] = res.text_start[:m]
+        te[rows] = res.text_end[:m]
+        matches[rows] = res.matches[:m]
+        mapq[rows] = res.mapq[:m]
+        strand[rows] = res.strand[:m]
+        aligned[rows] = res.aligned[:m]
 
-    for lo in range(0, codes.shape[0], batch_size):
+    for lo in range(0, s_codes.shape[0], batch_size):
         pending.append(
-            (lo, aligner.dispatch_codes(codes[lo : lo + batch_size],
-                                        lens[lo : lo + batch_size]))
+            (lo, aligner.dispatch_codes(s_codes[lo : lo + batch_size],
+                                        s_lens[lo : lo + batch_size]))
         )
         if len(pending) >= depth:
             drain(pending.pop(0))
@@ -165,6 +199,101 @@ def align_long_reads(
     tol = np.maximum(128, read_len_arr // 32)
     collinear = np.abs(diag - med_diag[mr0]) <= tol[mr0]
     member[m_sel0[~collinear]] = False
+
+    # --- blockwise rescue (carried-band DP): chunks that failed or skipped
+    # seeding are re-extended at windows predicted from their NEAREST member
+    # chunk's diagonal (drift between neighbours is a few bp, well inside
+    # the DP band), then accepted only if they align, land on the winning
+    # haplotype, and stay collinear.  Rescued chunks carry mapq 0 — a
+    # predicted placement adds coverage evidence, not location evidence.
+    m_sel1 = np.flatnonzero(member)
+    if len(m_sel1):
+        mr1 = read_idx[m_sel1]
+        m_off1 = chunk_off[m_sel1]
+        m_diag1 = np.where(strand[m_sel1] == 0,
+                           ts[m_sel1] - m_off1, ts[m_sel1] + m_off1)
+        has_member = np.zeros(n_reads, dtype=bool)
+        has_member[mr1] = True
+        cand = np.flatnonzero(
+            ~member & (win_key[read_idx] >= 0) & has_member[read_idx]
+        )
+        if len(cand):
+            # nearest member chunk of the same read, by query offset
+            # (member rows are read-major offset-sorted)
+            BIGK = np.int64(1) << 40
+            mkey = mr1 * BIGK + m_off1
+            pos = np.searchsorted(mkey, read_idx[cand] * BIGK + chunk_off[cand])
+            left = np.maximum(pos - 1, 0)
+            right = np.minimum(pos, len(mkey) - 1)
+            lvalid = (pos > 0) & (mr1[left] == read_idx[cand])
+            rvalid = mr1[right] == read_idx[cand]
+            ldist = np.where(lvalid, chunk_off[cand] - m_off1[left], BIGK)
+            rdist = np.where(rvalid, m_off1[right] - chunk_off[cand], BIGK)
+            nb = np.where(ldist <= rdist, left, right)
+            keep_c = lvalid | rvalid
+            cand, nb = cand[keep_c], nb[keep_c]
+        if len(cand):
+            s_w = (win_key[read_idx[cand]] % 2).astype(np.int8)
+            pred = np.where(s_w == 0,
+                            m_diag1[nb] + chunk_off[cand],
+                            m_diag1[nb] - chunk_off[cand])
+            w0 = pred - aligner.cfg.extension_band
+            nr = len(cand)
+            nr_pad = (nr + batch_size - 1) // batch_size * batch_size
+            r_codes = np.full((nr_pad, chunk), 4, dtype=np.int8)
+            r_codes[:nr] = codes[cand]
+            r_lens = np.zeros(nr_pad, dtype=np.int64)
+            r_lens[:nr] = lens[cand]
+            r_w0 = np.zeros(nr_pad, dtype=np.int64)
+            r_w0[:nr] = w0
+            r_st = np.zeros(nr_pad, dtype=np.int8)
+            r_st[:nr] = s_w
+
+            pend2: list[tuple[int, object]] = []
+
+            def drain2(entry):
+                lo, dev = entry
+                res = aligner.collect(dev)
+                hi = min(lo + batch_size, nr)
+                m = hi - lo
+                if m <= 0:
+                    return
+                rows = cand[lo:hi]
+                rts = res.text_start[:m].astype(np.int64)
+                rte = res.text_end[:m].astype(np.int64)
+                rst = r_st[lo:hi]
+                rok = res.aligned[:m].copy()
+                rdiag = np.where(rst == 0, rts - chunk_off[rows],
+                                 rts + chunk_off[rows])
+                rr = read_idx[rows]
+                rok &= np.abs(rdiag - med_diag[rr]) <= tol[rr]
+                rhap = np.searchsorted(idx.hap_offsets, rts,
+                                       side="right") - 1
+                rok &= rhap * 2 + rst == win_key[rr]
+                acc = rows[rok]
+                ts[acc] = rts[rok]
+                te[acc] = rte[rok]
+                matches[acc] = res.matches[:m][rok]
+                mapq[acc] = 0
+                strand[acc] = rst[rok]
+                aligned[acc] = True
+                member[acc] = True
+
+            for lo in range(0, nr_pad, batch_size):
+                pend2.append((lo, aligner.dispatch_extend(
+                    r_codes[lo : lo + batch_size],
+                    r_lens[lo : lo + batch_size],
+                    r_w0[lo : lo + batch_size],
+                    r_st[lo : lo + batch_size],
+                )))
+                if len(pend2) >= depth:
+                    drain2(pend2.pop(0))
+            for entry in pend2:
+                drain2(entry)
+            aligned_per_read = np.bincount(
+                read_idx[aligned], minlength=n_reads
+            )
+
     m_sel = np.flatnonzero(member)
     mr = read_idx[m_sel]
     BIG = np.int64(2**62)

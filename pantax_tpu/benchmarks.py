@@ -248,7 +248,9 @@ def run_mixed_benchmark(
     rate is total reads over combined wall."""
     import shutil
 
-    from .align.long_read import LONG_READ_PRESETS, align_long_reads
+    from .align.long_read import (
+        LONG_READ_PRESETS, LONG_READ_SEED_STRIDE, align_long_reads,
+    )
     from .config import ProfilingConfig
     from .io.gaf import filter_best_long_read_alignments
     from .ops.fused import build_fused_tables, profile_fused
@@ -266,8 +268,9 @@ def run_mixed_benchmark(
     shutil.rmtree(out_dir, ignore_errors=True)
     profile_fused(aligner, codes[: 2 * batch], lens[: 2 * batch], index, db,
                   cfg, out_dir, batch, tables=tables)
+    stride = LONG_READ_SEED_STRIDE[read_type]
     align_long_reads(aligner, long_reads[: long_batch // 4], chunk=chunk,
-                     batch_size=long_batch)
+                     batch_size=long_batch, seed_stride=stride)
 
     shutil.rmtree(out_dir, ignore_errors=True)
     stage = {}
@@ -277,7 +280,7 @@ def run_mixed_benchmark(
     short_s = time.time() - t0
     t1 = time.time()
     gaf = align_long_reads(aligner, long_reads, chunk=chunk,
-                           batch_size=long_batch)
+                           batch_size=long_batch, seed_stride=stride)
     gaf = filter_best_long_read_alignments(gaf)
     long_s = time.time() - t1
     total = n_short + n_long
@@ -416,7 +419,9 @@ def long_read_accuracy_benchmark(
     """End-to-end long-read strain accuracy: staggered 1:3:9 weights, indel-
     bearing HiFi-like reads, chunked alignment + best-alignment filter + full
     profiling; L1 error vs truth (BASELINE config 2/4 long-read analog)."""
-    from .align.long_read import LONG_READ_PRESETS, align_long_reads
+    from .align.long_read import (
+        LONG_READ_PRESETS, LONG_READ_SEED_STRIDE, align_long_reads,
+    )
     from .config import ProfilingConfig
     from .io.gaf import filter_best_long_read_alignments
     from .pipeline import profile_from_gaf
@@ -430,7 +435,8 @@ def long_read_accuracy_benchmark(
     )
     t0 = time.time()
     gaf = align_long_reads(
-        aligner, reads, chunk=LONG_READ_PRESETS[read_type], batch_size=batch
+        aligner, reads, chunk=LONG_READ_PRESETS[read_type], batch_size=batch,
+        seed_stride=LONG_READ_SEED_STRIDE[read_type],
     )
     gaf = filter_best_long_read_alignments(gaf)
     align_s = time.time() - t0

@@ -250,7 +250,9 @@ def _main(argv: list[str] | None = None) -> int:
                     for rf in args.reads:
                         gaf.extend(aligner.align_file(rf, batch_size=args.batch_size))
             else:
-                from .align.long_read import LONG_READ_PRESETS, align_long_reads
+                from .align.long_read import (
+                    LONG_READ_PRESETS, LONG_READ_SEED_STRIDE, align_long_reads,
+                )
                 from .io.fastx import iter_fastx
 
                 reads = []
@@ -258,7 +260,8 @@ def _main(argv: list[str] | None = None) -> int:
                     reads.extend(iter_fastx(rf))
                 chunk = LONG_READ_PRESETS[args.long_read_type]
                 gaf = align_long_reads(
-                    aligner, reads, chunk=chunk, batch_size=args.batch_size
+                    aligner, reads, chunk=chunk, batch_size=args.batch_size,
+                    seed_stride=LONG_READ_SEED_STRIDE[args.long_read_type],
                 )
                 gaf = filter_best_long_read_alignments(gaf)
         write_gaf(gaf_file, gaf)

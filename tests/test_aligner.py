@@ -167,6 +167,47 @@ def test_long_reads_with_indels(db, aligner):
     assert np.mean([(g.path_end - g.path_start) / g.read_len for g in gaf]) > 0.9
 
 
+def test_long_read_seed_stride_matches_full_seeding(db, aligner):
+    """seed_stride=2 (skip seeding for every other chunk; rescue at
+    neighbour-predicted windows) reproduces full seeding's emitted spans on
+    HiFi-like reads — the carried-band blockwise DP path."""
+    from pantax_tpu.align.long_read import align_long_reads
+
+    rng = np.random.default_rng(17)
+    g = db.load_graph("562")
+    seq = g.path_seq(0).tobytes()
+    reads = []
+    for i in range(24):
+        s = int(rng.integers(0, len(seq) - 6000))
+        piece = bytearray(seq[s : s + 6000])
+        for _ in range(30):  # ~0.5% subs
+            p = int(rng.integers(len(piece)))
+            piece[p] = ord("ACGT"[rng.integers(4)])
+        for _ in range(12):  # ~0.2% indels
+            p = int(rng.integers(len(piece) - 2))
+            if rng.random() < 0.5:
+                del piece[p]
+            else:
+                piece.insert(p, ord("ACGT"[rng.integers(4)]))
+        reads.append((f"S{i}", bytes(piece)))
+    full = {r.read_id: r for r in
+            align_long_reads(aligner, reads, chunk=512, batch_size=512)}
+    strided = {r.read_id: r for r in
+               align_long_reads(aligner, reads, chunk=512, batch_size=512,
+                                seed_stride=2)}
+    assert len(strided) >= len(full) - 1
+    both = set(full) & set(strided)
+    assert len(both) >= 22
+    for rid in both:
+        f, s = full[rid], strided[rid]
+        assert s.strand == f.strand
+        # same locus, near-identical span
+        assert abs(s.path_start - f.path_start) <= 64
+        assert abs((s.path_end - s.path_start) - (f.path_end - f.path_start)) <= 1024
+        # rescued chunks contribute coverage: strided span stays full-read
+        assert (s.path_end - s.path_start) / s.read_len > 0.9
+
+
 def test_short_engine_rejects_long_reads(aligner, tmp_path):
     p = tmp_path / "long.fq"
     p.write_bytes(b"@r1\n" + b"A" * 2000 + b"\n+\n" + b"I" * 2000 + b"\n")
