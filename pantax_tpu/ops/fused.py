@@ -669,7 +669,7 @@ def profile_from_fused_result(
     downloaded per batch) and delegates to fastpath.profile_from_alignments
     — no realignment, identical semantics.  Returns True iff the fused
     coverage was used."""
-    import threading
+    from ..utils.logging import stage_timer
 
     node_abund, trio_abund, node_base_cov, reads, n_overflow = result
     aligned = reads["aligned"]
@@ -703,23 +703,22 @@ def profile_from_fused_result(
     read_len = reads["read_len"][keep_rows]
     sp_names = np.array([r.species for r in tables.ranges] + ["U"],
                         dtype=object)
-    # the classification write overlaps the species/strain stages
-    # (independent output; the arrow writer releases the GIL)
-    writer = threading.Thread(
-        target=_write_classification_tsv,
-        args=(os.path.join(out, "reads_classification.tsv"),
-              keep_rows, ids, ridx, mapq, read_len, sp_names),
+    ok = _profile_fused_tail(
+        tables, db, cfg, out, profile_input=(
+            ridx, mapq, read_len, sp_names,
+            node_abund, trio_abund, node_base_cov,
+        ),
     )
-    writer.start()
-    try:
-        return _profile_fused_tail(
-            tables, db, cfg, out, profile_input=(
-                ridx, mapq, read_len, sp_names,
-                node_abund, trio_abund, node_base_cov,
-            ),
+    # main-thread write AFTER the profile stages: running the arrow writer
+    # on an overlap thread intermittently segfaulted inside libarrow while
+    # racing the jax runtime's device callbacks (observed once at 1M reads
+    # on the axon tunnel); the write is ~0.5s/1M rows, not worth the risk
+    with stage_timer("classification table (fused)"):
+        _write_classification_tsv(
+            os.path.join(out, "reads_classification.tsv"),
+            keep_rows, ids, ridx, mapq, read_len, sp_names,
         )
-    finally:
-        writer.join()
+    return ok
 
 
 def _profile_fused_tail(tables, db, cfg, out, profile_input) -> bool:
