@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "ANI before building the database")
     c.add_argument("-A", "--ani", type=float, default=99.0,
                    help="--fast mode: min coverage-adjusted ANI to keep a genome")
+    c.add_argument("--qt", action="store_true", dest="query_and_filter",
+                   help="only run the --fast genome screen and exit "
+                        "(writes the filtered genomes_info)")
     c.add_argument("--syldb", default=None,
                    help="genome sketch cache directory (built on first use)")
     c.add_argument("--export-gfa", default=None, metavar="PATH",
@@ -188,6 +191,11 @@ def _main(argv: list[str] | None = None) -> int:
             db_path.mkdir(parents=True, exist_ok=True)
             genomes_info = db_path / "genomes_info_fast_input.txt"
             write_genomes_info(genomes_info, kept)
+            if args.query_and_filter:
+                # --qt: screen only, no build (main.rs:208-210,
+                # construct.rs:22-63 fast_query_and_filter)
+                log.info("--qt: filtered genomes_info at %s", genomes_info)
+                return 0
         db = build_database(
             genomes_info, db_path, threads=args.threads,
             force=args.force and not DatabasePaths(db_path).is_complete(),

@@ -127,3 +127,15 @@ def test_sketch_cli_prebuilds_fast_cache(workdir):
     assert rc == 0
     # --fast builds the screened DB under <db>_fast (construct.rs semantics)
     assert os.path.exists("dbfast_fast/species_range.txt")
+
+
+def test_qt_screen_only(workdir):
+    """--qt runs the --fast genome screen, writes the filtered genomes_info,
+    and exits without building a DB (main.rs:208-210 fast_query_and_filter)."""
+    _subset_fastq(NGS, "subqt.fq", 400)
+    rc = main(["-f", EXAMPLE_INFO, "-d", "dbqt", "--create", "--fast", "--qt",
+               "-s", "-r", "subqt.fq", "--syldb", "sketches",
+               "--base-dir", BASE])
+    assert rc == 0
+    assert os.path.exists("dbqt_fast/genomes_info_fast_input.txt")
+    assert not os.path.exists("dbqt_fast/species_range.txt")
