@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
     c = p.add_argument_group("database construction")
     c.add_argument("--create", action="store_true", help="build database and exit")
     c.add_argument("--index", action="store_true", help="build alignment index and exit")
+    c.add_argument("--warm-kernels", action="store_true",
+                   help="with --index: also pre-compile the device query and "
+                        "fused-coverage graphs into the persistent compile "
+                        "cache (slow once; first query run then skips "
+                        "compilation)")
     c.add_argument("--base-dir", default=None,
                    help="directory genome paths resolve against (default: cwd)")
     c.add_argument("--fast", action="store_true", dest="fast_query",
@@ -216,6 +221,24 @@ def _main(argv: list[str] | None = None) -> int:
     index = build_align_index(db)
     log.info("alignment index: %d seeds over %d bases", index.num_seeds, index.text_len)
     if args.index:
+        if args.warm_kernels:
+            # pre-compile the device graphs into the persistent cache so the
+            # first query run pays no compile — on a TPU the compiled
+            # executable IS part of the index (the giraffe .gbz/.dist/.min
+            # role, index.rs:8-159)
+            import numpy as np
+
+            from .align.aligner import Aligner
+            from .ops.fused import build_fused_tables, fused_alignment_coverage
+
+            with stage_timer("kernel warmup (query + fused graphs)"):
+                aligner = Aligner(index)
+                B = args.batch_size
+                zc = np.full((B, 160), 4, dtype=np.int8)
+                zl = np.zeros(B, dtype=np.int64)
+                aligner.align_codes(zc, zl)
+                tables = build_fused_tables(db, index)
+                fused_alignment_coverage(aligner, zc, zl, tables, B)
         return 0
 
     if not args.reads:

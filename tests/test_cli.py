@@ -139,3 +139,10 @@ def test_qt_screen_only(workdir):
     assert rc == 0
     assert os.path.exists("dbqt_fast/genomes_info_fast_input.txt")
     assert not os.path.exists("dbqt_fast/species_range.txt")
+
+
+def test_index_warm_kernels(workdir):
+    """--index --warm-kernels pre-compiles the query + fused graphs (the
+    executable is part of the index on TPU; giraffe index role)."""
+    rc = main(["-d", "db", "--index", "--warm-kernels", "--batch-size", "256"])
+    assert rc == 0
