@@ -766,10 +766,7 @@ def _profile_fused_tail(tables, db, cfg, out, profile_input) -> bool:
 
     metrics = []
     with stage_timer(f"strain profiling ({len(selected)} species, fused)"):
-        prepared = []
-        for sp in selected:
-            if counts[sp.ridx] == 0:
-                continue
+        def _prep(sp):
             na = node_abund[sp.off:sp.off + sp.num_nodes]
             ta = trio_abund[sp.trio_lo:sp.trio_hi]
             bc = node_base_cov[sp.off:sp.off + sp.num_nodes]
@@ -786,7 +783,19 @@ def _profile_fused_tail(tables, db, cfg, out, profile_input) -> bool:
                 job = prepare_two_stage(
                     state, sp.num_nodes, sp.paths, na, bc, sp.nodes_len, cfg
                 )
-            prepared.append((state, job))
+            return state, job
+
+        active = [sp for sp in selected if counts[sp.ridx]]
+        if len(active) > 1:
+            # per-species filters/coeff prep is independent numpy (the
+            # reference's rayon axis, profile.rs:3297) — thread it like
+            # engine.strain_profiling does
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(8, len(active))) as ex:
+                prepared = list(ex.map(_prep, active))
+        else:
+            prepared = [_prep(sp) for sp in active]
         with stage_timer("PAO solves (fused)"):
             finish_two_stage([j for _, j in prepared if j is not None], cfg)
     for state, _ in prepared:
