@@ -733,10 +733,13 @@ def _profile_fused_tail(tables, db, cfg, out, profile_input) -> bool:
      node_abund, trio_abund, node_base_cov) = profile_input
     keep = ridx >= 0
     with stage_timer("species profiling (fused)"):
-        profile = species_profiling_codes(
-            ridx[keep], sp_names[:-1], read_len[keep], mapq[keep],
-            read_species_mean_len(db.stats_file), filtered=cfg.filtered,
-        )
+        with stage_timer("  species: gather kept rows"):
+            k_ridx, k_len, k_mapq = ridx[keep], read_len[keep], mapq[keep]
+        with stage_timer("  species: group+filter"):
+            profile = species_profiling_codes(
+                k_ridx, sp_names[:-1], k_len, k_mapq,
+                read_species_mean_len(db.stats_file), filtered=cfg.filtered,
+            )
         profile.save(os.path.join(out, "species_abundance.txt"))
     if not cfg.strain:
         return True

@@ -80,6 +80,11 @@ def _admm_scan(A, b, ub, rho, n_eff, state, L, iters: int):
 
 
 def _admm_factor(A):
+    if not jnp.issubdtype(A.dtype, jnp.floating):
+        # coefficient matrices are binary node-membership masks: callers
+        # upload int8 (4x fewer bytes through the device tunnel) and the
+        # cast to f32 happens on device, fused into the matmul
+        A = A.astype(jnp.float32)
     p = A.shape[1]
     AtA = A.T @ A + jnp.eye(p, dtype=A.dtype)
     return jnp.linalg.cholesky(AtA)
@@ -109,6 +114,8 @@ def _admm_chunk_impl(A, b, ub, rho, state, L, iters: int):
     the residual without a data-dependent while_loop in the compiled graph.
     ``ub`` may be a scalar or a per-path [p] vector (0 pins a path to zero —
     the batched second solve uses this instead of column removal)."""
+    if not jnp.issubdtype(A.dtype, jnp.floating):
+        A = A.astype(jnp.float32)  # int8 upload, on-device cast (see factor)
     w_entry = state[2]
     state = _admm_scan(A, b, ub, rho, A.shape[0], state, L, iters)
     x, z, w, uz, uw = state
@@ -288,7 +295,13 @@ def solve_pao_batch(
             results[i] = solve_pao(A, b, ub, solver="admm", fixed_zero=fz)
             continue
         S = len(idxs)
-        A_st = np.zeros((S, n_pad, p_pad), dtype=np.float32)
+        # node-membership matrices are binary (profile.rs:1333-1343): upload
+        # int8 (4x fewer tunnel bytes), cast to f32 on device; general-valued
+        # A (not produced by any current caller) falls back to f32
+        binary = all(
+            ((prepped[i][0] == 0) | (prepped[i][0] == 1)).all() for i in idxs
+        )
+        A_st = np.zeros((S, n_pad, p_pad), dtype=np.int8 if binary else np.float32)
         b_st = np.zeros((S, n_pad), dtype=np.float32)
         ub_st = np.zeros((S, p_pad), dtype=np.float32)
         scales = np.ones(S, dtype=np.float64)
