@@ -209,7 +209,24 @@ def _fused_step_impl(
         trio_bits=trio_bits, trio_steps=trio_steps, trio_probes=trio_probes,
         has_dups=has_dups,
     )
-    return (n_bases, n_diff, n_trio, ts, te, mapq, aligned, ridx, overflow)
+    return (n_bases, n_diff, n_trio) + _narrow_per_read(
+        ts, te, mapq, aligned, ridx, overflow
+    )
+
+
+def _narrow_per_read(ts, te, mapq, aligned, ridx, overflow):
+    """Narrow per-read outputs for the device->host transfer: the tunnel is
+    bandwidth-bound (~12MB/s in bad windows), and finish() downloads every
+    fed read — 24B/read as int32s, 11B narrowed.  Short-read spans fit int16
+    (te - ts <= Lr + 2*band), species index fits int16, mapq int8."""
+    return (
+        ts.astype(jnp.int32),
+        (te - ts).astype(jnp.int16),
+        mapq.astype(jnp.int8),
+        aligned,
+        ridx.astype(jnp.int16),
+        overflow,
+    )
 
 
 _fused_step = partial(
@@ -262,7 +279,9 @@ def _fused_step_paired_impl(
         has_dups=has_dups,
     )
     mapq = jnp.concatenate([mq1, mq2])
-    return (n_bases, n_diff, n_trio, ts, te, mapq, aligned, ridx, overflow)
+    return (n_bases, n_diff, n_trio) + _narrow_per_read(
+        ts, te, mapq, aligned, ridx, overflow
+    )
 
 
 _fused_step_paired = partial(
@@ -530,8 +549,9 @@ class FusedPipeline:
             self.acc_b, self.acc_d, self.acc_t, tables.nodes_len_d,
             tables.base_offset_d, tables.trio_len_d, num_nodes=tables.N_pad,
         )
-        names = ("ts", "te", "mapq", "aligned", "ridx")
-        reads = {k: np.zeros(0, np.int64) for k in names}
+        names = ("ts", "span", "mapq", "aligned", "ridx")
+        reads = {k: np.zeros(0, np.int64) for k in ("ts", "te", "mapq",
+                                                    "aligned", "ridx")}
         reads["read_len"] = np.zeros(0, np.int64)
         ids_all: list | None = None
         ov = 0
@@ -549,9 +569,17 @@ class FusedPipeline:
             valid = np.zeros(len(ms) * B, dtype=bool)
             for i, m in enumerate(ms):
                 valid[i * B : i * B + m] = True
+            cols = {}
             for name, arrs in zip(names, per_col[:5]):
                 cat = jnp.concatenate(arrs) if len(arrs) > 1 else arrs[0]
-                reads[name] = np.asarray(cat)[valid]
+                cols[name] = np.asarray(cat)[valid]
+            # per-read outputs come back narrowed (see _narrow_per_read);
+            # reconstruct text_end from the int16 span
+            reads["ts"] = cols["ts"]
+            reads["te"] = cols["ts"] + cols["span"]
+            reads["mapq"] = cols["mapq"]
+            reads["aligned"] = cols["aligned"]
+            reads["ridx"] = cols["ridx"]
             ov_cat = (jnp.concatenate(per_col[5]) if len(per_col[5]) > 1
                       else per_col[5][0])
             ov = int(np.asarray(ov_cat)[valid].sum())
