@@ -731,6 +731,12 @@ def profile_from_fused_result(
     read_len = reads["read_len"][keep_rows]
     sp_names = np.array([r.species for r in tables.ranges] + ["U"],
                         dtype=object)
+    prof = None
+    if os.environ.get("PANTAX_TPU_PROFILE_TAIL"):
+        import cProfile
+
+        prof = cProfile.Profile()
+        prof.enable()
     ok = _profile_fused_tail(
         tables, db, cfg, out, profile_input=(
             ridx, mapq, read_len, sp_names,
@@ -745,6 +751,13 @@ def profile_from_fused_result(
         _write_classification_tsv(
             os.path.join(out, "reads_classification.tsv"),
             keep_rows, ids, ridx, mapq, read_len, sp_names,
+        )
+    if prof is not None:
+        import pstats
+
+        prof.disable()
+        pstats.Stats(prof).sort_stats("cumulative").dump_stats(
+            os.environ["PANTAX_TPU_PROFILE_TAIL"]
         )
     return ok
 
