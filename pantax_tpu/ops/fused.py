@@ -48,6 +48,17 @@ log = logging.getLogger("pantax_tpu")
 # serial-gather argument as the aligner's seed lookup: jnp.searchsorted over
 # the full segment table costs ~log2(M) serial gathers)
 # ---------------------------------------------------------------------------
+def _prefetch(arrays) -> None:
+    """Start async device->host copies of per-read outputs DURING the align
+    loop, so finish() finds them already on host instead of paying one big
+    blocking download at the end (the tunnel is bandwidth-bound; 22MB of
+    per-read columns at 2M reads cost ~2s when fetched synchronously)."""
+    for a in arrays:
+        f = getattr(a, "copy_to_host_async", None)
+        if f is not None:
+            f()
+
+
 def build_pos_lookup(tstart: np.ndarray, text_len: int):
     """(pos_lo int32 [nb+1], win_shift, steps) for locate_segment."""
     M = len(tstart)
@@ -471,6 +482,7 @@ class FusedPipeline:
                 (hi - lo, ids[lo:hi] if ids is not None else None,
                  np.asarray(lens[lo:hi]), out[3:])
             )
+            _prefetch(out[3:])
 
     def feed_paired(self, codes1, lens1, codes2, lens2,
                     ids1=None, ids2=None) -> None:
@@ -539,6 +551,8 @@ class FusedPipeline:
                 (m, ids2[lo:hi] if ids2 is not None else None,
                  np.asarray(lens2[lo:hi]), tuple(a[B:] for a in out[3:]))
             )
+            _prefetch(self._per_read[-2][3])
+            _prefetch(self._per_read[-1][3])
 
     def finish(self):
         """-> (node_abund [N_pad], trio_abund [U_pad], node_base_cov [N_pad],
@@ -560,9 +574,10 @@ class FusedPipeline:
                 ids_all = []
                 for _, ids, _, _ in self._per_read:
                     ids_all.extend(ids)
-            # concatenate per column ON DEVICE, then one transfer each: the
-            # per-batch np.asarray pattern pays a ~30ms tunnel round trip per
-            # array (6 x n_batches trips dominated the finish on axon)
+            # per-batch outputs were prefetched to host during the feed loop
+            # (_prefetch), so np.asarray here is a cheap local read — the
+            # old device-side concatenate paid one big blocking download at
+            # the very end instead of streaming it behind the align compute
             B = self.batch
             ms = [m for m, _, _, _ in self._per_read]
             per_col = list(zip(*(out for _, _, _, out in self._per_read)))
@@ -571,8 +586,9 @@ class FusedPipeline:
                 valid[i * B : i * B + m] = True
             cols = {}
             for name, arrs in zip(names, per_col[:5]):
-                cat = jnp.concatenate(arrs) if len(arrs) > 1 else arrs[0]
-                cols[name] = np.asarray(cat)[valid]
+                cols[name] = np.concatenate(
+                    [np.asarray(a) for a in arrs]
+                )[valid] if len(arrs) > 1 else np.asarray(arrs[0])[valid]
             # per-read outputs come back narrowed (see _narrow_per_read);
             # reconstruct text_end from the int16 span
             reads["ts"] = cols["ts"]
@@ -580,9 +596,9 @@ class FusedPipeline:
             reads["mapq"] = cols["mapq"]
             reads["aligned"] = cols["aligned"]
             reads["ridx"] = cols["ridx"]
-            ov_cat = (jnp.concatenate(per_col[5]) if len(per_col[5]) > 1
-                      else per_col[5][0])
-            ov = int(np.asarray(ov_cat)[valid].sum())
+            ov = int(sum(np.asarray(a)[:m].sum()
+                         for (m, _, _, _), a in zip(self._per_read,
+                                                    per_col[5])))
             reads["read_len"] = np.concatenate(
                 [lens for _, _, lens, _ in self._per_read]
             )
