@@ -68,6 +68,13 @@ def test_cli_error_cases(workdir):
 
 
 def test_cli_fastpath_matches_default(workdir):
+    if not os.path.exists("t1_species_abundance.txt"):
+        # self-contained under -k selection: produce the default-path output
+        # this test compares against (same command as test_cli_short_reads)
+        _subset_fastq(NGS, "sub.fq", 3000)
+        assert main(["-d", "db", "-s", "-r", "sub.fq", "--species",
+                     "--strain", "-o", "t1", "-R", "t1_cls.tsv",
+                     "-T", "tmp1"]) == 0
     _subset_fastq(NGS, "subf.fq", 3000)
     rc = main(["-d", "db", "-s", "-r", "subf.fq", "--species", "--strain",
                "-o", "fp", "-T", "tmpfp", "--fastpath", "--batch-size", "1024"])
