@@ -177,9 +177,25 @@ def _coverage_scatter(
     valid = valid & ~dropped[:, None]
     alloc = jnp.where(valid, alloc, 0)
 
-    # first occurrence + broadcast of the first-occurrence allocation:
-    # rows are independent -> sort (node, pos) within each row
-    if has_dups:
+    # first occurrence + broadcast of the first-occurrence allocation.
+    # Small windows (the fused path's L_cap) use an O(L^2) equality mask +
+    # one-hot matmul: fully parallel on the VPU/MXU, replacing two row
+    # argsorts and an L-step serial scan.  Wide windows (GAF node paths,
+    # L up to 1024) keep the sort formulation, whose L^2 mask would not fit.
+    if has_dups and L <= 64:
+        nid = jnp.where(valid, node_ids, -1)
+        both = valid[:, None, :] & valid[:, :, None]
+        eq = (nid[:, None, :] == nid[:, :, None]) & both  # [R, k, j]
+        cum = jnp.cumsum(eq.astype(jnp.int32), axis=1)
+        firstmask = eq & (cum == 1)         # k = first occurrence of node[j]
+        first_occ = jnp.diagonal(firstmask, axis1=1, axis2=2)  # j is its own first
+        # value at j = alloc at j's first occurrence (exactly one k matches)
+        per_pos_val = jnp.einsum(
+            "rkj,rk->rj", firstmask.astype(jnp.float32),
+            alloc.astype(jnp.float32),
+        ).astype(alloc.dtype)
+        per_pos_val = jnp.where(valid, per_pos_val, 0)
+    elif has_dups:
         sort_node = jnp.where(valid, node_ids, num_nodes)  # pads group last
         # jnp.argsort is stable and positions are already ascending within
         # each row, so sorting on the node id alone yields (node, pos) order —
