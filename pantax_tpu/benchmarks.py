@@ -13,7 +13,6 @@ from pathlib import Path
 import numpy as np
 
 from .align.aligner import Aligner
-from .align.encode import encode_seq
 from .align.index import build_align_index
 from .db.construct import DatabasePaths, build_database, load_database
 from .io.fastx import write_fasta

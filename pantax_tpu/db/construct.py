@@ -28,14 +28,13 @@ from ..graph.build_eq1 import CHUNK_SIZE, build_chain_graph
 from ..graph.core import (
     GRAPH_DIR,
     SpeciesGraph,
-    SpeciesRange,
     graph_path,
     save_species_range,
     sort_range,
 )
 from ..graph.pangenome import DEFAULT_PAN_CHUNK, build_pangenome_graph
 from ..io.fastx import iter_fastx
-from ..io.metadata import GenomeInfo, group_by_species, read_genomes_info, write_genomes_info
+from ..io.metadata import GenomeInfo, group_by_species, read_genomes_info
 
 log = logging.getLogger(__name__)
 

@@ -13,7 +13,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from .db.construct import DatabasePaths
-from .graph.core import SpeciesGraph, SpeciesRange, load_species_range
+from .graph.core import SpeciesGraph, load_species_range
 from .io.gaf import GafRecord
 
 _COMP = bytes.maketrans(b"ACGTN", b"TGCAN")
