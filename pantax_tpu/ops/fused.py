@@ -437,7 +437,25 @@ class FusedPipeline:
         self.acc_b = jnp.zeros(tables.N_pad, dtype=jnp.float32)
         self.acc_d = jnp.zeros(tables.TB_pad + 1, dtype=jnp.int32)
         self.acc_t = jnp.zeros(tables.U_pad, dtype=jnp.float32)
-        self._per_read = []   # (n_valid, ids|None, lens, device outs)
+        self._per_read = []   # (n_valid, ids|None, lens, outs)
+        self._next_mat = 0    # first _per_read entry still holding device refs
+
+    _MAT_LAG = 8  # batches kept on device before materializing to host
+
+    def _materialize_to(self, bound: int) -> None:
+        """Convert per-read device refs to host arrays up to ``bound``.
+
+        The async host copies (_prefetch) make np.asarray cheap by the time
+        an entry is _MAT_LAG batches old, and dropping the device refs HERE
+        spreads their deletion RPCs across the align loop — a burst of ~180
+        buffer deletes after finish() measurably stalls host numpy in the
+        profile tail (~0.8s at 2M reads through the tunnel client)."""
+        while self._next_mat < bound:
+            m, ids, lens, out = self._per_read[self._next_mat]
+            self._per_read[self._next_mat] = (
+                m, ids, lens, tuple(np.asarray(a) for a in out)
+            )
+            self._next_mat += 1
 
     def feed(self, codes, lens, ids=None) -> None:
         from ..align.aligner import pack_codes
@@ -483,6 +501,7 @@ class FusedPipeline:
                  np.asarray(lens[lo:hi]), out[3:])
             )
             _prefetch(out[3:])
+            self._materialize_to(len(self._per_read) - self._MAT_LAG)
 
     def feed_paired(self, codes1, lens1, codes2, lens2,
                     ids1=None, ids2=None) -> None:
@@ -553,6 +572,7 @@ class FusedPipeline:
             )
             _prefetch(self._per_read[-2][3])
             _prefetch(self._per_read[-1][3])
+            self._materialize_to(len(self._per_read) - 2 * self._MAT_LAG)
 
     def finish(self):
         """-> (node_abund [N_pad], trio_abund [U_pad], node_base_cov [N_pad],
@@ -569,6 +589,7 @@ class FusedPipeline:
         reads["read_len"] = np.zeros(0, np.int64)
         ids_all: list | None = None
         ov = 0
+        self._materialize_to(len(self._per_read))
         if self._per_read:
             if self._per_read[0][1] is not None:
                 ids_all = []
