@@ -22,7 +22,13 @@ from .encode import encode_seq
 
 # chunk sizes per read technology: higher error rates need shorter chunks so
 # per-chunk indel drift stays inside the DP band (the role GraphAligner's
-# --precise-clipping per-type presets play, alignment.rs:144-165)
+# --precise-clipping per-type presets play, alignment.rs:144-165).
+# NOTE (measured, do not shrink): 160bp chunks match 512 on span/matches and
+# even beat them at ONT/CLR error, but INVERT within-species strain
+# attribution on the real example/hifi reads — close haplotypes need the
+# longer chunk to carry enough variant sites for the (hap, strand) majority
+# vote.  Chunk length is a strain-discrimination parameter, not just a DP
+# robustness one.
 LONG_READ_PRESETS = {
     "hifi": 512,
     "ontr10": 384,

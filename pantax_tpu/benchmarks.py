@@ -268,7 +268,7 @@ def run_mixed_benchmark(
     profile_fused(aligner, codes[: 2 * batch], lens[: 2 * batch], index, db,
                   cfg, out_dir, batch, tables=tables)
     stride = LONG_READ_SEED_STRIDE[read_type]
-    align_long_reads(aligner, long_reads[: long_batch // 4], chunk=chunk,
+    align_long_reads(aligner, long_reads[:1024], chunk=chunk,
                      batch_size=long_batch, seed_stride=stride)
 
     shutil.rmtree(out_dir, ignore_errors=True)
