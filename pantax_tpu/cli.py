@@ -231,14 +231,29 @@ def _main(argv: list[str] | None = None) -> int:
             from .align.aligner import Aligner
             from .ops.fused import build_fused_tables, fused_alignment_coverage
 
-            with stage_timer("kernel warmup (query + fused graphs)"):
-                aligner = Aligner(index)
-                B = args.batch_size
-                zc = np.full((B, 160), 4, dtype=np.int8)
-                zl = np.zeros(B, dtype=np.int64)
-                aligner.align_codes(zc, zl)
-                tables = build_fused_tables(db, index)
-                fused_alignment_coverage(aligner, zc, zl, tables, B)
+            aligner = Aligner(index)
+            B = args.batch_size
+            if args.long_read:
+                # the long-read chunk graphs are the slowest compiles
+                # (~4x the 160bp graph); warm the preset chunk shape plus
+                # the rescue extension kernel
+                from .align.long_read import LONG_READ_PRESETS
+
+                chunk = LONG_READ_PRESETS[args.long_read_type]
+                with stage_timer(f"kernel warmup (long-read {chunk}bp)"):
+                    zc = np.full((B, chunk), 4, dtype=np.int8)
+                    zl = np.zeros(B, dtype=np.int64)
+                    aligner.align_codes(zc, zl)
+                    Aligner.collect(aligner.dispatch_extend(
+                        zc, zl, np.zeros(B, np.int64), np.zeros(B, np.int8)
+                    ))
+            else:
+                with stage_timer("kernel warmup (query + fused graphs)"):
+                    zc = np.full((B, 160), 4, dtype=np.int8)
+                    zl = np.zeros(B, dtype=np.int64)
+                    aligner.align_codes(zc, zl)
+                    tables = build_fused_tables(db, index)
+                    fused_alignment_coverage(aligner, zc, zl, tables, B)
         return 0
 
     if not args.reads:

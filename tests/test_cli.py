@@ -153,3 +153,10 @@ def test_index_warm_kernels(workdir):
     executable is part of the index on TPU; giraffe index role)."""
     rc = main(["-d", "db", "--index", "--warm-kernels", "--batch-size", "256"])
     assert rc == 0
+
+
+def test_index_warm_kernels_long(workdir):
+    """--index --warm-kernels -l pre-compiles the long-read chunk graphs."""
+    rc = main(["-d", "db", "--index", "--warm-kernels", "-l",
+               "--long-read-type", "hifi", "--batch-size", "128"])
+    assert rc == 0
