@@ -48,6 +48,13 @@ LONG_READ_SEED_STRIDE = {
 }
 
 
+def _empty_arrays():
+    from ..fastpath import AlignmentArrays
+
+    z = np.zeros(0, dtype=np.int64)
+    return AlignmentArrays(read_ids=[], ts=z, te=z, mapq=z, read_len=z)
+
+
 def align_long_reads(
     aligner: Aligner,
     reads: list[tuple[str, bytes]],
@@ -55,9 +62,14 @@ def align_long_reads(
     batch_size: int = 2048,
     min_chunk_frac: float = 0.5,
     seed_stride: int = 1,
-) -> list[GafRecord]:
+    as_arrays: bool = False,
+):
+    """Returns GafRecords, or with ``as_arrays`` an AlignmentArrays for the
+    array-native long-read fastpath (no GAF text / node-path strings; the
+    best-alignment filter's thresholds are applied inline — one merged
+    record per read already holds, gaf_filter.rs:44-97)."""
     if not reads:
-        return []
+        return _empty_arrays() if as_arrays else []
     idx = aligner.index
 
     # cut into chunks — vectorized (one encode + one reshape per read; the
@@ -161,7 +173,7 @@ def align_long_reads(
     H = len(idx.hap_names)
     out: list[GafRecord] = []
     if len(a_sel) == 0:
-        return out
+        return _empty_arrays() if as_arrays else out
     key = hap_of[a_sel] * 2 + strand[a_sel]
     pairs = read_idx[a_sel] * (2 * H) + key
     uniq_pairs, pair_counts = np.unique(pairs, return_counts=True)
@@ -347,7 +359,27 @@ def align_long_reads(
     )
     e_sel = np.flatnonzero(emit)
     if len(e_sel) == 0:
-        return out
+        return _empty_arrays() if as_arrays else out
+    if as_arrays:
+        # vectorized arrays output: merged text intervals + evidence mapq;
+        # apply the long-read best-alignment filter thresholds inline
+        # (mapq > 20, query span > 1000 — gaf_filter.rs:44-97)
+        rl_e = read_len_arr[e_sel]
+        qs = np.where(strong[e_sel], 0, q_off_min[e_sel])
+        qe = np.where(strong[e_sel], rl_e,
+                      np.minimum(q_off_max[e_sel] + chunk, rl_e))
+        mq = np.minimum(q_sum[e_sel], 60)
+        keep = (mq > 20) & ((qe - qs) > 1000)
+        k = e_sel[keep]
+        from ..fastpath import AlignmentArrays
+
+        return AlignmentArrays(
+            read_ids=[reads[i][0] for i in k],
+            ts=mts[k].astype(np.int64),
+            te=mte[k].astype(np.int64),
+            mapq=np.minimum(q_sum[k], 60).astype(np.int64),
+            read_len=read_len_arr[k].astype(np.int64),
+        )
     i0, i1, off = idx.project(mts[e_sel], mte[e_sel])
     for j, ri in enumerate(e_sel):
         read_id, seq = reads[ri]

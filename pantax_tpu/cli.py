@@ -271,6 +271,8 @@ def _main(argv: list[str] | None = None) -> int:
 
     if args.fastpath and args.short_read:
         return _run_fastpath(args, db, index, tmp, t0)
+    if args.fastpath and args.long_read:
+        return _run_fastpath_long(args, db, index, tmp, t0)
 
     from .io.gaf import filter_best_long_read_alignments, read_gaf, write_gaf
 
@@ -389,6 +391,52 @@ def _codes_matrix(codes_flat, offsets, pad):
         L = int(lens[i])
         codes[i, :L] = codes_flat[offsets[i] : offsets[i] + L]
     return codes, lens.astype(np.int64)
+
+
+def _run_fastpath_long(args, db, index, tmp: Path, t0: float) -> int:
+    """Array-native long-read flow: chunked alignment -> merged per-read
+    intervals -> profiling, with no GAF text or node-path strings (the
+    long-read analog of the short-read fastpath; filter thresholds from
+    gaf_filter.rs:44-97 are applied inside align_long_reads)."""
+    from .align.aligner import Aligner
+    from .align.long_read import (
+        LONG_READ_PRESETS, LONG_READ_SEED_STRIDE, align_long_reads,
+    )
+    from .fastpath import profile_from_alignments
+    from .io.fastx import iter_fastx
+    from .utils.logging import stage_timer
+
+    aligner = Aligner(index)
+    reads = []
+    for rf in args.reads:
+        reads.extend(iter_fastx(rf))
+    with stage_timer("long-read alignment (fastpath)"):
+        merged = align_long_reads(
+            aligner, reads, chunk=LONG_READ_PRESETS[args.long_read_type],
+            batch_size=args.batch_size,
+            seed_stride=LONG_READ_SEED_STRIDE[args.long_read_type],
+            as_arrays=True,
+        )
+    log.info("- Aligned %d reads", len(merged.read_ids))
+
+    cfg = _profiling_config(args, db, tmp, "long",
+                            species=True,
+                            strain=args.strain or not args.species)
+    with stage_timer("profiling"):
+        profile_from_alignments(merged, index, db, cfg, tmp)
+
+    prefix = f"{args.pantax_output}_" if args.pantax_output else ""
+    _copy(tmp / "species_abundance.txt", Path(f"{prefix}species_abundance.txt"))
+    if cfg.strain:
+        _copy(tmp / "strain_abundance.txt",
+              Path(f"{prefix}strains_abundance.txt" if prefix
+                   else "strain_abundance.txt"))
+    if args.pantax_report:
+        _copy(tmp / "reads_classification.tsv", Path(args.pantax_report))
+    if not args.next_for_strain and not args.debug:
+        shutil.rmtree(tmp, ignore_errors=True)
+    log.info("- Done in %.1fs", time.time() - t0)
+    return 0
 
 
 def _run_fastpath(args, db, index, tmp: Path, t0: float) -> int:

@@ -160,3 +160,29 @@ def test_index_warm_kernels_long(workdir):
     rc = main(["-d", "db", "--index", "--warm-kernels", "-l",
                "--long-read-type", "hifi", "--batch-size", "128"])
     assert rc == 0
+
+
+def test_cli_fastpath_long_matches_default(workdir):
+    """--fastpath -l (array-native long-read flow) reproduces the GAF
+    pipeline's species profile on the example HiFi reads."""
+    if not os.path.exists("t2_species_abundance.txt"):
+        _subset_fastq(HIFI, "subl.fq", 60)
+        assert main(["-d", "db", "-l", "-r", "subl.fq", "--species",
+                     "--strain", "-o", "t2", "-T", "tmp2",
+                     "--batch-size", "512"]) == 0
+    _subset_fastq(HIFI, "subl2.fq", 60)
+    rc = main(["-d", "db", "-l", "-r", "subl2.fq", "--species", "--strain",
+               "-o", "lfp", "-T", "tmplfp", "--fastpath",
+               "--batch-size", "512"])
+    assert rc == 0
+    import numpy as np
+    import pandas as pd
+    a = pd.read_csv("t2_species_abundance.txt", sep="\t",
+                    dtype={"species_taxid": str})
+    b = pd.read_csv("lfp_species_abundance.txt", sep="\t",
+                    dtype={"species_taxid": str})
+    merged = a.merge(b, on="species_taxid", suffixes=("_a", "_b"))
+    assert len(merged) == len(a)
+    np.testing.assert_allclose(merged["predicted_coverage_a"],
+                               merged["predicted_coverage_b"], rtol=1e-9)
+    assert os.path.exists("lfp_strains_abundance.txt")
