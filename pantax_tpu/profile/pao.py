@@ -204,19 +204,31 @@ def _polish(A: np.ndarray, b: np.ndarray, x: np.ndarray, ub, sweeps: int = 8) ->
         return x
     ub = np.broadcast_to(np.asarray(ub, dtype=np.float64), x.shape)
     r = A @ x - b
+    cols_nz = [A[:, j] != 0 for j in range(p)]
+    # binary membership columns (the PAO case): unit weights make the
+    # weighted median a plain k-th order statistic — np.partition is O(n)
+    # vs the generic argsort path, and selects the identical element
+    # (k = first index where the unit-weight cumsum reaches half)
+    cols_binary = [bool((A[:, j][nz] == 1.0).all()) for j, nz in
+                   enumerate(cols_nz)]
     for _ in range(sweeps):
         moved = 0.0
         for j in range(p):
             col = A[:, j]
-            nz = col != 0
+            nz = cols_nz[j]
             if not nz.any():
                 continue
-            breaks = -(r[nz] / col[nz])
-            w = np.abs(col[nz])
-            order = np.argsort(breaks)
-            cw = np.cumsum(w[order])
-            half = cw[-1] / 2.0
-            t_star = breaks[order][int(np.searchsorted(cw, half))]
+            if cols_binary[j]:
+                breaks = -r[nz]
+                k = (len(breaks) - 1) // 2
+                t_star = np.partition(breaks, k)[k]
+            else:
+                breaks = -(r[nz] / col[nz])
+                w = np.abs(col[nz])
+                order = np.argsort(breaks)
+                cw = np.cumsum(w[order])
+                half = cw[-1] / 2.0
+                t_star = breaks[order][int(np.searchsorted(cw, half))]
             t = float(np.clip(t_star, -x[j], ub[j] - x[j]))
             if t != 0.0:
                 x[j] += t
