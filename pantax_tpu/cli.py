@@ -323,18 +323,7 @@ def _main(argv: list[str] | None = None) -> int:
     with stage_timer("profiling"):
         profile_from_gaf(gaf, db, cfg, tmp, force=args.force)
 
-    # move results out of the tmp dir (handle_res parity, main.rs:60-100)
-    prefix = f"{args.pantax_output}_" if args.pantax_output else ""
-    if args.species:
-        _copy(tmp / "species_abundance.txt", Path(f"{prefix}species_abundance.txt"))
-    if args.strain:
-        _copy(tmp / "strain_abundance.txt", Path(f"{prefix}strains_abundance.txt" if prefix else "strain_abundance.txt"))
-    if args.pantax_report:
-        _copy(tmp / "reads_classification.tsv", Path(args.pantax_report))
-    if not args.next_for_strain and not args.debug:
-        shutil.rmtree(tmp, ignore_errors=True)
-    log.info("- Done in %.1fs", time.time() - t0)
-    return 0
+    return _emit_outputs(args, tmp, args.species, args.strain, t0)
 
 
 def _profiling_config(args, db, tmp: Path, read_type: str, *,
@@ -425,18 +414,7 @@ def _run_fastpath_long(args, db, index, tmp: Path, t0: float) -> int:
     with stage_timer("profiling"):
         profile_from_alignments(merged, index, db, cfg, tmp)
 
-    prefix = f"{args.pantax_output}_" if args.pantax_output else ""
-    _copy(tmp / "species_abundance.txt", Path(f"{prefix}species_abundance.txt"))
-    if cfg.strain:
-        _copy(tmp / "strain_abundance.txt",
-              Path(f"{prefix}strains_abundance.txt" if prefix
-                   else "strain_abundance.txt"))
-    if args.pantax_report:
-        _copy(tmp / "reads_classification.tsv", Path(args.pantax_report))
-    if not args.next_for_strain and not args.debug:
-        shutil.rmtree(tmp, ignore_errors=True)
-    log.info("- Done in %.1fs", time.time() - t0)
-    return 0
+    return _emit_outputs(args, tmp, True, cfg.strain, t0)
 
 
 def _run_fastpath(args, db, index, tmp: Path, t0: float) -> int:
@@ -477,17 +455,7 @@ def _run_fastpath(args, db, index, tmp: Path, t0: float) -> int:
     with stage_timer("profiling"):
         profile_from_alignments(merged, index, db, cfg, tmp)
 
-    prefix = f"{args.pantax_output}_" if args.pantax_output else ""
-    _copy(tmp / "species_abundance.txt", Path(f"{prefix}species_abundance.txt"))
-    if cfg.strain:
-        _copy(tmp / "strain_abundance.txt",
-              Path(f"{prefix}strains_abundance.txt" if prefix else "strain_abundance.txt"))
-    if args.pantax_report:
-        _copy(tmp / "reads_classification.tsv", Path(args.pantax_report))
-    if not args.next_for_strain and not args.debug:
-        shutil.rmtree(tmp, ignore_errors=True)
-    log.info("- Done in %.1fs", time.time() - t0)
-    return 0
+    return _emit_outputs(args, tmp, True, cfg.strain, t0)
 
 
 def _run_fastpath_fused(args, db, index, aligner, tmp: Path, t0: float,
@@ -568,11 +536,20 @@ def _run_fastpath_fused(args, db, index, aligner, tmp: Path, t0: float,
     with stage_timer("profiling"):
         profile_from_fused_result(result, tables, index, db, cfg, tmp)
 
+    return _emit_outputs(args, tmp, True, cfg.strain, t0)
+
+
+def _emit_outputs(args, tmp, species: bool, strain: bool, t0: float) -> int:
+    """Move result tables out of the tmp dir (handle_res parity,
+    main.rs:60-100) and clean up."""
     prefix = f"{args.pantax_output}_" if args.pantax_output else ""
-    _copy(tmp / "species_abundance.txt", Path(f"{prefix}species_abundance.txt"))
-    if cfg.strain:
+    if species:
+        _copy(tmp / "species_abundance.txt",
+              Path(f"{prefix}species_abundance.txt"))
+    if strain:
         _copy(tmp / "strain_abundance.txt",
-              Path(f"{prefix}strains_abundance.txt" if prefix else "strain_abundance.txt"))
+              Path(f"{prefix}strains_abundance.txt" if prefix
+                   else "strain_abundance.txt"))
     if args.pantax_report:
         _copy(tmp / "reads_classification.tsv", Path(args.pantax_report))
     if not args.next_for_strain and not args.debug:
