@@ -89,6 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--coverage", default="auto",
                    choices=["auto", "host", "device"],
                    help="strain coverage engine (device = jitted TPU path)")
+    a.add_argument("--tail", default="auto",
+                   choices=["auto", "host", "device"],
+                   help="fused profile tail: keep na/ta/bc on device "
+                        "(device) or download and filter on host (host)")
     a.add_argument("--fastpath", action="store_true",
                    help="short reads: array-native profiling without writing "
                         "the GAF artifact (fastest; no alignment resume file)")
@@ -366,6 +370,7 @@ def _profiling_config(args, db, tmp: Path, read_type: str, *,
         mode=args.smode,
         solver=args.solver,
         coverage=args.coverage,
+        tail=args.tail,
         shift=shift,
         read_type=read_type,
     )

@@ -43,6 +43,11 @@ class ProfilingConfig:
     # (device above auto_device_reads reads per species)
     coverage: str = "auto"
     auto_device_reads: int = 500_000
+    # fused profile tail: 'host' (download na/ta/bc, NumPy filters + host
+    # polish — exact float64), 'device' (keep them on device,
+    # ops/profile_tail.py), or 'auto' (device when the avoided download is
+    # large; see ops.fused._tail_mode)
+    tail: str = "auto"
     # shift mode scales the trio-fraction threshold by the trio coverage mean
     # (defaults on iff the DB range table is empty, main.rs:118-124 quirk)
     shift: bool = False

@@ -421,6 +421,62 @@ def build_fused_tables(db, index) -> FusedTables:
     )
 
 
+class FusedResult:
+    """FusedPipeline.finish() output: per-read host arrays plus the three
+    dense coverage arrays as DEVICE handles, downloaded lazily on first
+    attribute access.  Tuple-compatible with the old 5-tuple
+    (na, ta, bc, reads, n_overflow) so indexing/unpacking keeps working —
+    but indexing 0-2 triggers the download; the device tail uses na_d/ta_d/
+    bc_d and never pays it."""
+
+    def __init__(self, na_d, ta_d, bc_d, reads, n_overflow):
+        self.na_d = na_d
+        self.ta_d = ta_d
+        self.bc_d = bc_d
+        self.reads = reads
+        self.n_overflow = n_overflow
+        self._host = None
+
+    def _materialize(self):
+        if self._host is None:
+            self._host = (
+                np.asarray(self.na_d, dtype=np.float64),
+                np.asarray(self.ta_d, dtype=np.float64),
+                np.asarray(self.bc_d),
+            )
+        return self._host
+
+    @property
+    def na(self):
+        return self._materialize()[0]
+
+    @property
+    def ta(self):
+        return self._materialize()[1]
+
+    @property
+    def bc(self):
+        return self._materialize()[2]
+
+    def __len__(self):
+        return 5
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return tuple(self)[i]
+        return (
+            lambda: self.na, lambda: self.ta, lambda: self.bc,
+            lambda: self.reads, lambda: self.n_overflow,
+        )[i]()
+
+    def __iter__(self):
+        yield self.na
+        yield self.ta
+        yield self.bc
+        yield self.reads
+        yield self.n_overflow
+
+
 class FusedPipeline:
     """Incremental fused align+coverage: feed() read-chunks (any size; each
     is cut into fixed ``batch`` dispatches), finish() once.  The coverage
@@ -575,9 +631,12 @@ class FusedPipeline:
             self._materialize_to(len(self._per_read) - 2 * self._MAT_LAG)
 
     def finish(self):
-        """-> (node_abund [N_pad], trio_abund [U_pad], node_base_cov [N_pad],
-        reads dict, n_overflow).  reads holds one row per FED read:
-        ts/te/mapq/aligned/ridx/read_len (+ids list when feed() got ids)."""
+        """-> FusedResult (tuple-compatible: node_abund [N_pad], trio_abund
+        [U_pad], node_base_cov [N_pad], reads dict, n_overflow).  reads holds
+        one row per FED read: ts/te/mapq/aligned/ridx/read_len (+ids list
+        when feed() got ids).  The three dense arrays stay ON DEVICE until
+        first host access — the device-resident tail (ops/profile_tail.py)
+        never downloads them."""
         tables = self.tables
         na, ta, bc = _fused_finalize(
             self.acc_b, self.acc_d, self.acc_t, tables.nodes_len_d,
@@ -624,13 +683,7 @@ class FusedPipeline:
                 [lens for _, _, lens, _ in self._per_read]
             )
         reads["ids"] = ids_all
-        return (
-            np.asarray(na, dtype=np.float64),
-            np.asarray(ta, dtype=np.float64),
-            np.asarray(bc),
-            reads,
-            ov,
-        )
+        return FusedResult(na, ta, bc, reads, ov)
 
 
 def fused_alignment_coverage(
@@ -736,7 +789,7 @@ def profile_from_fused_result(
     coverage was used."""
     from ..utils.logging import stage_timer
 
-    node_abund, trio_abund, node_base_cov, reads, n_overflow = result
+    reads, n_overflow = result[3], result[4]
     aligned = reads["aligned"]
     keep_rows = np.flatnonzero(aligned)
     ids = reads["ids"]
@@ -775,10 +828,8 @@ def profile_from_fused_result(
         prof = cProfile.Profile()
         prof.enable()
     ok = _profile_fused_tail(
-        tables, db, cfg, out, profile_input=(
-            ridx, mapq, read_len, sp_names,
-            node_abund, trio_abund, node_base_cov,
-        ),
+        tables, db, cfg, out,
+        profile_input=(ridx, mapq, read_len, sp_names, result),
     )
     # main-thread write AFTER the profile stages: running the arrow writer
     # on an overlap thread intermittently segfaulted inside libarrow while
@@ -799,6 +850,89 @@ def profile_from_fused_result(
     return ok
 
 
+def _device_tail_solve(tables, cfg, active, result):
+    """Strain filters + two-stage PAO over the DEVICE-resident na/ta/bc
+    (ops/profile_tail.py): one tiny stats download, batched on-device solves,
+    per-species host fallback only where the node-subsampling cap applies
+    (exact RNG semantics need host rows).  Returns the per-species OtuStates
+    in ``active`` order, metrics complete."""
+    from ..profile.engine import finish_two_stage, prepare_two_stage
+    from ..profile.filters import HapMetrics, OtuState
+    from .profile_tail import (
+        build_tail_tables, compute_tail_stats, first_filter_from_stats,
+        solve_two_stage_device,
+    )
+
+    if not active:
+        return []
+    tt = getattr(tables, "_tail_tables", None)
+    if tt is None:
+        tt = build_tail_tables(tables)
+        tables._tail_tables = tt
+    stats = compute_tail_stats(
+        tt, result.na_d, result.ta_d, result.bc_d, cfg.min_depth
+    )
+    cap = 500 if cfg.sample_test else cfg.sample_nodes
+    out_states: list = []
+    jobs, states, host_jobs = [], [], []
+    for sp in active:
+        si = sp.ridx
+        names = sorted(sp.paths)
+        state = OtuState(
+            otu=sp.range_.species,
+            hap_metrics=[HapMetrics() for _ in names],
+        )
+        first_filter_from_stats(state, si, tt, stats, names, cfg)
+        out_states.append(state)
+        if not state.possible_paths_idx:
+            continue
+        g_lo = int(tt.sp_hap_lo[si])
+        for h in state.possible_paths_idx:
+            g = g_lo + h
+            pl = np.float32(tt.path_len[g])
+            pc = np.float32(stats.path_cov[g])
+            # f32 division mirrors the host matvec path exactly (both sums
+            # are integer-valued and exactly representable)
+            state.hap_metrics[h].path_cov_ratio = (
+                float(pc / pl) if pl > 0 else 0.0
+            )
+        if cap and stats.sp_valid[si] > cap:
+            host_jobs.append((sp, state))
+        else:
+            ub = 1.05 * float(stats.sp_max[si])
+            jobs.append((si, list(state.possible_paths_idx), ub))
+            states.append(state)
+    if jobs:
+        solve_two_stage_device(
+            tt, result.na_d, jobs, states, cfg, stats.sp_max
+        )
+    if host_jobs:
+        hj = []
+        for sp, state in host_jobs:
+            na = np.asarray(
+                result.na_d[sp.off:sp.off + sp.num_nodes], dtype=np.float64
+            )
+            bc = np.asarray(result.bc_d[sp.off:sp.off + sp.num_nodes])
+            hj.append(prepare_two_stage(
+                state, sp.num_nodes, sp.paths, na, bc, sp.nodes_len, cfg
+            ))
+        finish_two_stage(hj, cfg)
+    return out_states
+
+
+def _tail_mode(tables, cfg) -> str:
+    """'device' keeps na/ta/bc on device (ops/profile_tail.py); 'host'
+    downloads them and runs the NumPy filters.  'auto' picks device when the
+    avoided download is big enough to dominate (the tunnel moves ~12MB/s in
+    bad windows; below the threshold the host tail's exact float64 math is
+    free)."""
+    mode = getattr(cfg, "tail", "auto")
+    if mode in ("host", "device"):
+        return mode
+    dl_bytes = tables.N_pad * 8 + tables.U_pad * 4
+    return "device" if dl_bytes >= 4 << 20 else "host"
+
+
 def _profile_fused_tail(tables, db, cfg, out, profile_input) -> bool:
     from ..io.metadata import read_genomes_info
     from ..profile.engine import finish_two_stage, prepare_two_stage
@@ -807,8 +941,7 @@ def _profile_fused_tail(tables, db, cfg, out, profile_input) -> bool:
     from ..profile.species import read_species_mean_len, species_profiling_codes
     from ..utils.logging import stage_timer
 
-    (ridx, mapq, read_len, sp_names,
-     node_abund, trio_abund, node_base_cov) = profile_input
+    (ridx, mapq, read_len, sp_names, result) = profile_input
     keep = ridx >= 0
     with stage_timer("species profiling (fused)"):
         with stage_timer("  species: gather kept rows"):
@@ -846,7 +979,17 @@ def _profile_fused_tail(tables, db, cfg, out, profile_input) -> bool:
     )
 
     metrics = []
-    with stage_timer(f"strain profiling ({len(selected)} species, fused)"):
+    active = [sp for sp in selected if counts[sp.ridx]]
+    mode = _tail_mode(tables, cfg)
+    if mode == "device":
+        with stage_timer(
+            f"strain profiling ({len(selected)} species, device tail)"
+        ):
+            states = _device_tail_solve(tables, cfg, active, result)
+    else:
+      with stage_timer(f"strain profiling ({len(selected)} species, fused)"):
+        node_abund, trio_abund, node_base_cov = result[0], result[1], result[2]
+
         def _prep(sp):
             na = node_abund[sp.off:sp.off + sp.num_nodes]
             ta = trio_abund[sp.trio_lo:sp.trio_hi]
@@ -866,7 +1009,6 @@ def _profile_fused_tail(tables, db, cfg, out, profile_input) -> bool:
                 )
             return state, job
 
-        active = [sp for sp in selected if counts[sp.ridx]]
         if len(active) > 1:
             # per-species filters/coeff prep is independent numpy (the
             # reference's rayon axis, profile.rs:3297) — thread it like
@@ -879,7 +1021,8 @@ def _profile_fused_tail(tables, db, cfg, out, profile_input) -> bool:
             prepared = [_prep(sp) for sp in active]
         with stage_timer("PAO solves (fused)"):
             finish_two_stage([j for _, j in prepared if j is not None], cfg)
-    for state, _ in prepared:
+        states = [state for state, _ in prepared]
+    for state in states:
         abundance_constraint(profile, state.hap_metrics)
         metrics.extend(state.hap_metrics)
 
