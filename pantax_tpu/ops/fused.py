@@ -863,15 +863,19 @@ def _device_tail_solve(tables, cfg, active, result):
         solve_two_stage_device,
     )
 
+    from ..utils.logging import stage_timer
+
     if not active:
         return []
     tt = getattr(tables, "_tail_tables", None)
     if tt is None:
-        tt = build_tail_tables(tables)
+        with stage_timer("  tail tables (device)"):
+            tt = build_tail_tables(tables)
         tables._tail_tables = tt
-    stats = compute_tail_stats(
-        tt, result.na_d, result.ta_d, result.bc_d, cfg.min_depth
-    )
+    with stage_timer("  tail stats (device)"):
+        stats = compute_tail_stats(
+            tt, result.na_d, result.ta_d, result.bc_d, cfg.min_depth
+        )
     cap = 500 if cfg.sample_test else cfg.sample_nodes
     out_states: list = []
     jobs, states, host_jobs = [], [], []
@@ -903,9 +907,10 @@ def _device_tail_solve(tables, cfg, active, result):
             jobs.append((si, list(state.possible_paths_idx), ub))
             states.append(state)
     if jobs:
-        solve_two_stage_device(
-            tt, result.na_d, jobs, states, cfg, stats.sp_max
-        )
+        with stage_timer(f"  PAO solves (device, {len(jobs)} species)"):
+            solve_two_stage_device(
+                tt, result.na_d, jobs, states, cfg, stats.sp_max
+            )
     if host_jobs:
         hj = []
         for sp, state in host_jobs:
