@@ -4,7 +4,7 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Default config: the reference's own example workload (21,300 real 150bp reads
-against the example-genome database — BASELINE.md config 1), tiled to 4 full
+against the example-genome database — BASELINE.md config 1), tiled to 12 full
 batches.  Set PANTAX_TPU_BENCH_SCALE=1 for the synthetic 10-species /
 30-strain community with 1M simulated reads (config 4), =2 for the 102-strain
 community at 2M short reads, =5 for the 102-strain community at 10M mixed

@@ -465,16 +465,23 @@ class DeviceTailSolver:
             }
 
     def solve(self, ub_vec_of=None, iters: int = 1500, chunk: int = 250,
-              tol: float = 1e-5) -> list[np.ndarray]:
+              tol: float = 1e-5, only_jobs: set | None = None
+              ) -> list[np.ndarray]:
         """One batched solve pass; ``ub_vec_of(ji, p) -> [p] ub vector or
         None`` customizes per-path bounds (the second solve pins paths with
-        ub 0, profile.rs:1482-1510).  Returns per-job x arrays [p]."""
+        ub 0, profile.rs:1482-1510).  ``only_jobs`` skips buckets containing
+        none of the listed job indices (second pass: most species need no
+        re-solve, so whole buckets drop out).  Returns per-job x arrays [p]."""
         if not self._prepared:
             self._prepare()
         results: list[np.ndarray | None] = [None] * len(self.jobs)
         for key, prep in self._prepared.items():
             n_pad, p_pad, Lp = key
             rows = prep["rows"]
+            if only_jobs is not None and not any(
+                ji in only_jobs for ji, *_ in rows
+            ):
+                continue
             S = len(rows)
             ub = prep["ub"]
             if ub_vec_of is not None:
@@ -541,7 +548,7 @@ def solve_two_stage_device(
                 v[j] = 0.0
         return v
 
-    seconds = solver.solve(ub_vec_of=ub_vec_of)
+    seconds = solver.solve(ub_vec_of=ub_vec_of, only_jobs=second_set)
     for ji in second_idx:
         si, possible, ub = jobs[ji]
         st = states[ji]

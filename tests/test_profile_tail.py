@@ -264,6 +264,36 @@ def test_device_solver_matches_host_pao():
         np.testing.assert_allclose(x_dev2, x_host2, rtol=2e-3, atol=2e-3)
 
 
+def test_device_solver_only_jobs_skips_buckets():
+    """solve(only_jobs=...) skips buckets with no listed job (second pass):
+    skipped jobs return None, listed jobs match the unrestricted solve."""
+    import jax.numpy as jnp
+
+    from pantax_tpu.ops.profile_tail import DeviceTailSolver
+
+    rng = np.random.default_rng(7)
+    nodes_len, paths, ti = _random_species(rng, n_haps=6, n_nodes=100)
+    names = sorted(paths)
+    n_nodes = len(nodes_len)
+    A_full = np.zeros((n_nodes, len(names)))
+    for j, nm in enumerate(names):
+        A_full[np.asarray(paths[nm]), j] = 1.0
+    na = np.clip(A_full @ rng.gamma(2.0, 3.0, size=len(names)), 0.0, None)
+    ub = 1.05 * float(na.max())
+    tt = _single_species_tt(paths, ti, nodes_len)
+    # job 0: 3 paths (p_pad 4); job 1: 6 paths (p_pad 8) -> distinct buckets
+    jobs = [(0, [0, 1, 2], ub), (0, list(range(6)), ub)]
+    solver = DeviceTailSolver(
+        tt, jnp.asarray(na.astype(np.float32)), jobs,
+        sp_max=np.array([float(na.max())]),
+    )
+    assert len(solver.buckets) == 2
+    full = solver.solve()
+    partial = solver.solve(only_jobs={1})
+    assert partial[0] is None
+    np.testing.assert_allclose(partial[1], full[1], rtol=1e-6, atol=1e-8)
+
+
 # ---------------------------------------------------------------------------
 # end-to-end: device tail vs host tail on the example database
 # ---------------------------------------------------------------------------
