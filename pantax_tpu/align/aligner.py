@@ -79,6 +79,70 @@ def _unpack_codes_j(packed):
     return jnp.stack([c0, c1], axis=-1).reshape(b.shape[0], -1).astype(jnp.int8)
 
 
+# 2-bit read pack: the read batch crosses the tunnel every dispatch and the
+# link is bandwidth-bound (~15MB/s measured), so 2 bits/base halves the
+# dominant per-batch transfer vs the nibble pack (5.2MB -> 2.6MB at batch
+# 65536 x 160bp).  Ambiguity bases (code 4) don't fit 2 bits; they travel as
+# a sparse exception list of flat [B*L] positions (real N rates are <<0.1%),
+# scattered back on device.  Batches with more than _EXC_CAP exceptions fall
+# back to the 4-bit pack (a different arg pytree -> its own compiled graph).
+_EXC_CAP = 8192
+
+
+def pack_codes2(
+    codes: np.ndarray, lens: np.ndarray, cap: int = _EXC_CAP
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Host-side 2-bit pack: int8 codes (0..4) [B, L] -> (uint8 [B, ceil(L/4)],
+    exceptions int32 [cap]).  Exceptions are flat positions (in the padded
+    [B, 4*ceil(L/4)] coordinate system) of code-4 bases BEFORE each read's
+    length; tail padding is restored on device from read_len.  Returns None
+    when the batch has more than ``cap`` exceptions (caller falls back to
+    pack_codes)."""
+    B, L = codes.shape
+    cols = np.arange(L, dtype=np.int64)[None, :]
+    rows_m, cols_m = np.nonzero(
+        (codes >= 4) & (cols < np.asarray(lens).reshape(B, 1))
+    )
+    if len(rows_m) > cap:
+        return None
+    if L % 4:
+        codes = np.pad(codes, ((0, 0), (0, 4 - L % 4)), constant_values=0)
+    Lp = codes.shape[1]
+    c = codes.astype(np.uint8) & 3
+    packed = (
+        c[:, 0::4] | (c[:, 1::4] << 2) | (c[:, 2::4] << 4) | (c[:, 3::4] << 6)
+    )
+    exc = np.full(cap, B * Lp, dtype=np.int32)  # sentinel: OOB -> dropped
+    exc[: len(rows_m)] = rows_m * Lp + cols_m
+    return packed, exc
+
+
+def _unpack_codes2_j(packed):
+    """Device-side inverse of pack_codes2's bit pack (exceptions/tail apart):
+    uint8 [B, L/4] -> int8 [B, L]."""
+    b = packed.astype(jnp.int32)
+    cs = [(b >> (2 * i)) & 3 for i in range(4)]
+    return jnp.stack(cs, axis=-1).reshape(b.shape[0], -1).astype(jnp.int8)
+
+
+def _unpack_reads_j(codes_packed, read_len):
+    """Unpack a read batch in either wire format: a plain array is the 4-bit
+    nibble pack (pad bases already 4); a (packed2, exc) tuple is the 2-bit
+    pack — scatter code 4 at the exception positions, then restore the pad
+    tail beyond each read's length.  Output is bit-identical between the
+    two formats."""
+    if not isinstance(codes_packed, tuple):
+        return _unpack_codes_j(codes_packed)
+    packed2, exc = codes_packed
+    codes = _unpack_codes2_j(packed2)
+    B, L = codes.shape
+    codes = (
+        codes.reshape(-1).at[exc].set(jnp.int8(4), mode="drop").reshape(B, L)
+    )
+    cols = jnp.arange(L, dtype=jnp.int32)[None, :]
+    return jnp.where(cols < read_len[:, None], codes, jnp.int8(4))
+
+
 def _rev_codes_j(codes, lens):
     """Device-side left-aligned reverse complement of right-padded codes."""
     B, Lr = codes.shape
@@ -396,7 +460,7 @@ def _query_batch(
     codes_packed, read_len, cfg_static
 ):
     mapq_scale, min_score_frac = cfg_static[11], cfg_static[12]
-    codes_fwd = _unpack_codes_j(codes_packed)
+    codes_fwd = _unpack_reads_j(codes_packed, read_len)
     codes_rev = _rev_codes_j(codes_fwd, read_len)
     scores, ts, te, matches, strand, node, off = _all_candidates(
         text2d, run_table, seed_pos, bucket_lo, tstart, tnode,
@@ -440,7 +504,7 @@ def _extend_batch(
     """
     pad, match, mismatch, gap = cfg_static[7:11]
     min_score_frac = cfg_static[12]
-    codes_fwd = _unpack_codes_j(codes_packed)
+    codes_fwd = _unpack_reads_j(codes_packed, read_len)
     codes_rev = _rev_codes_j(codes_fwd, read_len)
     read = jnp.where((strand == 1)[:, None], codes_rev, codes_fwd)
     Lr = read.shape[1]
@@ -510,11 +574,12 @@ def _query_batch_paired(
     Pair mapq is the joint score gap to the best alternative joint location.
     """
     mapq_scale, min_score_frac = cfg_static[11], cfg_static[12]
-    B = codes1_packed.shape[0]
+    B = len1.shape[0]
     # candidates for both mates in one device pass
     lens = jnp.concatenate([len1, len2], axis=0)
-    codes_fwd = _unpack_codes_j(
-        jnp.concatenate([codes1_packed, codes2_packed], axis=0)
+    codes_fwd = jnp.concatenate(
+        [_unpack_reads_j(codes1_packed, len1),
+         _unpack_reads_j(codes2_packed, len2)], axis=0
     )
     codes_rev = _rev_codes_j(codes_fwd, lens)
     scores, ts, te, matches, strand, node, off = _all_candidates(
@@ -692,6 +757,19 @@ class Aligner:
 
         return jax.device_put(arr, NamedSharding(self.mesh, P("reads")))
 
+    def _pack_reads(self, codes: np.ndarray, lens: np.ndarray):
+        """Wire format for a read batch: the 2-bit pack + exception list on a
+        single device (halves the bandwidth-bound upload), or the legacy
+        nibble pack on a multi-device mesh (the flat exception scatter would
+        make GSPMD reshard the sharded batch) and on exception overflow.
+        The jitted consumers accept either via _unpack_reads_j."""
+        if self.mesh is None or self.mesh.devices.size == 1:
+            p2 = pack_codes2(codes, np.asarray(lens))
+            if p2 is not None:
+                packed2, exc = p2
+                return (self._shard_reads(packed2), self._replicate(exc))
+        return self._shard_reads(pack_codes(codes))
+
     def _static(self) -> tuple:
         c = self.cfg
         return (
@@ -709,7 +787,7 @@ class Aligner:
         return _query_batch_packed(
             self.text_d, self.run_table_d, self.seed_pos_d, self.bucket_lo_d,
             self.tstart_d, self.tnode_d,
-            self._shard_reads(pack_codes(codes)),
+            self._pack_reads(codes, lens),
             self._shard_reads(lens.astype(np.int32)), self._static(),
         )
 
@@ -719,7 +797,7 @@ class Aligner:
         row.  Returns a packed device array for collect()."""
         return _extend_batch(
             self.text_d,
-            self._shard_reads(pack_codes(codes)),
+            self._pack_reads(codes, lens),
             self._shard_reads(lens.astype(np.int32)),
             self._shard_reads(w0.astype(np.int32)),
             self._shard_reads(strand.astype(np.int32)),
@@ -734,9 +812,9 @@ class Aligner:
         return _query_batch_paired_packed(
             self.text_d, self.run_table_d, self.seed_pos_d, self.bucket_lo_d,
             self.tstart_d, self.tnode_d,
-            self._shard_reads(pack_codes(codes1)),
+            self._pack_reads(codes1, lens1),
             self._shard_reads(lens1.astype(np.int32)),
-            self._shard_reads(pack_codes(codes2)),
+            self._pack_reads(codes2, lens2),
             self._shard_reads(lens2.astype(np.int32)),
             self._static(), c.frag_max, c.pair_bonus, c.rescue_frac,
         )

@@ -514,8 +514,6 @@ class FusedPipeline:
             self._next_mat += 1
 
     def feed(self, codes, lens, ids=None) -> None:
-        from ..align.aligner import pack_codes
-
         aligner, tables, batch = self.aligner, self.tables, self.batch
         if self.L_cap is None:
             self.L_cap = auto_node_window(
@@ -541,7 +539,7 @@ class FusedPipeline:
                 tables.nodes_len_d, tables.base_offset_d,
                 tables.trio_hash_d, tables.trio_order_d, tables.trio_abc_d,
                 tables.trio_bucket_d,
-                aligner._shard_reads(pack_codes(b_codes)),
+                aligner._pack_reads(b_codes, b_lens),
                 aligner._shard_reads(b_lens.astype(np.int32)),
                 self.acc_b, self.acc_d, self.acc_t,
                 cfg_static=aligner._static(), win_shift=tables.win_shift,
@@ -565,8 +563,6 @@ class FusedPipeline:
         aligner._query_batch_paired (pair scoring + rescue + pair mapq) and
         one coverage scatter.  Per-read rows appear mate1-block then
         mate2-block per dispatched batch."""
-        from ..align.aligner import pack_codes
-
         aligner, tables, batch = self.aligner, self.tables, self.batch
         c = aligner.cfg
         if self.L_cap is None:
@@ -601,9 +597,9 @@ class FusedPipeline:
                 tables.nodes_len_d, tables.base_offset_d,
                 tables.trio_hash_d, tables.trio_order_d, tables.trio_abc_d,
                 tables.trio_bucket_d,
-                aligner._shard_reads(pack_codes(b1)),
+                aligner._pack_reads(b1, l1),
                 aligner._shard_reads(l1.astype(np.int32)),
-                aligner._shard_reads(pack_codes(b2)),
+                aligner._pack_reads(b2, l2),
                 aligner._shard_reads(l2.astype(np.int32)),
                 self.acc_b, self.acc_d, self.acc_t,
                 cfg_static=aligner._static(), frag_max=c.frag_max,

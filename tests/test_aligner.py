@@ -388,6 +388,87 @@ def test_pack_unpack_roundtrip():
             assert (un[:, L] == 4).all()  # pad column is sentinel
 
 
+def test_pack2_unpack_roundtrip():
+    """pack_codes2 (2-bit wire format + N exception list) inverts exactly
+    through _unpack_reads_j: N bases inside reads come back as 4 via the
+    exception scatter, and every position at or beyond read_len is restored
+    to the pad sentinel 4 — bit-identical to the nibble-pack path."""
+    import jax
+    import jax.numpy as jnp
+
+    from pantax_tpu.align.aligner import _unpack_reads_j, pack_codes2
+
+    unpack = jax.jit(_unpack_reads_j)
+    rng = np.random.default_rng(5)
+    for L in (150, 151, 32):
+        B = 9
+        lens = rng.integers(1, L + 1, size=B).astype(np.int32)
+        codes = np.full((B, L), 4, dtype=np.int8)
+        for i in range(B):
+            row = rng.integers(0, 4, size=lens[i]).astype(np.int8)
+            # sprinkle real N bases inside the read
+            n_idx = rng.integers(0, lens[i], size=3)
+            row[n_idx] = 4
+            codes[i, : lens[i]] = row
+        p2 = pack_codes2(codes, lens)
+        assert p2 is not None
+        packed2, exc = p2
+        assert packed2.dtype == np.uint8
+        assert packed2.shape == (B, (L + 3) // 4)
+        un = np.asarray(unpack((jnp.asarray(packed2), jnp.asarray(exc)),
+                               jnp.asarray(lens)))
+        Lp = un.shape[1]
+        expect = np.full((B, Lp), 4, dtype=np.int8)
+        expect[:, :L] = codes
+        assert np.array_equal(un, expect)
+
+
+def test_pack2_overflow_falls_back():
+    """More than the exception capacity of N bases -> pack_codes2 returns
+    None, and Aligner._pack_reads transparently falls back to the nibble
+    pack — align_codes gives identical results through both wire formats."""
+    from pantax_tpu.align.aligner import pack_codes2
+
+    codes = np.full((4, 64), 4, dtype=np.int8)  # all-N reads
+    lens = np.full(4, 64, dtype=np.int32)
+    assert pack_codes2(codes, lens, cap=16) is None
+    p2 = pack_codes2(codes, lens, cap=4 * 64)
+    assert p2 is not None
+
+
+def test_query_batch_same_result_both_wire_formats(index, aligner):
+    """The 2-bit and 4-bit wire formats produce bit-identical query results
+    (same reads, one with N bases injected)."""
+    import jax.numpy as jnp
+
+    from pantax_tpu.align.aligner import (
+        _query_batch_packed, pack_codes, pack_codes2,
+    )
+
+    rng = np.random.default_rng(11)
+    text = np.asarray(index.text)
+    B, L = 16, 96
+    codes = np.full((B, L), 4, dtype=np.int8)
+    lens = np.full(B, L, dtype=np.int32)
+    for i in range(B):
+        s = rng.integers(0, index.text_len - L)
+        codes[i] = text[s : s + L]
+        codes[i, rng.integers(0, L)] = 4  # one N per read
+    legacy = _query_batch_packed(
+        aligner.text_d, aligner.run_table_d, aligner.seed_pos_d,
+        aligner.bucket_lo_d, aligner.tstart_d, aligner.tnode_d,
+        jnp.asarray(pack_codes(codes)), jnp.asarray(lens), aligner._static(),
+    )
+    packed2, exc = pack_codes2(codes, lens)
+    twobit = _query_batch_packed(
+        aligner.text_d, aligner.run_table_d, aligner.seed_pos_d,
+        aligner.bucket_lo_d, aligner.tstart_d, aligner.tnode_d,
+        (jnp.asarray(packed2), jnp.asarray(exc)), jnp.asarray(lens),
+        aligner._static(),
+    )
+    assert np.array_equal(np.asarray(legacy), np.asarray(twobit))
+
+
 def test_device_revcomp_matches_host():
     """_rev_codes_j equals the host reverse complement on right-padded codes
     (left-aligned result, N bases preserved, pad stays 4)."""
