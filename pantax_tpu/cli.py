@@ -477,7 +477,10 @@ def _run_fastpath_fused(args, db, index, aligner, tmp: Path, t0: float,
     from .utils.native import fastx_parse_native
 
     tables = build_fused_tables(db, index)
-    pipe = FusedPipeline(aligner, tables, batch=args.batch_size)
+    # prefetch_spans: the resume artifact below always writes ts/te, so
+    # stream them to host during the align loop like the other columns
+    pipe = FusedPipeline(aligner, tables, batch=args.batch_size,
+                         prefetch_spans=True)
 
     def parse(rf, buf):
         parsed = fastx_parse_native(buf)

@@ -107,20 +107,27 @@ def _window_has_dup_nodes(index, W: int = 64) -> bool:
     return False
 
 
-def auto_node_window(index, read_pad: int, band: int = 16) -> int:
-    """Static bound on how many text segments one alignment can span: the
-    worst case is a read of the padded length (+ DP band slack) starting at
-    the LAST base of each segment.  On 1024bp-chunk graphs this is 2-4 for
-    150bp reads — an 8-16x cut in per-batch scatter indices vs a fixed
-    window of 32.  The L_cap overflow fallback still guards correctness, so
-    a tighter bound can only cost a fallback, never wrong output."""
+def node_span_bound(index, read_pad: int, band: int = 16) -> int:
+    """Exact static bound on how many text segments one alignment can span:
+    the worst case is a read of the padded length (+ DP band slack) starting
+    at the LAST base of each segment."""
     tstart = np.asarray(index.tstart, dtype=np.int64)
     if len(tstart) < 2:
-        return 4
+        return 1
     W = read_pad + band + 2
     i = np.arange(len(tstart) - 1)
     te = tstart[i + 1] - 1 + W  # read ends before this text position
-    span = int((np.searchsorted(tstart, te, side="left") - i).max()) + 1
+    return int((np.searchsorted(tstart, te, side="left") - i).max()) + 1
+
+
+def auto_node_window(index, read_pad: int, band: int = 16) -> int:
+    """Static node window from node_span_bound, clamped to [4, 64].  On
+    1024bp-chunk graphs this is 2-4 for 150bp reads — an 8-16x cut in
+    per-batch scatter indices vs a fixed window of 32.  The L_cap overflow
+    fallback still guards correctness, so a tighter bound can only cost a
+    fallback, never wrong output (overflow is impossible unless the true
+    bound exceeds the clamp)."""
+    span = node_span_bound(index, read_pad, band)
     return max(4, min(1 << int(np.ceil(np.log2(span))), 64))
 
 
@@ -228,15 +235,18 @@ def _fused_step_impl(
 def _narrow_per_read(ts, te, mapq, aligned, ridx, overflow):
     """Narrow per-read outputs for the device->host transfer: the tunnel is
     bandwidth-bound (~12MB/s in bad windows), and finish() downloads every
-    fed read — 24B/read as int32s, 11B narrowed.  Short-read spans fit int16
-    (te - ts <= Lr + 2*band), species index fits int16, mapq int8."""
+    fed read.  Only mapq/aligned/ridx (4B/read) cross per batch; ts/span
+    (6B/read) stay device-resident until a consumer actually needs text
+    intervals (the L_cap-overflow fallback, or the CLI's resume artifact),
+    and the overflow flags collapse to one per-batch scalar count (padded
+    rows are unaligned, so the full-batch sum equals the fed-row sum)."""
     return (
         ts.astype(jnp.int32),
         (te - ts).astype(jnp.int16),
         mapq.astype(jnp.int8),
         aligned,
         ridx.astype(jnp.int16),
-        overflow,
+        overflow.sum().astype(jnp.int32),
     )
 
 
@@ -485,16 +495,25 @@ class FusedPipeline:
     loop."""
 
     def __init__(self, aligner, tables: FusedTables, batch: int,
-                 L_cap: int | None = None):
+                 L_cap: int | None = None, prefetch_spans: bool = False):
         self.aligner = aligner
         self.tables = tables
         self.batch = batch
         self.L_cap = L_cap  # None -> auto_node_window at first feed
+        # prefetch_spans=True streams the per-read text intervals (ts/span,
+        # 6B/read) to host during the align loop like the other columns —
+        # for callers that always consume them (the CLI's resume artifact).
+        # False (default) leaves them as device refs: they cross the tunnel
+        # only if some read overflows L_cap (the per-species fallback needs
+        # intervals), which chunked graphs make impossible.
+        self.prefetch_spans = prefetch_spans
         self.acc_b = jnp.zeros(tables.N_pad, dtype=jnp.float32)
         self.acc_d = jnp.zeros(tables.TB_pad + 1, dtype=jnp.int32)
         self.acc_t = jnp.zeros(tables.U_pad, dtype=jnp.float32)
-        self._per_read = []   # (n_valid, ids|None, lens, outs)
+        self._per_read = []   # (n_valid, ids|None, lens, core, spans)
+        self._ov = []         # per-dispatch overflow-count scalars
         self._next_mat = 0    # first _per_read entry still holding device refs
+        self._next_ov = 0
 
     _MAT_LAG = 8  # batches kept on device before materializing to host
 
@@ -507,11 +526,30 @@ class FusedPipeline:
         buffer deletes after finish() measurably stalls host numpy in the
         profile tail (~0.8s at 2M reads through the tunnel client)."""
         while self._next_mat < bound:
-            m, ids, lens, out = self._per_read[self._next_mat]
+            m, ids, lens, core, spans = self._per_read[self._next_mat]
+            if self.prefetch_spans and spans is not None:
+                spans = tuple(np.asarray(a) for a in spans)
             self._per_read[self._next_mat] = (
-                m, ids, lens, tuple(np.asarray(a) for a in out)
+                m, ids, lens, tuple(np.asarray(a) for a in core), spans
             )
             self._next_mat += 1
+        while self._next_ov < min(bound, len(self._ov)):
+            self._ov[self._next_ov] = int(np.asarray(self._ov[self._next_ov]))
+            self._next_ov += 1
+
+    def _push_batch(self, m, ids, lens, per_read, ov) -> None:
+        """Record one dispatched batch's per-read outputs and start their
+        async host copies (spans only when prefetch_spans)."""
+        ts_d, span_d, mapq_d, al_d, ridx_d = per_read
+        core = (mapq_d, al_d, ridx_d)
+        spans = (ts_d, span_d)
+        self._per_read.append((m, ids, lens, core, spans))
+        if ov is not None:
+            self._ov.append(ov)
+            _prefetch((ov,))
+        _prefetch(core)
+        if self.prefetch_spans:
+            _prefetch(spans)
 
     def feed(self, codes, lens, ids=None) -> None:
         aligner, tables, batch = self.aligner, self.tables, self.batch
@@ -550,11 +588,10 @@ class FusedPipeline:
                 trio_probes=tables.trio_probes, has_dups=tables.has_dups,
             )
             self.acc_b, self.acc_d, self.acc_t = out[:3]
-            self._per_read.append(
-                (hi - lo, ids[lo:hi] if ids is not None else None,
-                 np.asarray(lens[lo:hi]), out[3:])
+            self._push_batch(
+                hi - lo, ids[lo:hi] if ids is not None else None,
+                np.asarray(lens[lo:hi]), out[3:8], out[8],
             )
-            _prefetch(out[3:])
             self._materialize_to(len(self._per_read) - self._MAT_LAG)
 
     def feed_paired(self, codes1, lens1, codes2, lens2,
@@ -614,23 +651,26 @@ class FusedPipeline:
             self.acc_b, self.acc_d, self.acc_t = out[:3]
             B = batch
             m = hi - lo
-            self._per_read.append(
-                (m, ids1[lo:hi] if ids1 is not None else None,
-                 np.asarray(lens1[lo:hi]), tuple(a[:B] for a in out[3:]))
+            self._push_batch(
+                m, ids1[lo:hi] if ids1 is not None else None,
+                np.asarray(lens1[lo:hi]), tuple(a[:B] for a in out[3:8]),
+                out[8],
             )
-            self._per_read.append(
-                (m, ids2[lo:hi] if ids2 is not None else None,
-                 np.asarray(lens2[lo:hi]), tuple(a[B:] for a in out[3:]))
+            self._push_batch(
+                m, ids2[lo:hi] if ids2 is not None else None,
+                np.asarray(lens2[lo:hi]), tuple(a[B:] for a in out[3:8]),
+                None,  # one overflow count covers both mates
             )
-            _prefetch(self._per_read[-2][3])
-            _prefetch(self._per_read[-1][3])
             self._materialize_to(len(self._per_read) - 2 * self._MAT_LAG)
 
     def finish(self):
         """-> FusedResult (tuple-compatible: node_abund [N_pad], trio_abund
         [U_pad], node_base_cov [N_pad], reads dict, n_overflow).  reads holds
-        one row per FED read: ts/te/mapq/aligned/ridx/read_len (+ids list
-        when feed() got ids).  The three dense arrays stay ON DEVICE until
+        one row per FED read: mapq/aligned/ridx/read_len (+ids list when
+        feed() got ids); ts/te are included when prefetch_spans was set OR
+        some read overflowed L_cap (the per-species fallback consumes text
+        intervals) — otherwise the interval buffers are dropped without ever
+        crossing the tunnel.  The three dense arrays stay ON DEVICE until
         first host access — the device-resident tail (ops/profile_tail.py)
         never downloads them."""
         tables = self.tables
@@ -638,46 +678,53 @@ class FusedPipeline:
             self.acc_b, self.acc_d, self.acc_t, tables.nodes_len_d,
             tables.base_offset_d, tables.trio_len_d, num_nodes=tables.N_pad,
         )
-        names = ("ts", "span", "mapq", "aligned", "ridx")
-        reads = {k: np.zeros(0, np.int64) for k in ("ts", "te", "mapq",
-                                                    "aligned", "ridx")}
-        reads["read_len"] = np.zeros(0, np.int64)
+        reads = {k: np.zeros(0, np.int64) for k in ("mapq", "aligned",
+                                                    "ridx", "read_len")}
+        if self.prefetch_spans:
+            reads["ts"] = np.zeros(0, np.int64)
+            reads["te"] = np.zeros(0, np.int64)
         ids_all: list | None = None
-        ov = 0
         self._materialize_to(len(self._per_read))
+        ov = int(sum(self._ov))
         if self._per_read:
             if self._per_read[0][1] is not None:
                 ids_all = []
-                for _, ids, _, _ in self._per_read:
+                for _, ids, _, _, _ in self._per_read:
                     ids_all.extend(ids)
             # per-batch outputs were prefetched to host during the feed loop
             # (_prefetch), so np.asarray here is a cheap local read — the
             # old device-side concatenate paid one big blocking download at
             # the very end instead of streaming it behind the align compute
             B = self.batch
-            ms = [m for m, _, _, _ in self._per_read]
-            per_col = list(zip(*(out for _, _, _, out in self._per_read)))
+            ms = [m for m, _, _, _, _ in self._per_read]
             valid = np.zeros(len(ms) * B, dtype=bool)
             for i, m in enumerate(ms):
                 valid[i * B : i * B + m] = True
-            cols = {}
-            for name, arrs in zip(names, per_col[:5]):
-                cols[name] = np.concatenate(
+            per_col = list(zip(*(core for _, _, _, core, _ in
+                                 self._per_read)))
+            for name, arrs in zip(("mapq", "aligned", "ridx"), per_col):
+                reads[name] = np.concatenate(
                     [np.asarray(a) for a in arrs]
                 )[valid] if len(arrs) > 1 else np.asarray(arrs[0])[valid]
-            # per-read outputs come back narrowed (see _narrow_per_read);
-            # reconstruct text_end from the int16 span
-            reads["ts"] = cols["ts"]
-            reads["te"] = cols["ts"] + cols["span"]
-            reads["mapq"] = cols["mapq"]
-            reads["aligned"] = cols["aligned"]
-            reads["ridx"] = cols["ridx"]
-            ov = int(sum(np.asarray(a)[:m].sum()
-                         for (m, _, _, _), a in zip(self._per_read,
-                                                    per_col[5])))
+            if self.prefetch_spans or ov:
+                span_col = list(zip(*(sp for _, _, _, _, sp in
+                                      self._per_read)))
+                if not self.prefetch_spans:
+                    # pays the interval download only on the (rare) fallback
+                    for arrs in span_col:
+                        _prefetch(arrs)
+                ts = np.concatenate(
+                    [np.asarray(a) for a in span_col[0]]
+                )[valid]
+                span = np.concatenate(
+                    [np.asarray(a) for a in span_col[1]]
+                )[valid]
+                reads["ts"] = ts
+                reads["te"] = ts + span
             reads["read_len"] = np.concatenate(
-                [lens for _, _, lens, _ in self._per_read]
+                [lens for _, _, lens, _, _ in self._per_read]
             )
+            self._per_read = []  # drop any remaining device interval refs
         reads["ids"] = ids_all
         return FusedResult(na, ta, bc, reads, ov)
 

@@ -223,6 +223,53 @@ def test_window_dup_detection(index):
     assert _window_has_dup_nodes(FakeIdx2()) is False
 
 
+def test_fused_overflow_fallback_downloads_spans(db, index, aligner,
+                                                 tmp_path):
+    """A forced-tiny L_cap makes every aligned read overflow the node
+    window; finish() reports the count, downloads the deferred ts/span
+    device buffers, and profile_from_fused_result delegates to the
+    per-species flow — producing the same tables as the fastpath on the
+    same reads."""
+    import filecmp as _filecmp
+
+    from pantax_tpu.align.encode import encode_seq
+    from pantax_tpu.fastpath import (
+        collect_alignment_arrays, profile_from_alignments,
+    )
+    from pantax_tpu.ops.fused import (
+        FusedPipeline, build_fused_tables, profile_from_fused_result,
+    )
+
+    reads = simulate_reads(db, {"GCF_002012065.1": 3, "GCF_024223415.1": 1},
+                           n_reads=800, read_len=150, seed=13)
+    L = 160
+    codes = np.full((len(reads), L), 4, dtype=np.int8)
+    lens = np.zeros(len(reads), dtype=np.int64)
+    for i, r in enumerate(reads):
+        codes[i, : len(r.seq)] = encode_seq(r.seq)
+        lens[i] = len(r.seq)
+    ids = [r.read_id for r in reads]
+
+    cfg = ProfilingConfig.for_read_type("short")
+    tables = build_fused_tables(db, index)
+    pipe = FusedPipeline(aligner, tables, batch=256, L_cap=1)
+    pipe.feed(codes, lens, ids=ids)
+    result = pipe.finish()
+    assert result[4] > 0, "L_cap=1 should overflow 150bp reads"
+    assert len(result[3]["ts"]) == len(reads)  # spans downloaded on demand
+    out_fused = tmp_path / "ovf"
+    ok = profile_from_fused_result(result, tables, index, db, cfg, out_fused)
+    assert ok is False  # delegated
+
+    out_fast = tmp_path / "fast"
+    arrays = collect_alignment_arrays(aligner, codes, lens, batch=256)
+    arrays.read_ids = [ids[int(r[1:])] for r in arrays.read_ids]
+    profile_from_alignments(arrays, index, db, cfg, out_fast)
+    for name in ("species_abundance.txt", "strain_abundance.txt"):
+        assert _filecmp.cmp(out_fast / name, out_fused / name,
+                            shallow=False), name
+
+
 def test_fused_profile_matches_fastpath(db, index, aligner, tmp_path):
     """profile_fused writes byte-identical abundance tables to the
     per-species fastpath flow on the same reads."""
