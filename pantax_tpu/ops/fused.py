@@ -578,7 +578,7 @@ class FusedPipeline:
                 tables.trio_hash_d, tables.trio_order_d, tables.trio_abc_d,
                 tables.trio_bucket_d,
                 aligner._pack_reads(b_codes, b_lens),
-                aligner._shard_reads(b_lens.astype(np.int32)),
+                aligner._put_lens(b_lens),
                 self.acc_b, self.acc_d, self.acc_t,
                 cfg_static=aligner._static(), win_shift=tables.win_shift,
                 pos_steps=tables.pos_steps, L_cap=self.L_cap,
@@ -635,9 +635,9 @@ class FusedPipeline:
                 tables.trio_hash_d, tables.trio_order_d, tables.trio_abc_d,
                 tables.trio_bucket_d,
                 aligner._pack_reads(b1, l1),
-                aligner._shard_reads(l1.astype(np.int32)),
+                aligner._put_lens(l1),
                 aligner._pack_reads(b2, l2),
-                aligner._shard_reads(l2.astype(np.int32)),
+                aligner._put_lens(l2),
                 self.acc_b, self.acc_d, self.acc_t,
                 cfg_static=aligner._static(), frag_max=c.frag_max,
                 pair_bonus=c.pair_bonus, rescue_frac=c.rescue_frac,
