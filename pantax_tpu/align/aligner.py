@@ -61,12 +61,17 @@ def _mix32_j(h):
 
 
 def pack_codes(codes: np.ndarray) -> np.ndarray:
-    """Host-side nibble pack: int8 codes (0..4) [B, L] -> uint8 [B, L/2].
+    """Host-side nibble pack: int8 codes (0..4) [B, L] -> uint8 [B, ceil(L/4)*2].
     Read batches cross the host->device link every dispatch; 4 bits per base
     halves the upload (the reverse strand is derived on device, halving it
-    again — see _query_batch)."""
-    if codes.shape[1] % 2:
-        codes = np.pad(codes, ((0, 0), (0, 1)), constant_values=4)
+    again — see _query_batch).  Width is padded to a multiple of FOUR (not
+    two) so the unpacked shape matches pack_codes2's exactly: an exception-
+    overflow fallback mid-run then reuses the same downstream graph shapes
+    instead of compiling a second read-width family."""
+    if codes.shape[1] % 4:
+        codes = np.pad(
+            codes, ((0, 0), (0, 4 - codes.shape[1] % 4)), constant_values=4
+        )
     c = codes.astype(np.uint8)
     return c[:, 0::2] | (c[:, 1::2] << 4)
 

@@ -237,6 +237,11 @@ def _main(argv: list[str] | None = None) -> int:
 
             aligner = Aligner(index)
             B = args.batch_size
+            # an N-heavy batch (all bases = 4 within read lengths) exceeds
+            # the 2-bit wire's exception cap, so feeding one warms the 4-bit
+            # fallback graph too — otherwise the first quality-masked FASTQ
+            # chunk crossing the cap mid-run pays a surprise full compile
+            # (the two wires are different arg pytrees -> separate graphs)
             if args.long_read:
                 # the long-read chunk graphs are the slowest compiles
                 # (~4x the 160bp graph); warm the preset chunk shape plus
@@ -247,17 +252,25 @@ def _main(argv: list[str] | None = None) -> int:
                 with stage_timer(f"kernel warmup (long-read {chunk}bp)"):
                     zc = np.full((B, chunk), 4, dtype=np.int8)
                     zl = np.zeros(B, dtype=np.int64)
+                    zl_n = np.full(B, chunk, dtype=np.int64)  # 4-bit wire
                     aligner.align_codes(zc, zl)
+                    aligner.align_codes(zc, zl_n)
                     Aligner.collect(aligner.dispatch_extend(
                         zc, zl, np.zeros(B, np.int64), np.zeros(B, np.int8)
+                    ))
+                    Aligner.collect(aligner.dispatch_extend(
+                        zc, zl_n, np.zeros(B, np.int64), np.zeros(B, np.int8)
                     ))
             else:
                 with stage_timer("kernel warmup (query + fused graphs)"):
                     zc = np.full((B, 160), 4, dtype=np.int8)
                     zl = np.zeros(B, dtype=np.int64)
+                    zl_n = np.full(B, 160, dtype=np.int64)  # 4-bit wire
                     aligner.align_codes(zc, zl)
+                    aligner.align_codes(zc, zl_n)
                     tables = build_fused_tables(db, index)
                     fused_alignment_coverage(aligner, zc, zl, tables, B)
+                    fused_alignment_coverage(aligner, zc, zl_n, tables, B)
         return 0
 
     if not args.reads:

@@ -16,8 +16,11 @@ semantics mirror fastpath.profile_from_alignments exactly (parity test:
 tests/test_fused.py); the reference's per-species loop is profile.rs:3291-3323
 with coverage get_node_abundances profile.rs:742-1026.
 
-Reads whose node span exceeds the static L_cap window are counted on device;
-the driver falls back to the per-species path when any occur (they don't on
+Reads whose node span exceeds the static L_cap window are counted on device
+and masked out of the scatter; their contributions are recomputed on host
+(profile/coverage.py raw_contributions — the device kernel's oracle) and
+scatter-added into the accumulators at finish().  Overflow therefore costs
+O(#overflow reads) host work, not a whole-run fallback (it never happens on
 chunked / anchor-partition graphs, where 150bp reads cross a handful of
 nodes).
 """
@@ -327,6 +330,104 @@ def _fused_finalize(acc_bases, acc_diff, acc_trio, nodes_len, base_offset,
 
 
 # ---------------------------------------------------------------------------
+# L_cap-overflow residual: reads whose node span exceeds the static window
+# are masked out of the device scatter (keep = ... & ~overflow) but their
+# classification is still valid, so their coverage contributions can be
+# computed on host (profile/coverage.py — the same oracle the device kernel
+# is tested against) and scatter-added into the donated accumulators before
+# finalize.  O(#overflow reads) host work replaces the old whole-run
+# per-species fallback, and ts/span device buffers of overflow-free batches
+# can be dropped as soon as their overflow count is known to be 0.
+# ---------------------------------------------------------------------------
+@partial(jax.jit, donate_argnums=(0, 1, 2))
+def _residual_scatter(acc_b, acc_d, acc_t, bidx, bval, dlo, dhi, tidx, tval):
+    """Sparse-add host-computed residual contributions into the accumulators
+    (index arrays padded with out-of-bounds sentinels -> mode='drop')."""
+    acc_b = acc_b.at[bidx].add(bval, mode="drop")
+    acc_d = acc_d.at[dlo].add(jnp.int32(1), mode="drop")
+    acc_d = acc_d.at[dhi].add(jnp.int32(-1), mode="drop")
+    acc_t = acc_t.at[tidx].add(tval, mode="drop")
+    return acc_b, acc_d, acc_t
+
+
+def _pad_pow2(arr, sentinel, dtype):
+    n = max(64, 1 << (max(len(arr), 1) - 1).bit_length())
+    out = np.full(n, sentinel, dtype=dtype)
+    out[: len(arr)] = arr
+    return out
+
+
+def host_residual_updates(index, tables: FusedTables, ts, te, ridx):
+    """Global-space sparse coverage updates for overflow reads: per species,
+    project text intervals onto node paths (fastpath.py:220-243 semantics)
+    and take the host oracle's raw addends (profile/coverage.py
+    raw_contributions), shifted by the species' node / base / trio offsets.
+    Returns (bidx f32-node, bval, dlo, dhi, tidx, tval) int64/float arrays."""
+    from ..profile.coverage import PackedReads, raw_contributions
+
+    tstart = np.asarray(index.tstart, dtype=np.int64)
+    tnode = np.asarray(index.tnode, dtype=np.int64)
+    base_off_host = getattr(tables, "_base_offset_host", None)
+    if base_off_host is None:
+        base_off_host = np.asarray(tables.base_offset_d, dtype=np.int64)
+        tables._base_offset_host = base_off_host
+    bi, bv, dl, dh, tidx, tv = [], [], [], [], [], []
+    for rj in np.unique(ridx):
+        sp = tables.species[int(rj)]
+        sel = ridx == rj
+        s_ts, s_te = ts[sel], te[sel]
+        i0 = np.searchsorted(tstart, s_ts, side="right") - 1
+        i1 = np.searchsorted(tstart, np.maximum(s_te - 1, s_ts),
+                             side="right") - 1
+        span = i1 - i0 + 1
+        R, L = len(i0), int(span.max())
+        nodes = np.full((R, L), -1, dtype=np.int64)
+        cols = np.arange(L)
+        take = np.clip(i0[:, None] + cols[None, :], 0, len(tnode) - 1)
+        valid = cols[None, :] < span[:, None]
+        nodes[valid] = (tnode[take] - sp.range_.start)[valid]
+        rs = (s_ts - tstart[i0]).astype(np.int64)
+        packed = PackedReads(
+            nodes=nodes, lengths=span.astype(np.int64), read_start=rs,
+            read_end=rs + (s_te - s_ts).astype(np.int64),
+        )
+        n_idx, n_val, lo, hi, t_idx, t_val = raw_contributions(
+            packed, np.asarray(sp.nodes_len, dtype=np.int64), sp.trio_index
+        )
+        B0 = base_off_host[sp.off]
+        bi.append(n_idx + sp.off)
+        bv.append(n_val)
+        dl.append(lo + B0)
+        dh.append(hi + B0)
+        tidx.append(t_idx + sp.trio_lo)
+        tv.append(t_val)
+
+    def cat(parts, dtype=np.int64):
+        return (np.concatenate(parts).astype(dtype) if parts
+                else np.zeros(0, dtype))
+
+    return cat(bi), cat(bv), cat(dl), cat(dh), cat(tidx), cat(tv)
+
+
+def apply_residual(acc, tables: FusedTables, updates):
+    """Scatter-add host residual updates into the (donated) accumulators.
+    Index arrays are padded to power-of-two buckets with out-of-bounds
+    sentinels so overflow counts of different sizes share one compiled
+    graph."""
+    bidx, bval, dlo, dhi, tidx, tval = updates
+    acc_b, acc_d, acc_t = acc
+    return _residual_scatter(
+        acc_b, acc_d, acc_t,
+        jnp.asarray(_pad_pow2(bidx, tables.N_pad + 1, np.int32)),
+        jnp.asarray(_pad_pow2(bval, 0, np.float32)),
+        jnp.asarray(_pad_pow2(dlo, tables.TB_pad + 2, np.int32)),
+        jnp.asarray(_pad_pow2(dhi, tables.TB_pad + 2, np.int32)),
+        jnp.asarray(_pad_pow2(tidx, tables.U_pad + 1, np.int32)),
+        jnp.asarray(_pad_pow2(tval, 0, np.float32)),
+    )
+
+
+# ---------------------------------------------------------------------------
 # host-side tables + driver
 # ---------------------------------------------------------------------------
 @dataclass
@@ -503,28 +604,35 @@ class FusedPipeline:
         # prefetch_spans=True streams the per-read text intervals (ts/span,
         # 6B/read) to host during the align loop like the other columns —
         # for callers that always consume them (the CLI's resume artifact).
-        # False (default) leaves them as device refs: they cross the tunnel
-        # only if some read overflows L_cap (the per-species fallback needs
-        # intervals), which chunked graphs make impossible.
+        # False (default) leaves them as device refs, dropped as soon as a
+        # dispatch's overflow count materializes as 0; only the rare
+        # overflowing dispatch's intervals cross the tunnel (the host
+        # residual path needs them), impossible on chunked graphs.
         self.prefetch_spans = prefetch_spans
         self.acc_b = jnp.zeros(tables.N_pad, dtype=jnp.float32)
         self.acc_d = jnp.zeros(tables.TB_pad + 1, dtype=jnp.int32)
         self.acc_t = jnp.zeros(tables.U_pad, dtype=jnp.float32)
         self._per_read = []   # (n_valid, ids|None, lens, core, spans)
         self._ov = []         # per-dispatch overflow-count scalars
+        self._ov_entries = []  # per-dispatch list of _per_read entry indices
         self._next_mat = 0    # first _per_read entry still holding device refs
         self._next_ov = 0
 
     _MAT_LAG = 8  # batches kept on device before materializing to host
 
-    def _materialize_to(self, bound: int) -> None:
+    def _materialize_to(self, bound: int, ov_bound: int | None = None) -> None:
         """Convert per-read device refs to host arrays up to ``bound``.
 
         The async host copies (_prefetch) make np.asarray cheap by the time
         an entry is _MAT_LAG batches old, and dropping the device refs HERE
         spreads their deletion RPCs across the align loop — a burst of ~180
         buffer deletes after finish() measurably stalls host numpy in the
-        profile tail (~0.8s at 2M reads through the tunnel client)."""
+        profile tail (~0.8s at 2M reads through the tunnel client).
+
+        ``ov_bound`` defaults to its own _MAT_LAG behind the newest dispatch:
+        the overflow scalars grow one per DISPATCH while _per_read grows one
+        per MATE BLOCK (two per dispatch in paired mode), so reusing
+        ``bound`` would block the host on the just-dispatched fused step."""
         while self._next_mat < bound:
             m, ids, lens, core, spans = self._per_read[self._next_mat]
             if self.prefetch_spans and spans is not None:
@@ -533,20 +641,44 @@ class FusedPipeline:
                 m, ids, lens, tuple(np.asarray(a) for a in core), spans
             )
             self._next_mat += 1
-        while self._next_ov < min(bound, len(self._ov)):
-            self._ov[self._next_ov] = int(np.asarray(self._ov[self._next_ov]))
+        if ov_bound is None:
+            ov_bound = len(self._ov) - self._MAT_LAG
+        while self._next_ov < min(ov_bound, len(self._ov)):
+            j = self._next_ov
+            v = int(np.asarray(self._ov[j]))
+            self._ov[j] = v
+            if not self.prefetch_spans:
+                # overflow count known: 0 -> the dispatch's ts/span device
+                # buffers can never be needed, drop the refs now (spreads
+                # the deletion RPCs and caps HBM held by span buffers);
+                # >0 -> the residual path will need them, pull to host
+                for ei in self._ov_entries[j]:
+                    m, ids, lens, core, spans = self._per_read[ei]
+                    if spans is None:
+                        continue
+                    if v:
+                        _prefetch(spans)
+                        spans = tuple(np.asarray(a) for a in spans)
+                    else:
+                        spans = None
+                    self._per_read[ei] = (m, ids, lens, core, spans)
             self._next_ov += 1
 
     def _push_batch(self, m, ids, lens, per_read, ov) -> None:
         """Record one dispatched batch's per-read outputs and start their
-        async host copies (spans only when prefetch_spans)."""
+        async host copies (spans only when prefetch_spans).  ov=None (the
+        second mate block of a paired dispatch) attaches the entry to the
+        previous dispatch's overflow scalar."""
         ts_d, span_d, mapq_d, al_d, ridx_d = per_read
         core = (mapq_d, al_d, ridx_d)
         spans = (ts_d, span_d)
         self._per_read.append((m, ids, lens, core, spans))
         if ov is not None:
             self._ov.append(ov)
+            self._ov_entries.append([len(self._per_read) - 1])
             _prefetch((ov,))
+        else:
+            self._ov_entries[-1].append(len(self._per_read) - 1)
         _prefetch(core)
         if self.prefetch_spans:
             _prefetch(spans)
@@ -663,17 +795,65 @@ class FusedPipeline:
             )
             self._materialize_to(len(self._per_read) - 2 * self._MAT_LAG)
 
+    def _apply_overflow_residual(self) -> int:
+        """Host-compute the coverage contributions of reads that overflowed
+        the L_cap node window (their dispatch's ts/span buffers were pulled
+        to host when the overflow count materialized) and scatter-add them
+        into the accumulators.  Returns the number of residual reads."""
+        tstart = np.asarray(self.aligner.index.tstart, dtype=np.int64)
+        ts_p, te_p, rx_p = [], [], []
+        for j, v in enumerate(self._ov):
+            if not v:
+                continue
+            for ei in self._ov_entries[j]:
+                m, _ids, _lens, core, spans = self._per_read[ei]
+                _mapq, al_a, ridx_a = core
+                al = np.asarray(al_a)[:m].astype(bool)
+                rx = np.asarray(ridx_a)[:m].astype(np.int64)
+                ts_m = np.asarray(spans[0])[:m].astype(np.int64)
+                te_m = ts_m + np.asarray(spans[1])[:m].astype(np.int64)
+                # the device overflow predicate recomputed on host:
+                # node span (segment count) >= L_cap + 1
+                i0 = np.searchsorted(tstart, ts_m, side="right") - 1
+                i1 = np.searchsorted(tstart, np.maximum(te_m - 1, ts_m),
+                                     side="right") - 1
+                ovf = al & (rx >= 0) & ((i1 - i0) >= self.L_cap)
+                ts_p.append(ts_m[ovf])
+                te_p.append(te_m[ovf])
+                rx_p.append(rx[ovf])
+        if not ts_p:
+            return 0
+        ts_all = np.concatenate(ts_p)
+        if not len(ts_all):
+            return 0
+        upd = host_residual_updates(
+            self.aligner.index, self.tables, ts_all,
+            np.concatenate(te_p), np.concatenate(rx_p),
+        )
+        self.acc_b, self.acc_d, self.acc_t = apply_residual(
+            (self.acc_b, self.acc_d, self.acc_t), self.tables, upd
+        )
+        return len(ts_all)
+
     def finish(self):
         """-> FusedResult (tuple-compatible: node_abund [N_pad], trio_abund
         [U_pad], node_base_cov [N_pad], reads dict, n_overflow).  reads holds
         one row per FED read: mapq/aligned/ridx/read_len (+ids list when
-        feed() got ids); ts/te are included when prefetch_spans was set OR
-        some read overflowed L_cap (the per-species fallback consumes text
-        intervals) — otherwise the interval buffers are dropped without ever
-        crossing the tunnel.  The three dense arrays stay ON DEVICE until
-        first host access — the device-resident tail (ops/profile_tail.py)
-        never downloads them."""
+        feed() got ids); ts/te are included only when prefetch_spans was set
+        — otherwise the interval buffers are dropped (or, for the rare
+        batches where a read overflowed L_cap, pulled to host and folded in
+        via the host residual path) without a full download.  The three
+        dense arrays stay ON DEVICE until first host access — the
+        device-resident tail (ops/profile_tail.py) never downloads them."""
         tables = self.tables
+        self._materialize_to(len(self._per_read), len(self._ov))
+        ov = int(sum(self._ov))
+        if ov:
+            n_res = self._apply_overflow_residual()
+            log.info(
+                "fused: %d reads span more nodes than the L_cap=%d window; "
+                "host residual coverage applied", n_res, self.L_cap,
+            )
         na, ta, bc = _fused_finalize(
             self.acc_b, self.acc_d, self.acc_t, tables.nodes_len_d,
             tables.base_offset_d, tables.trio_len_d, num_nodes=tables.N_pad,
@@ -684,8 +864,6 @@ class FusedPipeline:
             reads["ts"] = np.zeros(0, np.int64)
             reads["te"] = np.zeros(0, np.int64)
         ids_all: list | None = None
-        self._materialize_to(len(self._per_read))
-        ov = int(sum(self._ov))
         if self._per_read:
             if self._per_read[0][1] is not None:
                 ids_all = []
@@ -706,13 +884,9 @@ class FusedPipeline:
                 reads[name] = np.concatenate(
                     [np.asarray(a) for a in arrs]
                 )[valid] if len(arrs) > 1 else np.asarray(arrs[0])[valid]
-            if self.prefetch_spans or ov:
+            if self.prefetch_spans:
                 span_col = list(zip(*(sp for _, _, _, _, sp in
                                       self._per_read)))
-                if not self.prefetch_spans:
-                    # pays the interval download only on the (rare) fallback
-                    for arrs in span_col:
-                        _prefetch(arrs)
                 ts = np.concatenate(
                     [np.asarray(a) for a in span_col[0]]
                 )[valid]
@@ -746,10 +920,8 @@ def profile_fused(
 ) -> bool:
     """One-shot fused species+strain profiling over a codes matrix.
 
-    Returns True when the fused coverage was used, False when any read
-    overflowed L_cap and the identical-semantics per-species flow
-    (fastpath.profile_from_alignments) handled the run instead — either way
-    the output tables are written."""
+    Always uses the fused coverage (L_cap-overflow reads are folded in by
+    the host residual path inside finish()); returns True."""
     if tables is None:
         tables = build_fused_tables(db, index)
     t0 = time.time()
@@ -825,37 +997,16 @@ def profile_from_fused_result(
 ) -> bool:
     """Write species+strain tables from a FusedPipeline.finish() result.
 
-    When any read overflowed the L_cap node window, reconstructs the exact
-    AlignmentArrays the per-species flow expects (everything needed was
-    downloaded per batch) and delegates to fastpath.profile_from_alignments
-    — no realignment, identical semantics.  Returns True iff the fused
-    coverage was used."""
+    Reads that overflowed the L_cap node window were already folded into the
+    coverage accumulators by finish()'s host residual path, so the fused
+    coverage is always complete here.  Returns True (kept for callers that
+    branched on the old per-species delegation)."""
     from ..utils.logging import stage_timer
 
-    reads, n_overflow = result[3], result[4]
+    reads = result[3]
     aligned = reads["aligned"]
     keep_rows = np.flatnonzero(aligned)
     ids = reads["ids"]
-
-    if n_overflow:
-        log.warning(
-            "fused path: %d reads span more nodes than the L_cap window; "
-            "delegating to the per-species flow", n_overflow,
-        )
-        from ..fastpath import AlignmentArrays, profile_from_alignments
-
-        arrays = AlignmentArrays(
-            read_ids=(
-                [ids[i] for i in keep_rows] if ids is not None
-                else [f"R{i}" for i in keep_rows]
-            ),
-            ts=reads["ts"][keep_rows].astype(np.int64),
-            te=reads["te"][keep_rows].astype(np.int64),
-            mapq=reads["mapq"][keep_rows].astype(np.int64),
-            read_len=reads["read_len"][keep_rows].astype(np.int64),
-        )
-        profile_from_alignments(arrays, index, db, cfg, out_dir)
-        return False
 
     out = os.fspath(out_dir)
     os.makedirs(out, exist_ok=True)

@@ -155,26 +155,22 @@ def node_abundances(
     return node_abundances_packed(pack_reads(reads, range_start), nodes_len, trio_index)
 
 
-def node_abundances_packed(
+def raw_contributions(
     packed: PackedReads,
     nodes_len: np.ndarray,
     trio_index: TrioIndex,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """node_abundances over already-packed padded read arrays."""
-    N = len(nodes_len)
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Sparse per-(read, position) coverage contributions in LOCAL space,
+    before any reduction: (node_idx, bases_val, diff_lo, diff_hi, trio_idx,
+    trio_val).  These are the exact addends node_abundances_packed (and the
+    device _coverage_scatter) sums — exposed so the fused pipeline's
+    L_cap-overflow residual path shares one implementation."""
     alloc, start_idx, first_occ, per_pos_val, valid = _per_read_node_alloc(
         packed, nodes_len
     )
     node_ids = np.where(valid, packed.nodes, 0)
+    N = len(nodes_len)
 
-    # --- bases per node: only first occurrences contribute -----------------
-    bases_per_node = np.bincount(
-        node_ids[first_occ].ravel(),
-        weights=alloc[first_occ].ravel().astype(np.float64),
-        minlength=N,
-    )
-
-    # --- exact per-base coverage via diff-array over the flat base space ---
     base_offset = np.zeros(N + 1, dtype=np.int64)
     np.cumsum(nodes_len, out=base_offset[1:])
     nlen = nodes_len[node_ids]
@@ -189,8 +185,53 @@ def node_abundances_packed(
         packed.read_end[:, None] <= nlen
     )
     keep = valid & (~single | in_bounds)
-    lo = iv_lo[keep]
-    hi = iv_hi[keep]
+
+    trio_idx = np.zeros(0, dtype=np.int64)
+    trio_val = np.zeros(0, dtype=np.int64)
+    R, L = node_ids.shape
+    if L >= 3 and trio_index.num_unique > 0:
+        w_valid = ((np.arange(L - 2)[None, :] + 2) < packed.lengths[:, None]) & (
+            packed.lengths >= 3
+        )[:, None]
+        wins = np.stack(
+            [node_ids[:, :-2], node_ids[:, 1:-1], node_ids[:, 2:]], axis=2
+        )
+        win_sum = per_pos_val[:, :-2] + per_pos_val[:, 1:-1] + per_pos_val[:, 2:]
+        flat_wins = wins[w_valid]
+        flat_sums = win_sum[w_valid]
+        match = trio_index.match(flat_wins)
+        hit = match >= 0
+        trio_idx = match[hit]
+        trio_val = flat_sums[hit]
+    return (
+        node_ids[first_occ].ravel(),
+        alloc[first_occ].ravel(),
+        iv_lo[keep],
+        iv_hi[keep],
+        trio_idx,
+        trio_val,
+    )
+
+
+def node_abundances_packed(
+    packed: PackedReads,
+    nodes_len: np.ndarray,
+    trio_index: TrioIndex,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """node_abundances over already-packed padded read arrays."""
+    N = len(nodes_len)
+    node_idx, bases_val, lo, hi, trio_idx, trio_val = raw_contributions(
+        packed, nodes_len, trio_index
+    )
+
+    # --- bases per node: only first occurrences contribute -----------------
+    bases_per_node = np.bincount(
+        node_idx, weights=bases_val.astype(np.float64), minlength=N
+    )
+
+    # --- exact per-base coverage via diff-array over the flat base space ---
+    base_offset = np.zeros(N + 1, dtype=np.int64)
+    np.cumsum(nodes_len, out=base_offset[1:])
     total_bases = int(base_offset[-1])
     node_base_cov = np.zeros(N, dtype=np.int64)
     if total_bases:
@@ -207,20 +248,8 @@ def node_abundances_packed(
 
     # --- trio windows ------------------------------------------------------
     trio_bases = np.zeros(len(trio_index.trio_len), dtype=np.int64)
-    R, L = node_ids.shape
-    if L >= 3 and trio_index.num_unique > 0:
-        w_valid = ((np.arange(L - 2)[None, :] + 2) < packed.lengths[:, None]) & (
-            packed.lengths >= 3
-        )[:, None]
-        wins = np.stack(
-            [node_ids[:, :-2], node_ids[:, 1:-1], node_ids[:, 2:]], axis=2
-        )
-        win_sum = per_pos_val[:, :-2] + per_pos_val[:, 1:-1] + per_pos_val[:, 2:]
-        flat_wins = wins[w_valid]
-        flat_sums = win_sum[w_valid]
-        match = trio_index.match(flat_wins)
-        hit = match >= 0
-        np.add.at(trio_bases, match[hit], flat_sums[hit])
+    if len(trio_idx):
+        np.add.at(trio_bases, trio_idx, trio_val)
 
     node_abundance = bases_per_node / np.maximum(nodes_len, 1)
     trio_abundance = trio_bases / np.maximum(trio_index.trio_len, 1)

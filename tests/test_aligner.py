@@ -381,11 +381,11 @@ def test_pack_unpack_roundtrip():
     for L in (150, 151, 2):
         codes = rng.integers(0, 5, size=(7, L)).astype(np.int8)
         packed = pack_codes(codes)
-        assert packed.dtype == np.uint8 and packed.shape == (7, (L + 1) // 2)
+        Lp = -(-L // 4) * 4  # width padded to 4 (matches the 2-bit wire)
+        assert packed.dtype == np.uint8 and packed.shape == (7, Lp // 2)
         un = np.asarray(_unpack_codes_j(packed))
         assert np.array_equal(un[:, :L], codes)
-        if L % 2:
-            assert (un[:, L] == 4).all()  # pad column is sentinel
+        assert (un[:, L:] == 4).all()  # pad columns are sentinel
 
 
 def test_pack2_unpack_roundtrip():
@@ -436,9 +436,37 @@ def test_pack2_overflow_falls_back():
     assert p2 is not None
 
 
+def test_wire_formats_same_unpacked_shape_any_width():
+    """Both wire formats unpack to the SAME 4-aligned width for every read
+    width — an exception-overflow fallback mid-run must reuse the compiled
+    downstream graphs, not introduce a second shape family (L=150 used to
+    give 152 columns via 2-bit but 150 via the nibble pack)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pantax_tpu.align.aligner import (
+        _unpack_reads_j, pack_codes, pack_codes2,
+    )
+
+    unpack = jax.jit(_unpack_reads_j)
+    rng = np.random.default_rng(3)
+    for L in (150, 151, 149, 96):
+        B = 4
+        codes = rng.integers(0, 4, size=(B, L)).astype(np.int8)
+        lens = np.full(B, L, dtype=np.int32)
+        p4 = np.asarray(unpack(jnp.asarray(pack_codes(codes)),
+                               jnp.asarray(lens)))
+        packed2, exc = pack_codes2(codes, lens)
+        p2 = np.asarray(unpack((jnp.asarray(packed2), jnp.asarray(exc)),
+                               jnp.asarray(lens)))
+        assert p4.shape == p2.shape == (B, -(-L // 4) * 4)
+        assert np.array_equal(p4, p2)
+
+
 def test_query_batch_same_result_both_wire_formats(index, aligner):
     """The 2-bit and 4-bit wire formats produce bit-identical query results
-    (same reads, one with N bases injected)."""
+    (same reads, one with N bases injected; L=150 exercises the non-4-aligned
+    width where the formats' pad columns must still agree)."""
     import jax.numpy as jnp
 
     from pantax_tpu.align.aligner import (
@@ -447,7 +475,7 @@ def test_query_batch_same_result_both_wire_formats(index, aligner):
 
     rng = np.random.default_rng(11)
     text = np.asarray(index.text)
-    B, L = 16, 96
+    B, L = 16, 150
     codes = np.full((B, L), 4, dtype=np.int8)
     lens = np.full(B, L, dtype=np.int32)
     for i in range(B):

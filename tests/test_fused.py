@@ -223,13 +223,14 @@ def test_window_dup_detection(index):
     assert _window_has_dup_nodes(FakeIdx2()) is False
 
 
-def test_fused_overflow_fallback_downloads_spans(db, index, aligner,
-                                                 tmp_path):
+def test_fused_overflow_residual_matches_fastpath(db, index, aligner,
+                                                  tmp_path):
     """A forced-tiny L_cap makes every aligned read overflow the node
-    window; finish() reports the count, downloads the deferred ts/span
-    device buffers, and profile_from_fused_result delegates to the
-    per-species flow — producing the same tables as the fastpath on the
-    same reads."""
+    window; finish() pulls the overflowing dispatches' ts/span buffers to
+    host, recomputes their contributions with the host coverage oracle, and
+    scatter-adds them into the accumulators — the resulting tables match
+    the per-species flow on the same reads (strain tables to float32
+    tolerance: the fused finalize divides bases/len in f32)."""
     import filecmp as _filecmp
 
     from pantax_tpu.align.encode import encode_seq
@@ -256,18 +257,104 @@ def test_fused_overflow_fallback_downloads_spans(db, index, aligner,
     pipe.feed(codes, lens, ids=ids)
     result = pipe.finish()
     assert result[4] > 0, "L_cap=1 should overflow 150bp reads"
-    assert len(result[3]["ts"]) == len(reads)  # spans downloaded on demand
+    assert "ts" not in result[3]  # intervals never fully downloaded
     out_fused = tmp_path / "ovf"
     ok = profile_from_fused_result(result, tables, index, db, cfg, out_fused)
-    assert ok is False  # delegated
+    assert ok
 
     out_fast = tmp_path / "fast"
     arrays = collect_alignment_arrays(aligner, codes, lens, batch=256)
     arrays.read_ids = [ids[int(r[1:])] for r in arrays.read_ids]
     profile_from_alignments(arrays, index, db, cfg, out_fast)
-    for name in ("species_abundance.txt", "strain_abundance.txt"):
-        assert _filecmp.cmp(out_fast / name, out_fused / name,
-                            shallow=False), name
+    assert _filecmp.cmp(out_fast / "species_abundance.txt",
+                        out_fused / "species_abundance.txt", shallow=False)
+    for name in ("strain_abundance.txt", "ori_strain_abundance.txt"):
+        a = (out_fast / name).read_text().splitlines()
+        b = (out_fused / name).read_text().splitlines()
+        assert len(a) == len(b) and a[0] == b[0], name
+        for ra, rb in zip(a[1:], b[1:]):
+            ca, cb = ra.split("\t"), rb.split("\t")
+            assert ca[:3] == cb[:3], (name, ra, rb)
+            for x, y in zip(ca[3:], cb[3:]):
+                if x == "" or y == "":  # dropped-strain blanks must agree
+                    assert x == y, (name, ra, rb)
+                else:
+                    np.testing.assert_allclose(
+                        float(x), float(y), rtol=1e-6, atol=1e-9,
+                        err_msg=f"{name}: {ra} vs {rb}",
+                    )
+
+
+def test_fused_partial_overflow_residual(db, index, aligner, tmp_path):
+    """Mixed case: most reads fit a small L_cap, a minority overflows —
+    fused scatter + host residual must equal the per-species flow (the
+    overflow reads' contributions are the difference)."""
+    from pantax_tpu.align.encode import encode_seq
+    from pantax_tpu.fastpath import collect_alignment_arrays
+    from pantax_tpu.graph.core import load_species_range
+    from pantax_tpu.graph.trio import build_trio_index
+    from pantax_tpu.ops.fused import FusedPipeline, build_fused_tables
+    from pantax_tpu.profile.coverage import PackedReads, node_abundances_packed
+
+    reads = simulate_reads(db, {"GCF_002012065.1": 2, "GCF_024223415.1": 1},
+                           n_reads=600, read_len=150, seed=29)
+    L = 160
+    codes = np.full((len(reads), L), 4, dtype=np.int8)
+    lens = np.zeros(len(reads), dtype=np.int64)
+    for i, r in enumerate(reads):
+        codes[i, : len(r.seq)] = encode_seq(r.seq)
+        lens[i] = len(r.seq)
+
+    tables = build_fused_tables(db, index)
+    # oracle alignments first, to pick an L_cap that splits the span
+    # distribution: reads at/below the median node span fit the window,
+    # the rest overflow into the host residual path
+    arrays = collect_alignment_arrays(aligner, codes, lens, batch=256)
+    i0 = np.searchsorted(index.tstart, arrays.ts, side="right") - 1
+    i1 = np.searchsorted(index.tstart, np.maximum(arrays.te - 1, arrays.ts),
+                         side="right") - 1
+    L_cap = int(np.median(i1 - i0 + 1))
+    pipe = FusedPipeline(aligner, tables, batch=256, L_cap=L_cap)
+    pipe.feed(codes, lens)
+    result = pipe.finish()
+    assert 0 < result[4] < int(result[3]["aligned"].sum()), (
+        f"want a PARTIAL overflow at L_cap={L_cap} "
+        f"(ov={result[4]}, aligned={int(result[3]['aligned'].sum())})"
+    )
+    for sp in tables.species:
+        r = sp.range_
+        hap_idx = np.searchsorted(index.hap_offsets, arrays.ts,
+                                  side="right") - 1
+        sel = np.array([index.hap_species[h] == r.species for h in hap_idx])
+        if not sel.any():
+            continue
+        s0, s1 = i0[sel], i1[sel]
+        span = s1 - s0 + 1
+        Lw = int(span.max())
+        nodes = np.full((len(s0), Lw), -1, dtype=np.int64)
+        cols = np.arange(Lw)
+        take = np.clip(s0[:, None] + cols[None, :], 0, len(index.tnode) - 1)
+        valid = cols[None, :] < span[:, None]
+        nodes[valid] = (index.tnode[take] - r.start)[valid]
+        rs = (arrays.ts[sel] - index.tstart[s0]).astype(np.int64)
+        packed = PackedReads(
+            nodes=nodes, lengths=span.astype(np.int64), read_start=rs,
+            read_end=rs + (arrays.te[sel] - arrays.ts[sel]).astype(np.int64),
+        )
+        ti = build_trio_index(sp.nodes_len, sp.paths)
+        na, ta, bc = node_abundances_packed(packed, sp.nodes_len, ti)
+        np.testing.assert_allclose(
+            np.asarray(result.na_d)[sp.off:sp.off + sp.num_nodes], na,
+            rtol=1e-6, err_msg=f"node abundance {r.species}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(result.bc_d)[sp.off:sp.off + sp.num_nodes], bc,
+            err_msg=f"base cov {r.species}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(result.ta_d)[sp.trio_lo:sp.trio_hi], ta,
+            rtol=1e-6, err_msg=f"trio abundance {r.species}",
+        )
 
 
 def test_fused_profile_matches_fastpath(db, index, aligner, tmp_path):
