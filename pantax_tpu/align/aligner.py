@@ -18,6 +18,7 @@ species credibility filter keys on the mapq-60 and 3..60 bands
 """
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 from functools import partial
 
@@ -30,6 +31,8 @@ from ..config import AlignConfig
 from ..io.gaf import GafRecord
 from .encode import encode_seq
 from .index import AlignIndex
+
+log = logging.getLogger("pantax_tpu")
 
 NEG = -(10**6)
 
@@ -755,12 +758,25 @@ class Aligner:
 
     def _shard_reads(self, arr):
         """Read-batch arrays: sharded over the mesh's "reads" axis (XLA then
-        data-parallels the whole query across chips)."""
+        data-parallels the whole query across chips).  A batch length not
+        divisible by the device count can't be sharded — it is REPLICATED
+        (stays on the mesh so downstream jits see consistent devices) with a
+        one-time warning: fix --batch-size to a multiple of the chip count."""
         arr = np.asarray(arr)
-        if self.mesh is None or len(arr) % self.mesh.devices.size:
+        if self.mesh is None:
             return jnp.asarray(arr)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        if len(arr) % self.mesh.devices.size:
+            if not getattr(self, "_warned_indivisible", False):
+                self._warned_indivisible = True
+                log.warning(
+                    "batch length %d is not divisible by the %d-device mesh;"
+                    " replicating instead of sharding (every chip runs the"
+                    " full batch — set --batch-size to a multiple of the"
+                    " device count)", len(arr), self.mesh.devices.size,
+                )
+            return jax.device_put(arr, NamedSharding(self.mesh, P()))
         return jax.device_put(arr, NamedSharding(self.mesh, P("reads")))
 
     def _cached_put(self, arr: np.ndarray):
@@ -793,6 +809,14 @@ class Aligner:
             if p2 is not None:
                 packed2, exc = p2
                 return (self._shard_reads(packed2), self._cached_put(exc))
+        if (self.mesh is not None and self.mesh.devices.size > 1
+                and not getattr(self, "_warned_wire4", False)):
+            self._warned_wire4 = True
+            log.info(
+                "multi-device mesh: read batches use the 4-bit wire format "
+                "(the 2-bit pack's flat exception scatter would force GSPMD "
+                "to reshard the batch)"
+            )
         return self._shard_reads(pack_codes(codes))
 
     def _put_lens(self, lens: np.ndarray):

@@ -447,6 +447,7 @@ class FusedSpecies:
 class FusedTables:
     species: list
     ranges: list
+    mesh: object            # jax Mesh the device arrays are replicated over
     # device arrays
     hap_offsets_d: jnp.ndarray
     hap_range_d: jnp.ndarray
@@ -469,10 +470,29 @@ class FusedTables:
     U_pad: int
 
 
-def build_fused_tables(db, index) -> FusedTables:
-    """Global coverage/classification tables + per-species metadata."""
+def _put_repl(arr, mesh):
+    """Replicate a table over the mesh (plain device array when mesh-less):
+    tables feed every fused dispatch, so they must live on ALL mesh devices
+    rather than being re-placed from the default device each call."""
+    if mesh is None:
+        return jnp.asarray(arr)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.device_put(np.asarray(arr), NamedSharding(mesh, P()))
+
+
+def build_fused_tables(db, index, mesh=None) -> FusedTables:
+    """Global coverage/classification tables + per-species metadata.
+
+    ``mesh`` (default: the process default mesh) replicates every device
+    table over the mesh so the fused step can shard its read batch over the
+    "reads" axis (coverage scatters psum-merge over ICI)."""
     from ..graph.core import load_species_range
     from ..graph.trio import build_trio_index
+    from ..parallel import default_mesh
+
+    if mesh is None:
+        mesh = default_mesh()
 
     ranges = load_species_range(db.range_file)
     N = max(r.end for r in ranges)
@@ -507,19 +527,21 @@ def build_fused_tables(db, index) -> FusedTables:
     pos_lo, win_shift, steps = build_pos_lookup(
         index.tstart.astype(np.int64), index.text_len
     )
+    put = partial(_put_repl, mesh=mesh)
     return FusedTables(
         species=species,
         ranges=ranges,
-        hap_offsets_d=jnp.asarray(index.hap_offsets.astype(np.int32)),
-        hap_range_d=jnp.asarray(hap_range),
-        pos_lo_d=jnp.asarray(pos_lo),
-        nodes_len_d=t.nodes_len,
-        base_offset_d=t.base_offset,
-        trio_hash_d=t.trio_hash,
-        trio_order_d=t.trio_order,
-        trio_abc_d=t.trio_abc,
-        trio_len_d=t.trio_len,
-        trio_bucket_d=t.trio_bucket,
+        mesh=mesh,
+        hap_offsets_d=put(index.hap_offsets.astype(np.int32)),
+        hap_range_d=put(hap_range),
+        pos_lo_d=put(pos_lo),
+        nodes_len_d=put(t.nodes_len),
+        base_offset_d=put(t.base_offset),
+        trio_hash_d=put(t.trio_hash),
+        trio_order_d=put(t.trio_order),
+        trio_abc_d=put(t.trio_abc),
+        trio_len_d=put(t.trio_len),
+        trio_bucket_d=put(t.trio_bucket),
         trio_bits=t.trio_bits,
         trio_steps=t.trio_steps,
         trio_probes=t.trio_probes,
@@ -609,9 +631,20 @@ class FusedPipeline:
         # overflowing dispatch's intervals cross the tunnel (the host
         # residual path needs them), impossible on chunked graphs.
         self.prefetch_spans = prefetch_spans
-        self.acc_b = jnp.zeros(tables.N_pad, dtype=jnp.float32)
-        self.acc_d = jnp.zeros(tables.TB_pad + 1, dtype=jnp.int32)
-        self.acc_t = jnp.zeros(tables.U_pad, dtype=jnp.float32)
+        # accumulators replicated over the tables' mesh: the read batch is
+        # sharded over "reads", so GSPMD partitions each batch's scatter and
+        # psum-merges the per-shard contributions back into the replicated
+        # accumulators (integer-valued addends -> merge order can't change
+        # the result; the mesh run is bit-identical to single-device)
+        self.acc_b = _put_repl(
+            np.zeros(tables.N_pad, np.float32), tables.mesh
+        )
+        self.acc_d = _put_repl(
+            np.zeros(tables.TB_pad + 1, np.int32), tables.mesh
+        )
+        self.acc_t = _put_repl(
+            np.zeros(tables.U_pad, np.float32), tables.mesh
+        )
         self._per_read = []   # (n_valid, ids|None, lens, core, spans)
         self._ov = []         # per-dispatch overflow-count scalars
         self._ov_entries = []  # per-dispatch list of _per_read entry indices

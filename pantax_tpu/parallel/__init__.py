@@ -5,7 +5,7 @@ code), makes every device compute path — aligner query batches and the
 full-parity coverage engine — shard its read batch across the mesh's "reads"
 axis, with XLA inserting the ICI collectives from the sharding annotations.
 """
-from .mesh import ShardedProfiler, make_mesh
+from .mesh import make_mesh
 
 _DEFAULT_MESH = None
 
@@ -41,7 +41,6 @@ def auto_mesh(spec: str = "auto"):
 
 __all__ = [
     "make_mesh",
-    "ShardedProfiler",
     "set_default_mesh",
     "default_mesh",
     "auto_mesh",

@@ -357,6 +357,59 @@ def test_fused_partial_overflow_residual(db, index, aligner, tmp_path):
         )
 
 
+def test_fused_pipeline_mesh_bit_parity(db, index, tmp_path):
+    """The PRODUCT fused path (FusedPipeline + device tail) on an 8-device
+    ("reads",) mesh is bit-identical to the single-device run: coverage
+    arrays, per-read columns, and the final species/strain tables (the
+    reads-sharded scatters psum-merge integer-valued addends, so the merge
+    order cannot change any output)."""
+    import filecmp as _filecmp
+
+    from pantax_tpu import parallel
+    from pantax_tpu.align.encode import encode_seq
+    from pantax_tpu.ops.fused import (
+        FusedPipeline, build_fused_tables, profile_from_fused_result,
+    )
+
+    reads = simulate_reads(db, {"GCF_002012065.1": 4, "GCF_024223415.1": 2,
+                                "GCF_006400955.1": 2,
+                                "MGYG000002538_genomic": 1},
+                           n_reads=2000, read_len=150, seed=17)
+    L = 160
+    codes = np.full((len(reads), L), 4, dtype=np.int8)
+    lens = np.zeros(len(reads), dtype=np.int64)
+    for i, r in enumerate(reads):
+        codes[i, : len(r.seq)] = encode_seq(r.seq)
+        lens[i] = len(r.seq)
+    ids = [r.read_id for r in reads]
+    cfg = ProfilingConfig.for_read_type("short")
+    cfg.tail = "device"
+
+    def run(mesh, out):
+        a = Aligner(index, mesh=mesh)
+        tables = build_fused_tables(db, index, mesh=mesh)
+        pipe = FusedPipeline(a, tables, batch=512)
+        pipe.feed(codes, lens, ids=ids)
+        result = pipe.finish()
+        profile_from_fused_result(result, tables, index, db, cfg, out)
+        return result
+
+    r1 = run(None, tmp_path / "one")
+    parallel.set_default_mesh(None)  # meshes passed explicitly
+    r8 = run(parallel.make_mesh(8), tmp_path / "mesh")
+
+    for name in ("na_d", "ta_d", "bc_d"):
+        assert np.array_equal(
+            np.asarray(getattr(r1, name)), np.asarray(getattr(r8, name))
+        ), f"{name} differs between 1-device and 8-device mesh"
+    for k in ("mapq", "aligned", "ridx", "read_len"):
+        assert np.array_equal(r1.reads[k], r8.reads[k]), k
+    for name in ("species_abundance.txt", "strain_abundance.txt",
+                 "ori_strain_abundance.txt", "reads_classification.tsv"):
+        assert _filecmp.cmp(tmp_path / "one" / name, tmp_path / "mesh" / name,
+                            shallow=False), name
+
+
 def test_fused_profile_matches_fastpath(db, index, aligner, tmp_path):
     """profile_fused writes byte-identical abundance tables to the
     per-species fastpath flow on the same reads."""
