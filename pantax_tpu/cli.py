@@ -480,20 +480,36 @@ def _run_fastpath_fused(args, db, index, aligner, tmp: Path, t0: float,
                         arrays_file: Path) -> int:
     """Streaming fused flow: parse buffers -> fused align+coverage steps ->
     per-species-slice profiling.  Writes the same alignment_arrays.npz resume
-    artifact as the per-species flow."""
+    artifact as the per-species flow.
+
+    Multi-host (--distributed, jax.process_count() > 1): each process feeds
+    only its record-aligned byte-range shard of the shared read file
+    (io/fastx.shard_fastx_buffers), the coverage accumulators are summed
+    across processes on device before finalize, the per-read columns are
+    all-gathered in process (= file) order, and process 0 writes the outputs
+    — byte-identical to a single-process run (tests/test_distributed.py)."""
     import numpy as np
 
+    import jax
+
     from .align.aligner import _round_up
-    from .io.fastx import stream_fastx_buffers
-    from .ops.fused import FusedPipeline, build_fused_tables, profile_from_fused_result
+    from .io.fastx import shard_fastx_buffers, stream_fastx_buffers
+    from .ops.fused import (
+        FusedPipeline, FusedResult, build_fused_tables,
+        profile_from_fused_result,
+    )
     from .utils.logging import stage_timer
     from .utils.native import fastx_parse_native
 
+    n_proc = jax.process_count()
+    dist = n_proc > 1
     tables = build_fused_tables(db, index)
     # prefetch_spans: the resume artifact below always writes ts/te, so
-    # stream them to host during the align loop like the other columns
+    # stream them to host during the align loop like the other columns.
+    # Distributed runs skip the artifact (per-process shards don't compose
+    # a meaningful single resume file) and keep intervals device-resident.
     pipe = FusedPipeline(aligner, tables, batch=args.batch_size,
-                         prefetch_spans=True)
+                         prefetch_spans=not dist)
 
     def parse(rf, buf):
         parsed = fastx_parse_native(buf)
@@ -501,11 +517,21 @@ def _run_fastpath_fused(args, db, index, aligner, tmp: Path, t0: float,
             raise ValueError(f"{rf}: unparseable FASTA/FASTQ chunk")
         return parsed
 
+    def buffers(rf):
+        if dist:
+            return shard_fastx_buffers(rf, jax.process_index(), n_proc)
+        return stream_fastx_buffers(rf)
+
     with stage_timer("alignment+coverage (fused)"):
         if args.paired and len(args.reads) == 2:
             r1, r2 = args.reads
-            for buf1, buf2 in zip(stream_fastx_buffers(r1),
-                                  stream_fastx_buffers(r2)):
+            # paired shards are chunk-round-robin (byte ranges of the two
+            # mate files would desynchronize pairs); classification rows
+            # then appear in shard order, species/strain tables unchanged
+            for ci, (buf1, buf2) in enumerate(zip(stream_fastx_buffers(r1),
+                                                  stream_fastx_buffers(r2))):
+                if dist and ci % n_proc != jax.process_index():
+                    continue
                 cf1, of1, ids1 = parse(r1, buf1)
                 cf2, of2, ids2 = parse(r2, buf2)
                 if len(ids1) != len(ids2):
@@ -527,28 +553,47 @@ def _run_fastpath_fused(args, db, index, aligner, tmp: Path, t0: float,
                     "aligning independently"
                 )
             for rf in args.reads:
-                for buf in stream_fastx_buffers(rf):
+                for buf in buffers(rf):
                     codes_flat, offsets, ids = parse(rf, buf)
                     if len(ids) == 0:
                         continue
                     pad = _round_up(int(np.diff(offsets).max()))
                     codes, lens = _codes_matrix(codes_flat, offsets, pad)
                     pipe.feed(codes, lens, ids=ids)
-        result = pipe.finish()
+        if dist:
+            from .parallel.distributed import cross_process_sum
+
+            result = pipe.finish(process_reduce=cross_process_sum)
+        else:
+            result = pipe.finish()
+
+    if dist:
+        from .parallel.distributed import gather_read_rows
+
+        with stage_timer("cross-process read-column gather"):
+            reads_g = gather_read_rows(result.reads)
+        result = FusedResult(result.na_d, result.ta_d, result.bc_d,
+                             reads_g, result.n_overflow)
+        if jax.process_index() != 0:
+            log.info("- process %d: shard aligned, merged; process 0 writes "
+                     "outputs (%.1fs)", jax.process_index(), time.time() - t0)
+            return 0
 
     reads = result[3]
     keep_rows = np.flatnonzero(reads["aligned"])
     ids = reads["ids"]
-    read_ids = (np.asarray(ids, dtype=np.str_)[keep_rows] if ids is not None
-                else np.char.add("R", keep_rows.astype(np.str_)))
-    np.savez(
-        arrays_file,
-        read_ids=np.asarray(read_ids, dtype=np.str_),
-        ts=reads["ts"][keep_rows].astype(np.int64),
-        te=reads["te"][keep_rows].astype(np.int64),
-        mapq=reads["mapq"][keep_rows].astype(np.int64),
-        read_len=reads["read_len"][keep_rows].astype(np.int64),
-    )
+    if not dist:
+        read_ids = (np.asarray(ids, dtype=np.str_)[keep_rows]
+                    if ids is not None
+                    else np.char.add("R", keep_rows.astype(np.str_)))
+        np.savez(
+            arrays_file,
+            read_ids=np.asarray(read_ids, dtype=np.str_),
+            ts=reads["ts"][keep_rows].astype(np.int64),
+            te=reads["te"][keep_rows].astype(np.int64),
+            mapq=reads["mapq"][keep_rows].astype(np.int64),
+            read_len=reads["read_len"][keep_rows].astype(np.int64),
+        )
     log.info("- Aligned %d reads", len(keep_rows))
 
     cfg = _profiling_config(args, db, tmp, "short",

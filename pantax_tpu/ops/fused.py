@@ -868,7 +868,7 @@ class FusedPipeline:
         )
         return len(ts_all)
 
-    def finish(self):
+    def finish(self, process_reduce=None):
         """-> FusedResult (tuple-compatible: node_abund [N_pad], trio_abund
         [U_pad], node_base_cov [N_pad], reads dict, n_overflow).  reads holds
         one row per FED read: mapq/aligned/ridx/read_len (+ids list when
@@ -877,7 +877,12 @@ class FusedPipeline:
         batches where a read overflowed L_cap, pulled to host and folded in
         via the host residual path) without a full download.  The three
         dense arrays stay ON DEVICE until first host access — the
-        device-resident tail (ops/profile_tail.py) never downloads them."""
+        device-resident tail (ops/profile_tail.py) never downloads them.
+
+        ``process_reduce`` (multi-host runs): callable summing the three raw
+        accumulators across processes (parallel.distributed.cross_process_sum)
+        — applied AFTER this process's overflow residual, BEFORE finalize, so
+        every process finalizes the globally merged coverage."""
         tables = self.tables
         self._materialize_to(len(self._per_read), len(self._ov))
         ov = int(sum(self._ov))
@@ -886,6 +891,11 @@ class FusedPipeline:
             log.info(
                 "fused: %d reads span more nodes than the L_cap=%d window; "
                 "host residual coverage applied", n_res, self.L_cap,
+            )
+        if process_reduce is not None:
+            merged = process_reduce((self.acc_b, self.acc_d, self.acc_t))
+            self.acc_b, self.acc_d, self.acc_t = (
+                _put_repl(m, tables.mesh) for m in merged
             )
         na, ta, bc = _fused_finalize(
             self.acc_b, self.acc_d, self.acc_t, tables.nodes_len_d,

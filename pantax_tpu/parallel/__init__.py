@@ -21,22 +21,39 @@ def default_mesh():
 
 
 def auto_mesh(spec: str = "auto"):
-    """Resolve a --mesh flag value: "auto" builds a mesh over all local
+    """Resolve a --mesh flag value: "auto" builds a mesh over all LOCAL
     devices when more than one is visible, "off" disables sharding, an
     integer uses that many devices.  Installs and returns the default mesh
-    (None when single-device)."""
+    (None when single-device).
+
+    Local devices only: in a multi-host run (jax.distributed) the cross-host
+    axis is the per-process read shard (parallel/distributed.py), so each
+    process meshes over its own chips — a mesh containing another host's
+    devices could not receive this process's uploads."""
     import jax
 
     if spec == "off":
         set_default_mesh(None)
         return None
-    n = len(jax.devices()) if spec == "auto" else int(spec)
+    n = len(jax.local_devices()) if spec == "auto" else int(spec)
     if n <= 1:
         set_default_mesh(None)
         return None
-    mesh = make_mesh(n)
+    mesh = make_local_mesh(n)
     set_default_mesh(mesh)
     return mesh
+
+
+def make_local_mesh(n: int):
+    """("reads", "graph") mesh over the first n LOCAL devices."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    devices = jax.local_devices()
+    if len(devices) < n:
+        raise ValueError(f"need {n} local devices, have {len(devices)}")
+    return Mesh(np.array(devices[:n]).reshape(n, 1), ("reads", "graph"))
 
 
 __all__ = [

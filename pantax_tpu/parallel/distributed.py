@@ -43,6 +43,100 @@ def global_reads_mesh():
     return Mesh(np.array(jax.devices()).reshape(-1), ("reads", ))
 
 
+def _process_mesh():
+    """1-D ("p",) mesh with ONE device per process (device i addressable by
+    process i), for cross-process reductions of per-process values."""
+    from jax.sharding import Mesh
+
+    per_proc: dict[int, object] = {}
+    for d in jax.devices():
+        per_proc.setdefault(d.process_index, d)
+    n = jax.process_count()
+    return Mesh(np.array([per_proc[i] for i in range(n)]), ("p",))
+
+
+def _allgather_rows(local_row: np.ndarray, mesh=None) -> np.ndarray:
+    """All-gather one fixed-shape row per process -> [P, ...] on every
+    process (jit identity with a replicated out_sharding lowers to an
+    all-gather over the process mesh)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = mesh or _process_mesh()
+    n = jax.process_count()
+    g = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("p")), local_row[None],
+        (n,) + local_row.shape,
+    )
+    out = jax.jit(
+        lambda x: x, out_shardings=NamedSharding(mesh, P())
+    )(g)
+    return np.asarray(out)
+
+
+def cross_process_sum(arrs):
+    """Element-wise sum of per-process arrays across all processes; every
+    process receives the full merged result (numpy).  Used to merge the
+    fused pipeline's coverage accumulators — integer-valued addends, so the
+    merge is exact and process-count-invariant."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = _process_mesh()
+    n = jax.process_count()
+    out = []
+    for a in arrs:
+        loc = np.asarray(a)
+        g = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P("p")), loc[None], (n,) + loc.shape
+        )
+        s = jax.jit(
+            lambda x: x.sum(axis=0, dtype=x.dtype),
+            out_shardings=NamedSharding(mesh, P()),
+        )(g)
+        out.append(np.asarray(s))
+    return tuple(out)
+
+
+def gather_read_rows(reads: dict) -> dict:
+    """Concatenate every process's per-read columns (the FusedPipeline
+    finish() dict: mapq/aligned/ridx/read_len + optional ids) in PROCESS
+    order on every process.  With byte-range read sharding
+    (shard_fastx_buffers), process order == file order, so the gathered
+    arrays are bit-identical to a single-process run over the whole file.
+    Strings travel as one newline-joined uint8 buffer per process."""
+    mesh = _process_mesh()
+    counts = _allgather_rows(
+        np.array([len(reads["mapq"])], dtype=np.int64), mesh
+    )[:, 0]
+    n_max = int(counts.max()) if len(counts) else 0
+    out: dict = {}
+    for k in ("mapq", "aligned", "ridx", "read_len"):
+        col = np.asarray(reads[k])
+        pad = np.zeros(n_max, dtype=col.dtype)
+        pad[: len(col)] = col
+        g = _allgather_rows(pad, mesh)
+        out[k] = np.concatenate([g[i, : counts[i]] for i in range(len(counts))])
+    ids = reads.get("ids")
+    if ids is not None:
+        blob = "\n".join(ids).encode()
+        blen = _allgather_rows(
+            np.array([len(blob)], dtype=np.int64), mesh
+        )[:, 0]
+        b_max = int(blen.max()) if len(blen) else 0
+        pad = np.zeros(b_max, dtype=np.uint8)
+        pad[: len(blob)] = np.frombuffer(blob, dtype=np.uint8)
+        g = _allgather_rows(pad, mesh)
+        out_ids: list[str] = []
+        for i in range(len(blen)):
+            if blen[i]:
+                out_ids.extend(
+                    g[i, : blen[i]].tobytes().decode().split("\n")
+                )
+        out["ids"] = out_ids
+    else:
+        out["ids"] = None
+    return out
+
+
 def distributed_node_abundances(packed_local, nodes_len, trio_index,
                                 mesh=None):
     """Full-parity coverage over a multi-process read shard.

@@ -1,0 +1,33 @@
+"""Worker for tests/test_distributed.py: run the REAL CLI as one process of
+a jax.distributed fleet (CPU backend, 1 local device per process).
+
+Run as: python tests/_dist_cli_worker.py <proc_id> <n_proc> <port> <db_dir>
+        <reads.fq> <run_dir>
+"""
+import os
+import sys
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    idx, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    db, reads, run_dir = sys.argv[4], sys.argv[5], sys.argv[6]
+
+    os.makedirs(run_dir, exist_ok=True)
+    os.chdir(run_dir)
+    from pantax_tpu.cli import main as cli_main
+
+    rc = cli_main([
+        "-d", db, "-s", "-r", reads, "--species", "--strain",
+        "--fastpath", "--batch-size", "512",
+        "--distributed", f"localhost:{port},{nproc},{idx}",
+        "-T", os.path.join(run_dir, "tmpdir"),
+        "-R", os.path.join(run_dir, "reads_classification.tsv"),
+    ])
+    sys.exit(rc)
+
+
+if __name__ == "__main__":
+    main()

@@ -58,3 +58,80 @@ def test_two_process_coverage_bitwise_matches_single(tmp_path):
         got = np.load(f"{out}.p{i}.npz")
         for ref, name in zip(single, ["na", "ta", "bc"]):
             assert np.array_equal(np.asarray(ref), got[name]), (i, name)
+
+
+def test_two_process_cli_matches_single_process(tmp_path):
+    """The REAL CLI (--distributed ... --fastpath) over a byte-range-sharded
+    read file on 2 processes writes byte-identical species/strain/
+    classification tables to a 1-process run of the same command — the
+    product multi-host path, not a library-only harness."""
+    import filecmp
+
+    from pantax_tpu.cli import main as cli_main
+    from pantax_tpu.db.construct import build_database, load_database
+    from pantax_tpu.sim import simulate_reads
+
+    db_dir = tmp_path / "db"
+    build_database("/root/reference/example/example_genomes_info.txt", db_dir,
+                   base_dir="/root/reference/example/ngs")
+    db = load_database(db_dir)
+    reads = simulate_reads(db, {"GCF_002012065.1": 4, "GCF_024223415.1": 2,
+                                "GCF_006400955.1": 2},
+                           n_reads=3000, read_len=150, seed=33)
+    reads_fq = tmp_path / "reads.fq"
+    with open(reads_fq, "w") as f:
+        for r in reads:
+            seq = r.seq if isinstance(r.seq, str) else r.seq.decode()
+            f.write(f"@{r.read_id}\n{seq}\n+\n{'I' * len(seq)}\n")
+
+    # single-process reference run (same command, no --distributed)
+    one = tmp_path / "one"
+    one.mkdir()
+    cwd = os.getcwd()
+    os.chdir(one)
+    try:
+        rc = cli_main([
+            "-d", str(db_dir), "-s", "-r", str(reads_fq),
+            "--species", "--strain", "--fastpath", "--batch-size", "512",
+            "--mesh", "off",
+            "-T", str(one / "tmpdir"),
+            "-R", str(one / "reads_classification.tsv"),
+        ])
+    finally:
+        os.chdir(cwd)
+    assert rc == 0
+
+    worker = os.path.join(os.path.dirname(__file__), "_dist_cli_worker.py")
+    port = _free_port()
+    env = {
+        **os.environ,
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+        "PYTHONPATH": os.pathsep.join([
+            os.path.dirname(__file__),
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            os.environ.get("PYTHONPATH", ""),
+        ]),
+    }
+    runs = [tmp_path / "p0", tmp_path / "p1"]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port), str(db_dir),
+             str(reads_fq), str(runs[i])],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=600)
+        logs.append(stdout.decode())
+    assert all(p.returncode == 0 for p in procs), "\n".join(logs)
+
+    # process 0 wrote the outputs; byte-identical to the 1-process run
+    for name in ("species_abundance.txt", "strain_abundance.txt",
+                 "reads_classification.tsv"):
+        assert filecmp.cmp(one / name, runs[0] / name, shallow=False), (
+            name, "\n".join(logs)[-2000:]
+        )
+    # process 1 wrote nothing
+    assert not (runs[1] / "strain_abundance.txt").exists()
