@@ -350,3 +350,85 @@ def test_fused_device_tail_matches_host_tail(tmp_path):
                 [float(x) for x in ca[3:]], [float(x) for x in cb[3:]],
                 rtol=2e-4, atol=1e-6, err_msg=f"{name}: {ra} vs {rb}",
             )
+
+
+def test_tail_modes_agree_on_borderline_divergence(tmp_path):
+    """Strain SETS are identical between --tail host (float64 filters) and
+    --tail device (float32 stats) even when the divergence threshold fc sits
+    EXACTLY on a strain's rounded divergence: sweeping fc through each
+    strain's round2(|first_sol - trio_mean| / (first_sol + trio_mean)) value
+    (and one step below it) flips that strain's keep/rescue/drop decision —
+    both tails must flip together (profile.rs:1229-1285 second filter)."""
+    from pantax_tpu.align.aligner import Aligner
+    from pantax_tpu.align.encode import encode_seq
+    from pantax_tpu.align.index import build_align_index
+    from pantax_tpu.db.construct import build_database
+    from pantax_tpu.ops.fused import (
+        FusedPipeline, build_fused_tables, profile_from_fused_result,
+    )
+    from pantax_tpu.sim import simulate_reads
+
+    db = build_database(EXAMPLE_INFO, tmp_path / "db", base_dir=BASE)
+    index = build_align_index(db)
+    aligner = Aligner(index)
+    # uneven mixture spreads the divergences (measured on this fixture:
+    # f = 0.295799 / 0.137416 / 0.062787 -> round2 0.30 / 0.14 / 0.06)
+    reads = simulate_reads(
+        db, {"GCF_002012065.1": 6, "GCF_024223415.1": 1,
+             "GCF_006400955.1": 3, "MGYG000002538_genomic": 2},
+        n_reads=3000, read_len=150, seed=5,
+    )
+    L = 160
+    codes = np.full((len(reads), L), 4, dtype=np.int8)
+    lens = np.zeros(len(reads), dtype=np.int64)
+    for i, r in enumerate(reads):
+        codes[i, : len(r.seq)] = encode_seq(r.seq)
+        lens[i] = len(r.seq)
+    tables = build_fused_tables(db, index)
+
+    def divergences(out):
+        f = {}
+        for line in (out / "ori_strain_abundance.txt").read_text(
+        ).splitlines()[1:]:
+            c = line.split("\t")
+            if c[7] and c[8]:
+                m, s = float(c[7]), float(c[8])
+                f[c[2]] = abs(s - m) / (s + m) if s + m else 0.0
+        return f
+
+    def strain_set(out):
+        return {
+            line.split("\t")[2]
+            for line in (out / "strain_abundance.txt").read_text(
+            ).splitlines()[1:]
+        }
+
+    # baseline run to measure the divergences, then the borderline sweep
+    base_cfg = ProfilingConfig.for_read_type("short", tail="host")
+    pipe = FusedPipeline(aligner, tables, batch=1024)
+    pipe.feed(codes, lens)
+    base_res = pipe.finish()
+    base_out = tmp_path / "base"
+    profile_from_fused_result(base_res, tables, index, db, base_cfg, base_out)
+    divs = sorted(divergences(base_out).values())
+    assert len(divs) >= 3, "fixture must yield >= 3 surviving strains"
+
+    fcs = []
+    for f in divs:
+        fcs.append(round(np.round(f, 2), 2))          # exactly at boundary
+        fcs.append(round(np.round(f, 2) - 0.01, 2))   # one step below
+    for fc in sorted(set(fcs)):
+        sets = {}
+        for tail in ("host", "device"):
+            cfg = ProfilingConfig.for_read_type("short", tail=tail)
+            cfg.unique_trio_nodes_mean_count_f = fc
+            p = FusedPipeline(aligner, tables, batch=1024)
+            p.feed(codes, lens)
+            res = p.finish()
+            out = tmp_path / f"fc{fc}_{tail}"
+            profile_from_fused_result(res, tables, index, db, cfg, out)
+            sets[tail] = strain_set(out)
+        assert sets["host"] == sets["device"], (
+            f"strain sets diverge between tail modes at fc={fc}: "
+            f"host={sets['host']} device={sets['device']}"
+        )
