@@ -127,6 +127,7 @@ def _coverage_scatter(
     trio_steps: int = 0,
     trio_probes: int = 4,
     has_dups: bool = True,
+    trio_match=None,
 ):
     """Per-batch additive coverage contributions: every output is a plain sum
     over reads, so batches can be accumulated (the fused align+cover pipeline
@@ -147,7 +148,14 @@ def _coverage_scatter(
     bucketed bisection; ``trio_probes`` is the exact max equal-hash run.
     ``has_dups=False`` skips the first-occurrence dedup sorts when the caller
     proves no node repeats within any read window (fused path, host-checked):
-    then every occurrence IS a first occurrence."""
+    then every occurrence IS a first occurrence.
+
+    ``trio_match`` (int32 [R, L-2], -1 = no match) bypasses the hash lookup
+    entirely with precomputed unique-trio indices per window — the fused
+    path's windows are consecutive text segments, so their matches are baked
+    into a per-segment table at build time (build_fused_tables.trio_seg) and
+    the whole hash+bisect+probe pipeline (the dominant scatter cost, ~70ms
+    per 65536x16 batch on v5e) collapses to one gather done by the caller."""
     if acc is None:
         acc_b = jnp.zeros(num_nodes, dtype=jnp.float32)
         acc_d = jnp.zeros(total_bases + 1, dtype=jnp.int32)
@@ -251,32 +259,35 @@ def _coverage_scatter(
         w_valid = ((pos[:, : L - 2] + 2) < lengths[:, None]) & (
             lengths >= 3
         )[:, None]
-        wa, wb, wc = node_ids[:, :-2], node_ids[:, 1:-1], node_ids[:, 2:]
-        flip = wa > wc
-        ca = jnp.where(flip, wc, wa)
-        cc = jnp.where(flip, wa, wc)
-        h = _mix3(ca, wb, cc)
         win_sum = (
             per_pos_val[:, :-2] + per_pos_val[:, 1:-1] + per_pos_val[:, 2:]
         ).astype(jnp.float32)
-        if trio_bucket is not None:
-            idx0 = _hash_bisect_left(
-                trio_hash_sorted, trio_bucket, trio_bits, trio_steps,
-                h.reshape(-1),
-            )
+        if trio_match is not None:
+            match = trio_match.reshape(-1)
         else:
-            idx0 = jnp.searchsorted(trio_hash_sorted, h.reshape(-1))
-        # linear probe (hash collisions): check the equal-hash run
-        match = jnp.full(idx0.shape, -1, dtype=jnp.int32)
-        caf, wbf, ccf = ca.reshape(-1), wb.reshape(-1), cc.reshape(-1)
-        for probe in range(trio_probes):
-            cand = jnp.clip(idx0 + probe, 0, num_trios - 1)
-            abc = trio_abc_sorted[cand]
-            hit = (
-                (abc[:, 0] == caf) & (abc[:, 1] == wbf) & (abc[:, 2] == ccf)
-                & (match < 0)
-            )
-            match = jnp.where(hit, trio_order[cand], match)
+            wa, wb, wc = node_ids[:, :-2], node_ids[:, 1:-1], node_ids[:, 2:]
+            flip = wa > wc
+            ca = jnp.where(flip, wc, wa)
+            cc = jnp.where(flip, wa, wc)
+            h = _mix3(ca, wb, cc)
+            if trio_bucket is not None:
+                idx0 = _hash_bisect_left(
+                    trio_hash_sorted, trio_bucket, trio_bits, trio_steps,
+                    h.reshape(-1),
+                )
+            else:
+                idx0 = jnp.searchsorted(trio_hash_sorted, h.reshape(-1))
+            # linear probe (hash collisions): check the equal-hash run
+            match = jnp.full(idx0.shape, -1, dtype=jnp.int32)
+            caf, wbf, ccf = ca.reshape(-1), wb.reshape(-1), cc.reshape(-1)
+            for probe in range(trio_probes):
+                cand = jnp.clip(idx0 + probe, 0, num_trios - 1)
+                abc = trio_abc_sorted[cand]
+                hit = (
+                    (abc[:, 0] == caf) & (abc[:, 1] == wbf)
+                    & (abc[:, 2] == ccf) & (match < 0)
+                )
+                match = jnp.where(hit, trio_order[cand], match)
         wvf = w_valid.reshape(-1)
         # sentinel index num_trios is out of bounds -> dropped by the scatter
         seg = jnp.where(wvf & (match >= 0), match, num_trios)

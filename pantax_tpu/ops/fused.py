@@ -123,15 +123,44 @@ def node_span_bound(index, read_pad: int, band: int = 16) -> int:
     return int((np.searchsorted(tstart, te, side="left") - i).max()) + 1
 
 
+def overflow_fraction(index, read_pad: int, K: int, band: int = 16) -> float:
+    """Fraction of text start positions whose alignment would span more
+    than K segments (the device overflow predicate at L_cap=K): position p
+    in segment i overflows iff p + W - 1 >= tstart[i + K]."""
+    tstart = np.asarray(index.tstart, dtype=np.int64)
+    M = len(tstart)
+    if M <= K:
+        return 0.0
+    W = read_pad + band + 2
+    i = np.arange(M - K)
+    lo = np.maximum(tstart[i], tstart[i + K] - W + 1)
+    hi = np.concatenate([tstart[1:], [index.text_len]])[i]
+    return float(np.maximum(hi - lo, 0).sum()) / max(index.text_len, 1)
+
+
 def auto_node_window(index, read_pad: int, band: int = 16) -> int:
-    """Static node window from node_span_bound, clamped to [4, 64].  On
-    1024bp-chunk graphs this is 2-4 for 150bp reads — an 8-16x cut in
-    per-batch scatter indices vs a fixed window of 32.  The L_cap overflow
-    fallback still guards correctness, so a tighter bound can only cost a
-    fallback, never wrong output (overflow is impossible unless the true
-    bound exceeds the clamp)."""
-    span = node_span_bound(index, read_pad, band)
-    return max(4, min(1 << int(np.ceil(np.log2(span))), 64))
+    """Static node window: the smallest power-of-two K whose expected
+    overflow rate stays under ~1/256 of reads, else the exact worst-case
+    bound clamped to [4, 64].  Overflowing reads are handled EXACTLY by the
+    host residual path at O(#overflow) cost, so the threshold is purely an
+    engineering budget: 1/256 of a 65536-read dispatch is ~256 expected
+    rows, comfortably inside the _OV_CAP=1024 compact table (beyond which
+    a dispatch pays a full interval download).  Scatter/window work scales
+    linearly with the window, so covering the 99.6th percentile instead of
+    the worst case halves the fused step's classify+scatter cost on
+    fragmented graphs (segment-span medians sit at 2-5 with a ~2x tail)."""
+    exact = max(4, min(1 << int(np.ceil(np.log2(
+        node_span_bound(index, read_pad, band)))), 64))
+    for K in (4, 8, 16, 32):
+        if K >= exact:
+            break
+        # estimate with the typical interval width (the read length, not
+        # read + DP-band slack): the rate only budgets residual work, and
+        # the worst-case width inflates boundary spans ~5x (measured 1.5%
+        # vs 0.27% actual at K=8 on a 102-strain DB)
+        if overflow_fraction(index, read_pad, K, band=0) <= 1.0 / 256:
+            return K
+    return exact
 
 
 # ---------------------------------------------------------------------------
@@ -139,7 +168,7 @@ def auto_node_window(index, read_pad: int, band: int = 16) -> int:
 # ---------------------------------------------------------------------------
 def _classify_scatter(
     ts, te, aligned,
-    hap_offsets, hap_range, pos_lo, tstart, tnode,
+    hap_offsets, hap_range, pos_lo, tstart, tnode, trio_seg,
     nodes_len, base_offset, trio_hash, trio_order, trio_abc, trio_bucket,
     acc,
     *,
@@ -185,13 +214,20 @@ def _classify_scatter(
     read_start = jnp.where(keep, (ts - tstart[i0]).astype(jnp.int32), 0)
     read_end = jnp.where(keep, read_start + (te - ts).astype(jnp.int32), 0)
 
+    # precomputed per-segment trio matches: window j of a read = segments
+    # (i0+j .. i0+j+2), all within one haplotype -> one gather replaces the
+    # hash+bisect+probe trio lookup (dominant scatter cost)
+    trio_match = None
+    if num_trios > 0 and L_cap >= 3:
+        trio_match = trio_seg[take[:, : L_cap - 2]]
+
     new_acc = _coverage_scatter(
         nodes, lengths, read_start, read_end,
         nodes_len, base_offset, trio_hash, trio_order, trio_abc,
         num_nodes=num_nodes, total_bases=total_bases, num_trios=num_trios,
         acc=acc,
         trio_bucket=trio_bucket, trio_bits=trio_bits, trio_steps=trio_steps,
-        trio_probes=trio_probes, has_dups=has_dups,
+        trio_probes=trio_probes, has_dups=has_dups, trio_match=trio_match,
     )
     return ridx, overflow, new_acc
 
@@ -203,6 +239,7 @@ def _fused_step_impl(
     hap_offsets,     # int32 [H + 1] text start of each haplotype
     hap_range,       # int32 [H] species-range index of each haplotype
     pos_lo,          # int32 [nb + 1] segment bucket table
+    trio_seg,        # int32 [M] per-segment trio match (-1 = none)
     # coverage tables (global padded node space)
     nodes_len, base_offset, trio_hash, trio_order, trio_abc, trio_bucket,
     # batch
@@ -222,7 +259,7 @@ def _fused_step_impl(
     )
     ridx, overflow, (n_bases, n_diff, n_trio) = _classify_scatter(
         ts, te, aligned,
-        hap_offsets, hap_range, pos_lo, tstart, tnode,
+        hap_offsets, hap_range, pos_lo, tstart, tnode, trio_seg,
         nodes_len, base_offset, trio_hash, trio_order, trio_abc, trio_bucket,
         (acc_bases, acc_diff, acc_trio),
         win_shift=win_shift, pos_steps=pos_steps, L_cap=L_cap,
@@ -235,14 +272,29 @@ def _fused_step_impl(
     )
 
 
+_OV_CAP = 1024  # static size of the compact per-dispatch overflow-row table
+
+
 def _narrow_per_read(ts, te, mapq, aligned, ridx, overflow):
     """Narrow per-read outputs for the device->host transfer: the tunnel is
     bandwidth-bound (~12MB/s in bad windows), and finish() downloads every
     fed read.  Only mapq/aligned/ridx (4B/read) cross per batch; ts/span
-    (6B/read) stay device-resident until a consumer actually needs text
-    intervals (the L_cap-overflow fallback, or the CLI's resume artifact),
-    and the overflow flags collapse to one per-batch scalar count (padded
-    rows are unaligned, so the full-batch sum equals the fed-row sum)."""
+    (6B/read) stay device-resident (dropped once the overflow count is
+    known), the overflow flags collapse to one per-batch scalar count
+    (padded rows are unaligned, so the full-batch sum equals the fed-row
+    sum), and the first _OV_CAP overflowing rows travel as a compact
+    [3, _OV_CAP] (row, ts, te) table (12KB) so the host residual path needs
+    no full-batch interval download — adaptive L_cap makes small overflow
+    counts routine, not exceptional."""
+    n = ts.shape[0]
+    ov_idx = jnp.nonzero(overflow, size=_OV_CAP, fill_value=n)[0]
+    take = jnp.clip(ov_idx, 0, n - 1)
+    live = ov_idx < n
+    ov_rows = jnp.stack([
+        jnp.where(live, ov_idx, -1).astype(jnp.int32),
+        jnp.where(live, ts[take], 0).astype(jnp.int32),
+        jnp.where(live, te[take], 0).astype(jnp.int32),
+    ])
     return (
         ts.astype(jnp.int32),
         (te - ts).astype(jnp.int16),
@@ -250,6 +302,7 @@ def _narrow_per_read(ts, te, mapq, aligned, ridx, overflow):
         aligned,
         ridx.astype(jnp.int16),
         overflow.sum().astype(jnp.int32),
+        ov_rows,
     )
 
 
@@ -260,13 +313,13 @@ _fused_step = partial(
         "num_nodes", "total_bases", "num_trios",
         "trio_bits", "trio_steps", "trio_probes", "has_dups",
     ),
-    donate_argnums=(17, 18, 19),  # acc_bases, acc_diff, acc_trio
+    donate_argnums=(18, 19, 20),  # acc_bases, acc_diff, acc_trio
 )(_fused_step_impl)
 
 
 def _fused_step_paired_impl(
     text2d, run_table, seed_pos, bucket_lo, tstart, tnode,
-    hap_offsets, hap_range, pos_lo,
+    hap_offsets, hap_range, pos_lo, trio_seg,
     nodes_len, base_offset, trio_hash, trio_order, trio_abc, trio_bucket,
     codes1_packed, len1, codes2_packed, len2,
     acc_bases, acc_diff, acc_trio,
@@ -294,7 +347,7 @@ def _fused_step_paired_impl(
     aligned = jnp.concatenate([al1, al2])
     ridx, overflow, (n_bases, n_diff, n_trio) = _classify_scatter(
         ts, te, aligned,
-        hap_offsets, hap_range, pos_lo, tstart, tnode,
+        hap_offsets, hap_range, pos_lo, tstart, tnode, trio_seg,
         nodes_len, base_offset, trio_hash, trio_order, trio_abc, trio_bucket,
         (acc_bases, acc_diff, acc_trio),
         win_shift=win_shift, pos_steps=pos_steps, L_cap=L_cap,
@@ -316,7 +369,7 @@ _fused_step_paired = partial(
         "num_nodes", "total_bases", "num_trios",
         "trio_bits", "trio_steps", "trio_probes", "has_dups",
     ),
-    donate_argnums=(19, 20, 21),  # acc_bases, acc_diff, acc_trio
+    donate_argnums=(20, 21, 22),  # acc_bases, acc_diff, acc_trio
 )(_fused_step_paired_impl)
 
 
@@ -459,6 +512,7 @@ class FusedTables:
     trio_abc_d: jnp.ndarray
     trio_len_d: jnp.ndarray
     trio_bucket_d: jnp.ndarray
+    trio_seg_d: jnp.ndarray  # int32 [M] per-segment trio match (-1 = none)
     trio_bits: int
     trio_steps: int
     trio_probes: int
@@ -468,6 +522,41 @@ class FusedTables:
     N_pad: int
     TB_pad: int
     U_pad: int
+
+
+def _build_trio_seg(index, species, hap_range) -> np.ndarray:
+    """Per-SEGMENT unique-trio matches, precomputed on host: trio_seg[i] is
+    the global unique-trio index matched by the 3-window of consecutive text
+    segments (i, i+1, i+2), or -1.
+
+    The fused path's windows are always consecutive segments of one
+    haplotype (nodes[:, j] = tnode[i0 + j]), so the device trio lookup
+    reduces to ONE gather from this table — the hash+bisect+probe pipeline
+    it replaces was the dominant per-batch scatter cost (~70ms per 65536x16
+    batch on v5e).  Cross-haplotype windows are baked to -1; alignments
+    never span haplotypes, so they cannot occur at runtime."""
+    tn = np.asarray(index.tnode, dtype=np.int64)
+    M = len(tn)
+    trio_seg = np.full(M, -1, dtype=np.int32)
+    if M < 3:
+        return trio_seg
+    seg_hap = np.searchsorted(
+        index.hap_offsets, index.tstart, side="right"
+    ) - 1
+    seg_hap = np.clip(seg_hap, 0, len(hap_range) - 1)
+    same_hap = seg_hap[:-2] == seg_hap[2:]
+    win_range = hap_range[seg_hap[:-2]]
+    wa, wb, wc = tn[:-2] - 1, tn[1:-1] - 1, tn[2:] - 1  # global 0-based
+    for sp in species:
+        sel = np.flatnonzero(same_hap & (win_range == sp.ridx))
+        if not len(sel) or sp.trio_index.num_unique == 0:
+            continue
+        wins = np.stack(
+            [wa[sel] - sp.off, wb[sel] - sp.off, wc[sel] - sp.off], axis=1
+        )
+        m = sp.trio_index.match(wins)
+        trio_seg[sel] = np.where(m >= 0, m + sp.trio_lo, -1).astype(np.int32)
+    return trio_seg
 
 
 def _put_repl(arr, mesh):
@@ -527,6 +616,7 @@ def build_fused_tables(db, index, mesh=None) -> FusedTables:
     pos_lo, win_shift, steps = build_pos_lookup(
         index.tstart.astype(np.int64), index.text_len
     )
+    trio_seg = _build_trio_seg(index, species, hap_range)
     put = partial(_put_repl, mesh=mesh)
     return FusedTables(
         species=species,
@@ -542,6 +632,7 @@ def build_fused_tables(db, index, mesh=None) -> FusedTables:
         trio_abc_d=put(t.trio_abc),
         trio_len_d=put(t.trio_len),
         trio_bucket_d=put(t.trio_bucket),
+        trio_seg_d=put(trio_seg),
         trio_bits=t.trio_bits,
         trio_steps=t.trio_steps,
         trio_probes=t.trio_probes,
@@ -647,6 +738,7 @@ class FusedPipeline:
         )
         self._per_read = []   # (n_valid, ids|None, lens, core, spans)
         self._ov = []         # per-dispatch overflow-count scalars
+        self._ov_rows = []    # per-dispatch compact [3, _OV_CAP] row tables
         self._ov_entries = []  # per-dispatch list of _per_read entry indices
         self._next_mat = 0    # first _per_read entry still holding device refs
         self._next_ov = 0
@@ -680,16 +772,23 @@ class FusedPipeline:
             j = self._next_ov
             v = int(np.asarray(self._ov[j]))
             self._ov[j] = v
+            if v:
+                # the compact (row, ts, te) table feeds the residual path
+                self._ov_rows[j] = np.asarray(self._ov_rows[j])
+            else:
+                self._ov_rows[j] = None
             if not self.prefetch_spans:
-                # overflow count known: 0 -> the dispatch's ts/span device
-                # buffers can never be needed, drop the refs now (spreads
-                # the deletion RPCs and caps HBM held by span buffers);
-                # >0 -> the residual path will need them, pull to host
+                # overflow count known: <= _OV_CAP (incl. 0) -> the
+                # dispatch's ts/span device buffers can never be needed
+                # (the compact table carries the overflow intervals), drop
+                # the refs now — spreads the deletion RPCs and caps the HBM
+                # held by span buffers; > _OV_CAP (truncated table) -> pull
+                # the full spans to host for the residual
                 for ei in self._ov_entries[j]:
                     m, ids, lens, core, spans = self._per_read[ei]
                     if spans is None:
                         continue
-                    if v:
+                    if v > _OV_CAP:
                         _prefetch(spans)
                         spans = tuple(np.asarray(a) for a in spans)
                     else:
@@ -699,17 +798,20 @@ class FusedPipeline:
 
     def _push_batch(self, m, ids, lens, per_read, ov) -> None:
         """Record one dispatched batch's per-read outputs and start their
-        async host copies (spans only when prefetch_spans).  ov=None (the
-        second mate block of a paired dispatch) attaches the entry to the
-        previous dispatch's overflow scalar."""
+        async host copies (spans only when prefetch_spans).  ``ov`` is a
+        (count scalar, compact [3, _OV_CAP] row table) pair, or None for the
+        second mate block of a paired dispatch (attaches the entry to the
+        previous dispatch's overflow record)."""
         ts_d, span_d, mapq_d, al_d, ridx_d = per_read
         core = (mapq_d, al_d, ridx_d)
         spans = (ts_d, span_d)
         self._per_read.append((m, ids, lens, core, spans))
         if ov is not None:
-            self._ov.append(ov)
+            ov_scalar, ov_rows = ov
+            self._ov.append(ov_scalar)
+            self._ov_rows.append(ov_rows)
             self._ov_entries.append([len(self._per_read) - 1])
-            _prefetch((ov,))
+            _prefetch((ov_scalar, ov_rows))
         else:
             self._ov_entries[-1].append(len(self._per_read) - 1)
         _prefetch(core)
@@ -739,6 +841,7 @@ class FusedPipeline:
                 aligner.text_d, aligner.run_table_d, aligner.seed_pos_d,
                 aligner.bucket_lo_d, aligner.tstart_d, aligner.tnode_d,
                 tables.hap_offsets_d, tables.hap_range_d, tables.pos_lo_d,
+                tables.trio_seg_d,
                 tables.nodes_len_d, tables.base_offset_d,
                 tables.trio_hash_d, tables.trio_order_d, tables.trio_abc_d,
                 tables.trio_bucket_d,
@@ -755,7 +858,7 @@ class FusedPipeline:
             self.acc_b, self.acc_d, self.acc_t = out[:3]
             self._push_batch(
                 hi - lo, ids[lo:hi] if ids is not None else None,
-                np.asarray(lens[lo:hi]), out[3:8], out[8],
+                np.asarray(lens[lo:hi]), out[3:8], (out[8], out[9]),
             )
             self._materialize_to(len(self._per_read) - self._MAT_LAG)
 
@@ -796,6 +899,7 @@ class FusedPipeline:
                 aligner.text_d, aligner.run_table_d, aligner.seed_pos_d,
                 aligner.bucket_lo_d, aligner.tstart_d, aligner.tnode_d,
                 tables.hap_offsets_d, tables.hap_range_d, tables.pos_lo_d,
+                tables.trio_seg_d,
                 tables.nodes_len_d, tables.base_offset_d,
                 tables.trio_hash_d, tables.trio_order_d, tables.trio_abc_d,
                 tables.trio_bucket_d,
@@ -819,26 +923,43 @@ class FusedPipeline:
             self._push_batch(
                 m, ids1[lo:hi] if ids1 is not None else None,
                 np.asarray(lens1[lo:hi]), tuple(a[:B] for a in out[3:8]),
-                out[8],
+                (out[8], out[9]),
             )
             self._push_batch(
                 m, ids2[lo:hi] if ids2 is not None else None,
                 np.asarray(lens2[lo:hi]), tuple(a[B:] for a in out[3:8]),
-                None,  # one overflow count covers both mates
+                None,  # one overflow record covers both mates
             )
             self._materialize_to(len(self._per_read) - 2 * self._MAT_LAG)
 
     def _apply_overflow_residual(self) -> int:
         """Host-compute the coverage contributions of reads that overflowed
-        the L_cap node window (their dispatch's ts/span buffers were pulled
-        to host when the overflow count materialized) and scatter-add them
-        into the accumulators.  Returns the number of residual reads."""
+        the L_cap node window and scatter-add them into the accumulators.
+        Intervals come from the dispatch's compact overflow-row table (12KB)
+        — the full ts/span buffers are downloaded only for dispatches whose
+        overflow count exceeded the table size.  Returns the number of
+        residual reads."""
         tstart = np.asarray(self.aligner.index.tstart, dtype=np.int64)
+        B = self.batch
         ts_p, te_p, rx_p = [], [], []
         for j, v in enumerate(self._ov):
             if not v:
                 continue
-            for ei in self._ov_entries[j]:
+            if v <= _OV_CAP:
+                idx, ts_a, te_a = np.asarray(self._ov_rows[j]).astype(np.int64)
+                live = idx >= 0
+                idx, ts_a, te_a = idx[live], ts_a[live], te_a[live]
+                rx = np.empty(len(idx), dtype=np.int64)
+                for blk, ei in enumerate(self._ov_entries[j]):
+                    core_r = np.asarray(self._per_read[ei][3][2])
+                    sel = (idx >= blk * B) & (idx < (blk + 1) * B)
+                    rx[sel] = core_r[(idx[sel] - blk * B)]
+                keep = rx >= 0
+                ts_p.append(ts_a[keep])
+                te_p.append(te_a[keep])
+                rx_p.append(rx[keep])
+                continue
+            for blk, ei in enumerate(self._ov_entries[j]):
                 m, _ids, _lens, core, spans = self._per_read[ei]
                 _mapq, al_a, ridx_a = core
                 al = np.asarray(al_a)[:m].astype(bool)
