@@ -114,6 +114,28 @@ def bench_scale() -> tuple[float, dict]:
             "strains_detected": m["strains_detected"],
         }
         return m["reads_per_s"], extra
+    if os.environ.get("PANTAX_TPU_BENCH_SCALE") == "long":
+        # pure long-read e2e: 100k 8kb HiFi-like reads, fused interval tail
+        from pantax_tpu.benchmarks import run_long_e2e_benchmark
+
+        db = scale_db(os.environ.get("PANTAX_TPU_SCALE_DIR",
+                                     "/tmp/pantax_tpu_scale"))
+        m = run_long_e2e_benchmark(db, long_batch=BATCH // 8)
+        print(
+            f"# long e2e: {m['total_reads']} reads ({m['total_bases']/1e9:.1f}"
+            f" Gb), aligned {m['aligned_frac']:.3f}, e2e {m['wall_s']:.1f}s "
+            f"(align {m['align_s']:.1f}s + profile {m['profile_s']:.1f}s) = "
+            f"{m['bases_per_s']/1e6:.0f} Mb/s, "
+            f"{m['strains_detected']} strains",
+            file=sys.stderr,
+        )
+        extra = {
+            "e2e_wall_s": round(m["wall_s"], 1),
+            "e2e_profile_s": round(m["profile_s"], 1),
+            "bases_per_sec": round(m["bases_per_s"], 1),
+            "strains_detected": m["strains_detected"],
+        }
+        return m["reads_per_s"], extra
     if os.environ.get("PANTAX_TPU_BENCH_SCALE") == "2":
         # BASELINE config 5's DB at 2M short reads: 34 species x 3 = 102 strains
         db = scale_db(
@@ -164,7 +186,7 @@ def bench_example_e2e() -> dict:
 
 
 def main() -> None:
-    scale = os.environ.get("PANTAX_TPU_BENCH_SCALE") in ("1", "2", "5")
+    scale = os.environ.get("PANTAX_TPU_BENCH_SCALE") in ("1", "2", "5", "long")
     extra = {}
     if scale:
         rate, extra = bench_scale()
@@ -178,6 +200,8 @@ def main() -> None:
         metric = "community102_2M_reads_aligned_per_sec_per_chip"
     elif os.environ.get("PANTAX_TPU_BENCH_SCALE") == "5":
         metric = "community102_10M_mixed_reads_per_sec_per_chip"
+    elif os.environ.get("PANTAX_TPU_BENCH_SCALE") == "long":
+        metric = "hifi_100k_8kb_e2e_reads_per_sec_per_chip"
     print(
         json.dumps(
             {

@@ -137,6 +137,49 @@ long long kmer_hash_sample(
     return count;
 }
 
+// 2-bit wire pack (align/aligner.py pack_codes2 parity): codes (0..4)
+// row-major [B, L] -> packed uint8 [B, ceil(L/4)] plus the flat positions
+// (padded [B, 4*ceil(L/4)] coordinates) of code-4 bases before each row's
+// length.  Returns the exception count; -(count) when it exceeds cap (the
+// caller falls back to the 4-bit pack); pads exc with the B*Lp sentinel.
+// The Python pack costs ~53ms per 65536x160 batch and sits on the critical
+// host path of the fused align loop; this is a single memory-bound pass.
+long long pack_codes2_native(
+    const int8_t* codes, long long B, long long L, const long long* lens,
+    uint8_t* out, int32_t* exc, long long cap)
+{
+    const long long Lp = (L + 3) / 4 * 4;
+    const long long W = Lp / 4;
+    long long n_exc = 0;
+    for (long long r = 0; r < B; ++r) {
+        const int8_t* row = codes + r * L;
+        const long long len = lens[r] < L ? lens[r] : L;
+        uint8_t* orow = out + r * W;
+        long long i = 0;
+        for (; i + 4 <= L; i += 4) {
+            orow[i >> 2] = (uint8_t)((row[i] & 3) | ((row[i + 1] & 3) << 2) |
+                                     ((row[i + 2] & 3) << 4) |
+                                     ((row[i + 3] & 3) << 6));
+        }
+        if (i < L) {
+            uint8_t v = 0;
+            for (long long j = i; j < L; ++j)
+                v |= (uint8_t)((row[j] & 3) << (2 * (j - i)));
+            orow[i >> 2] = v;
+        }
+        for (long long j = 0; j < len; ++j) {
+            if (row[j] >= 4) {
+                if (n_exc < cap) exc[n_exc] = (int32_t)(r * Lp + j);
+                ++n_exc;
+            }
+        }
+    }
+    if (n_exc > cap) return -n_exc;
+    for (long long t2 = n_exc; t2 < cap; ++t2)
+        exc[t2] = (int32_t)(B * Lp);
+    return n_exc;
+}
+
 }  // extern "C"
 
 #include <algorithm>

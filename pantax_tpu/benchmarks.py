@@ -231,6 +231,70 @@ def run_e2e_benchmark(
     }
 
 
+def run_long_e2e_benchmark(
+    db: DatabasePaths, n_long: int = 100_000, long_len: int = 8192,
+    read_type: str = "hifi", long_batch: int = 8192,
+    out_dir: str = "/tmp/pantax_tpu_long_e2e",
+):
+    """Pure long-read end-to-end: chunked alignment + best-alignment filter
+    -> FUSED interval profiling (ops/fused.feed_intervals: windowed short
+    spans, segment-range decomposition for long spans, device tail) to full
+    species/strain tables — the long-read analog of run_e2e_benchmark."""
+    import shutil
+
+    from .align.long_read import (
+        LONG_READ_PRESETS, LONG_READ_SEED_STRIDE, align_long_reads,
+    )
+    from .config import ProfilingConfig
+    from .ops.fused import (
+        FusedPipeline, build_fused_tables, profile_from_fused_result,
+    )
+
+    index = build_align_index(db)
+    aligner = Aligner(index)
+    cfg = ProfilingConfig.for_read_type("long")
+    tables = build_fused_tables(db, index)
+    chunk = LONG_READ_PRESETS[read_type]
+    stride = LONG_READ_SEED_STRIDE[read_type]
+
+    reads, _hap = simulate_long_reads(index, n_long, long_len, seed=9)
+
+    # warm the chunk kernels + the fused interval/finalize shapes
+    shutil.rmtree(out_dir, ignore_errors=True)
+    warm = align_long_reads(aligner, reads[:1024], chunk=chunk,
+                            batch_size=long_batch, seed_stride=stride,
+                            as_arrays=True)
+    pipe = FusedPipeline(aligner, tables, batch=long_batch)
+    pipe.feed_intervals(warm.ts, warm.te, warm.mapq, warm.read_len,
+                        ids=warm.read_ids)
+    profile_from_fused_result(pipe.finish(), tables, index, db, cfg, out_dir)
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    merged = align_long_reads(aligner, reads, chunk=chunk,
+                              batch_size=long_batch, seed_stride=stride,
+                              as_arrays=True)
+    t_align = time.time() - t0
+    pipe = FusedPipeline(aligner, tables, batch=long_batch)
+    pipe.feed_intervals(merged.ts, merged.te, merged.mapq, merged.read_len,
+                        ids=merged.read_ids)
+    profile_from_fused_result(pipe.finish(), tables, index, db, cfg, out_dir)
+    wall = time.time() - t0
+    n_strains = max(
+        sum(1 for _ in open(f"{out_dir}/strain_abundance.txt")) - 1, 0)
+    return {
+        "total_reads": n_long,
+        "total_bases": n_long * long_len,
+        "wall_s": wall,
+        "align_s": t_align,
+        "profile_s": wall - t_align,
+        "reads_per_s": n_long / wall,
+        "bases_per_s": n_long * long_len / wall,
+        "aligned_frac": len(merged.read_ids) / n_long,
+        "strains_detected": n_strains,
+    }
+
+
 def run_mixed_benchmark(
     db: DatabasePaths, n_short: int = 9_900_000, n_long: int = 100_000,
     batch: int = 65536, long_len: int = 8192, read_type: str = "hifi",

@@ -394,23 +394,27 @@ def _codes_matrix(codes_flat, offsets, pad):
 
     lens = np.diff(offsets)
     codes = np.full((len(lens), pad), 4, dtype=np.int8)
-    for i in range(len(lens)):
-        L = int(lens[i])
-        codes[i, :L] = codes_flat[offsets[i] : offsets[i] + L]
+    # codes_flat is the row-order concatenation, so one boolean-mask
+    # assignment replaces the per-read Python loop (~50ms per 65536 reads)
+    mask = np.arange(pad)[None, :] < lens[:, None]
+    codes[mask] = codes_flat[: int(lens.sum())]
     return codes, lens.astype(np.int64)
 
 
 def _run_fastpath_long(args, db, index, tmp: Path, t0: float) -> int:
     """Array-native long-read flow: chunked alignment -> merged per-read
-    intervals -> profiling, with no GAF text or node-path strings (the
-    long-read analog of the short-read fastpath; filter thresholds from
-    gaf_filter.rs:44-97 are applied inside align_long_reads)."""
+    intervals -> FUSED interval profiling (the same global accumulators +
+    device tail as short reads; ops/fused.feed_intervals).  Filter
+    thresholds from gaf_filter.rs:44-97 are applied inside
+    align_long_reads."""
     from .align.aligner import Aligner
     from .align.long_read import (
         LONG_READ_PRESETS, LONG_READ_SEED_STRIDE, align_long_reads,
     )
-    from .fastpath import profile_from_alignments
     from .io.fastx import iter_fastx
+    from .ops.fused import (
+        FusedPipeline, build_fused_tables, profile_from_fused_result,
+    )
     from .utils.logging import stage_timer
 
     aligner = Aligner(index)
@@ -429,8 +433,15 @@ def _run_fastpath_long(args, db, index, tmp: Path, t0: float) -> int:
     cfg = _profiling_config(args, db, tmp, "long",
                             species=True,
                             strain=args.strain or not args.species)
-    with stage_timer("profiling"):
-        profile_from_alignments(merged, index, db, cfg, tmp)
+    with stage_timer("profiling (fused intervals)"):
+        tables = build_fused_tables(db, index)
+        pipe = FusedPipeline(aligner, tables, batch=args.batch_size)
+        pipe.feed_intervals(
+            merged.ts, merged.te, merged.mapq, merged.read_len,
+            ids=merged.read_ids,
+        )
+        result = pipe.finish()
+        profile_from_fused_result(result, tables, index, db, cfg, tmp)
 
     return _emit_outputs(args, tmp, True, cfg.strain, t0)
 

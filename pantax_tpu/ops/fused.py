@@ -383,6 +383,167 @@ def _fused_finalize(acc_bases, acc_diff, acc_trio, nodes_len, base_offset,
 
 
 # ---------------------------------------------------------------------------
+# interval feeds (long reads): pre-aligned text intervals instead of codes.
+# Short spans reuse the windowed classify+scatter; spans beyond the window
+# use a RANGE decomposition — per read, only the two partial end segments
+# are scattered directly, while the fully-covered middle segments go into
+# segment-space difference arrays (depth per segment), expanded into the
+# node/base/trio accumulators ONCE at finalize.  A 100kb read thus costs
+# O(1) device work per batch instead of an O(#segments) window.
+# Parity anchor: profile.rs:742-1026 base allocation; the decomposition is
+# exact on haplotypes that never revisit a node (others take the host
+# residual path, tables.hap_dup).
+# ---------------------------------------------------------------------------
+def _interval_window_step_impl(
+    tstart, tnode,
+    hap_offsets, hap_range, pos_lo, trio_seg,
+    nodes_len, base_offset, trio_hash, trio_order, trio_abc, trio_bucket,
+    ts, te, aligned,
+    acc_bases, acc_diff, acc_trio,
+    *,
+    win_shift: int, pos_steps: int, L_cap: int,
+    num_nodes: int, total_bases: int, num_trios: int,
+    trio_bits: int, trio_steps: int, trio_probes: int, has_dups: bool,
+):
+    _ridx, _overflow, accs = _classify_scatter(
+        ts, te, aligned,
+        hap_offsets, hap_range, pos_lo, tstart, tnode, trio_seg,
+        nodes_len, base_offset, trio_hash, trio_order, trio_abc, trio_bucket,
+        (acc_bases, acc_diff, acc_trio),
+        win_shift=win_shift, pos_steps=pos_steps, L_cap=L_cap,
+        num_nodes=num_nodes, total_bases=total_bases, num_trios=num_trios,
+        trio_bits=trio_bits, trio_steps=trio_steps, trio_probes=trio_probes,
+        has_dups=has_dups,
+    )
+    return accs
+
+
+_interval_window_step = partial(
+    jax.jit,
+    static_argnames=(
+        "win_shift", "pos_steps", "L_cap",
+        "num_nodes", "total_bases", "num_trios",
+        "trio_bits", "trio_steps", "trio_probes", "has_dups",
+    ),
+    donate_argnums=(15, 16, 17),
+)(_interval_window_step_impl)
+
+
+def _interval_range_step_impl(
+    tstart, tnode, pos_lo, trio_seg,
+    nodes_len, base_offset,
+    ts, te, live,
+    acc_bases, acc_diff, acc_trio, acc_sn, acc_st,
+    *,
+    win_shift: int, pos_steps: int, total_bases: int,
+):
+    """Range decomposition for reads spanning > L_cap segments (span >= 5
+    guaranteed by the host pre-partition):
+
+      - first segment: bases nlen0 - rs starting at rs; last: rem from 0
+        (profile.rs:848-883 end allocation), scattered per read;
+      - middle segments [i0+1, i1-1]: +1 into the node-depth diff acc_sn;
+      - trio windows [i0, i1-2]: +1 into the window-depth diff acc_st, with
+        the two end windows' partial-node corrections (-rs at window i0,
+        -(nlen1 - rem) at window i1-2) scattered per read."""
+    M = tstart.shape[0]
+    i0 = locate_segment(tstart, pos_lo, win_shift, pos_steps, ts)
+    i1 = locate_segment(tstart, pos_lo, win_shift, pos_steps,
+                        jnp.maximum(te - 1, ts))
+    n0 = tnode[i0].astype(jnp.int32) - 1
+    n1 = tnode[i1].astype(jnp.int32) - 1
+    rs = (ts - tstart[i0]).astype(jnp.int32)
+    rem = (te - tstart[i1]).astype(jnp.int32)
+    nlen0 = nodes_len[n0].astype(jnp.int32)
+    nlen1 = nodes_len[n1].astype(jnp.int32)
+
+    N = acc_bases.shape[0]
+    b_idx = jnp.concatenate([
+        jnp.where(live, n0, N), jnp.where(live, n1, N),
+    ])
+    b_val = jnp.concatenate([nlen0 - rs, rem]).astype(jnp.float32)
+    acc_bases = acc_bases.at[b_idx].add(b_val, mode="drop")
+
+    bo0 = base_offset[n0]
+    bo1 = base_offset[n1]
+    d_lo = jnp.concatenate([
+        jnp.where(live, bo0 + rs, total_bases),
+        jnp.where(live, bo1, total_bases),
+    ])
+    d_hi = jnp.concatenate([
+        jnp.where(live, bo0 + nlen0, total_bases),
+        jnp.where(live, bo1 + rem, total_bases),
+    ])
+    acc_diff = acc_diff.at[d_lo].add(1).at[d_hi].add(-1)
+
+    S = acc_sn.shape[0]
+    acc_sn = acc_sn.at[jnp.where(live, i0 + 1, S)].add(1, mode="drop")
+    acc_sn = acc_sn.at[jnp.where(live, i1, S)].add(-1, mode="drop")
+    # trio window range [i0, i1-2] (span >= 5 -> nonempty, ends distinct)
+    acc_st = acc_st.at[jnp.where(live, i0, S)].add(1, mode="drop")
+    acc_st = acc_st.at[jnp.where(live, i1 - 1, S)].add(-1, mode="drop")
+    U = acc_trio.shape[0]
+    m0 = trio_seg[i0]
+    m1 = trio_seg[jnp.maximum(i1 - 2, 0)]
+    t_idx = jnp.concatenate([
+        jnp.where(live & (m0 >= 0), m0, U),
+        jnp.where(live & (m1 >= 0), m1, U),
+    ])
+    t_val = jnp.concatenate([-rs, -(nlen1 - rem)]).astype(jnp.float32)
+    acc_trio = acc_trio.at[t_idx].add(t_val, mode="drop")
+    return acc_bases, acc_diff, acc_trio, acc_sn, acc_st
+
+
+_interval_range_step = partial(
+    jax.jit,
+    static_argnames=("win_shift", "pos_steps", "total_bases"),
+    donate_argnums=(9, 10, 11, 12, 13),
+)(_interval_range_step_impl)
+
+
+def _expand_ranges_impl(
+    acc_bases, acc_diff, acc_trio, acc_sn, acc_st,
+    tnode, nodes_len, base_offset, trio_seg,
+    *, total_bases: int,
+):
+    """Fold the segment-space depth diffs into the node/base/trio
+    accumulators: depth[i] full copies of segment i's node, and depth_t[w]
+    full window sums for window w.  One pass over all M segments, once per
+    run."""
+    M = tnode.shape[0]
+    n = tnode.astype(jnp.int32) - 1
+    nlen = nodes_len[n].astype(jnp.int32)
+    depth_n = jnp.cumsum(acc_sn[:-1])
+    acc_bases = acc_bases.at[n].add(
+        (depth_n * nlen).astype(jnp.float32), mode="drop"
+    )
+    bo = base_offset[n]
+    live = depth_n != 0
+    acc_diff = acc_diff.at[jnp.where(live, bo, total_bases)].add(depth_n)
+    acc_diff = acc_diff.at[
+        jnp.where(live, bo + nlen, total_bases)
+    ].add(-depth_n)
+    depth_t = jnp.cumsum(acc_st[:-1])
+    i1c = jnp.minimum(jnp.arange(M, dtype=jnp.int32) + 1, M - 1)
+    i2c = jnp.minimum(jnp.arange(M, dtype=jnp.int32) + 2, M - 1)
+    w3 = (nlen + nodes_len[tnode[i1c].astype(jnp.int32) - 1].astype(jnp.int32)
+          + nodes_len[tnode[i2c].astype(jnp.int32) - 1].astype(jnp.int32))
+    U = acc_trio.shape[0]
+    t_idx = jnp.where((depth_t != 0) & (trio_seg >= 0), trio_seg, U)
+    acc_trio = acc_trio.at[t_idx].add(
+        (depth_t * w3).astype(jnp.float32), mode="drop"
+    )
+    return acc_bases, acc_diff, acc_trio
+
+
+_expand_ranges = partial(
+    jax.jit,
+    static_argnames=("total_bases",),
+    donate_argnums=(0, 1, 2),  # the segment diffs have no same-shape output
+)(_expand_ranges_impl)
+
+
+# ---------------------------------------------------------------------------
 # L_cap-overflow residual: reads whose node span exceeds the static window
 # are masked out of the device scatter (keep = ... & ~overflow) but their
 # classification is still valid, so their coverage contributions can be
@@ -501,6 +662,7 @@ class FusedTables:
     species: list
     ranges: list
     mesh: object            # jax Mesh the device arrays are replicated over
+    hap_dup: np.ndarray     # bool [H] hap path visits some node twice
     # device arrays
     hap_offsets_d: jnp.ndarray
     hap_range_d: jnp.ndarray
@@ -617,11 +779,24 @@ def build_fused_tables(db, index, mesh=None) -> FusedTables:
         index.tstart.astype(np.int64), index.text_len
     )
     trio_seg = _build_trio_seg(index, species, hap_range)
+    # hap visits some node twice -> the long-read range decomposition's
+    # "every segment contributes its full node length" would double-count
+    # bases/trio values the reference credits only at the first occurrence;
+    # reads on such haps take the exact host residual path instead
+    hap_dup = np.zeros(len(index.hap_species), dtype=bool)
+    seg_hap_all = np.clip(np.searchsorted(
+        index.hap_offsets, index.tstart, side="right"
+    ) - 1, 0, len(hap_dup) - 1)
+    tn_all = np.asarray(index.tnode, dtype=np.int64)
+    for h in range(len(hap_dup)):
+        nodes_h = tn_all[seg_hap_all == h]
+        hap_dup[h] = len(np.unique(nodes_h)) != len(nodes_h)
     put = partial(_put_repl, mesh=mesh)
     return FusedTables(
         species=species,
         ranges=ranges,
         mesh=mesh,
+        hap_dup=hap_dup,
         hap_offsets_d=put(index.hap_offsets.astype(np.int32)),
         hap_range_d=put(hap_range),
         pos_lo_d=put(pos_lo),
@@ -742,6 +917,13 @@ class FusedPipeline:
         self._ov_entries = []  # per-dispatch list of _per_read entry indices
         self._next_mat = 0    # first _per_read entry still holding device refs
         self._next_ov = 0
+        # interval feeds (long reads): host-side per-read rows + the
+        # segment-space depth accumulators (created on first use)
+        self._int_reads: dict | None = None
+        self._int_ids: list | None = None
+        self._acc_sn = None
+        self._acc_st = None
+        self._n_int_residual = 0
 
     _MAT_LAG = 8  # batches kept on device before materializing to host
 
@@ -932,6 +1114,122 @@ class FusedPipeline:
             )
             self._materialize_to(len(self._per_read) - 2 * self._MAT_LAG)
 
+    _L_INT = 8  # windowed sub-path cap for interval feeds (spans <= this)
+
+    def feed_intervals(self, ts, te, mapq, read_len, ids=None,
+                       aligned=None) -> None:
+        """Feed pre-aligned text intervals (the long-read flow's merged
+        per-read alignments) instead of read codes.  Rows are partitioned on
+        host: span <= _L_INT segments -> the windowed classify+scatter;
+        longer spans on dup-free haplotypes -> the O(1)-per-read range
+        decomposition (_interval_range_step); spans on haplotypes that
+        revisit a node -> the exact host residual.  Per-read columns
+        (mapq/ridx/read_len) are computed on host — nothing per-read crosses
+        the device boundary."""
+        aligner, tables, batch = self.aligner, self.tables, self.batch
+        index = aligner.index
+        ts = np.asarray(ts, dtype=np.int64)
+        te = np.asarray(te, dtype=np.int64)
+        mapq = np.asarray(mapq, dtype=np.int64)
+        read_len = np.asarray(read_len, dtype=np.int64)
+        al = (np.ones(len(ts), dtype=bool) if aligned is None
+              else np.asarray(aligned, dtype=bool))
+
+        tstart = np.asarray(index.tstart, dtype=np.int64)
+        hap_range_h = getattr(tables, "_hap_range_host", None)
+        if hap_range_h is None:
+            hap_range_h = np.asarray(tables.hap_range_d)
+            tables._hap_range_host = hap_range_h
+        hap = np.clip(
+            np.searchsorted(index.hap_offsets, ts, side="right") - 1,
+            0, len(hap_range_h) - 1,
+        )
+        ridx = np.where(al, hap_range_h[hap], -1).astype(np.int64)
+        i0 = np.searchsorted(tstart, ts, side="right") - 1
+        i1 = np.searchsorted(tstart, np.maximum(te - 1, ts),
+                             side="right") - 1
+        span = i1 - i0 + 1
+        ok = al & (ridx >= 0) & (te > ts)
+        short = ok & (span <= self._L_INT)
+        dup = tables.hap_dup[hap]
+        long_ok = ok & (span > self._L_INT) & ~dup
+        resid = ok & (span > self._L_INT) & dup
+
+        # host per-read rows (identical content to the codes path's
+        # device-narrowed columns)
+        if self._int_reads is None:
+            self._int_reads = {"mapq": [], "aligned": [], "ridx": [],
+                               "read_len": [], "ts": [], "te": []}
+            self._int_ids = [] if ids is not None else None
+        self._int_reads["mapq"].append(mapq)
+        self._int_reads["aligned"].append(al)
+        self._int_reads["ridx"].append(ridx)
+        self._int_reads["read_len"].append(read_len)
+        self._int_reads["ts"].append(ts)
+        self._int_reads["te"].append(te)
+        if ids is not None and self._int_ids is not None:
+            self._int_ids.extend(ids)
+
+        if resid.any():
+            upd = host_residual_updates(
+                index, tables, ts[resid], te[resid], ridx[resid]
+            )
+            self.acc_b, self.acc_d, self.acc_t = apply_residual(
+                (self.acc_b, self.acc_d, self.acc_t), tables, upd
+            )
+            self._n_int_residual += int(resid.sum())
+
+        def chunks(sel):
+            rows = np.flatnonzero(sel)
+            for lo in range(0, len(rows), batch):
+                r = rows[lo:lo + batch]
+                c_ts = np.zeros(batch, np.int32)
+                c_te = np.zeros(batch, np.int32)
+                c_live = np.zeros(batch, bool)
+                c_ts[: len(r)] = ts[r]
+                c_te[: len(r)] = te[r]
+                c_live[: len(r)] = True
+                yield (aligner._shard_reads(c_ts),
+                       aligner._shard_reads(c_te),
+                       aligner._shard_reads(c_live))
+
+        for c_ts, c_te, c_live in chunks(short):
+            out = _interval_window_step(
+                aligner.tstart_d, aligner.tnode_d,
+                tables.hap_offsets_d, tables.hap_range_d, tables.pos_lo_d,
+                tables.trio_seg_d,
+                tables.nodes_len_d, tables.base_offset_d,
+                tables.trio_hash_d, tables.trio_order_d, tables.trio_abc_d,
+                tables.trio_bucket_d,
+                c_ts, c_te, c_live,
+                self.acc_b, self.acc_d, self.acc_t,
+                win_shift=tables.win_shift, pos_steps=tables.pos_steps,
+                L_cap=self._L_INT,
+                num_nodes=tables.N_pad, total_bases=tables.TB_pad,
+                num_trios=tables.U_pad,
+                trio_bits=tables.trio_bits, trio_steps=tables.trio_steps,
+                trio_probes=tables.trio_probes, has_dups=tables.has_dups,
+            )
+            self.acc_b, self.acc_d, self.acc_t = out
+
+        if long_ok.any() and self._acc_sn is None:
+            M = len(tstart)
+            self._acc_sn = _put_repl(np.zeros(M + 1, np.int32), tables.mesh)
+            self._acc_st = _put_repl(np.zeros(M + 1, np.int32), tables.mesh)
+        for c_ts, c_te, c_live in chunks(long_ok):
+            out = _interval_range_step(
+                aligner.tstart_d, aligner.tnode_d, tables.pos_lo_d,
+                tables.trio_seg_d,
+                tables.nodes_len_d, tables.base_offset_d,
+                c_ts, c_te, c_live,
+                self.acc_b, self.acc_d, self.acc_t,
+                self._acc_sn, self._acc_st,
+                win_shift=tables.win_shift, pos_steps=tables.pos_steps,
+                total_bases=tables.TB_pad,
+            )
+            (self.acc_b, self.acc_d, self.acc_t,
+             self._acc_sn, self._acc_st) = out
+
     def _apply_overflow_residual(self) -> int:
         """Host-compute the coverage contributions of reads that overflowed
         the L_cap node window and scatter-add them into the accumulators.
@@ -1013,6 +1311,21 @@ class FusedPipeline:
                 "fused: %d reads span more nodes than the L_cap=%d window; "
                 "host residual coverage applied", n_res, self.L_cap,
             )
+        if self._n_int_residual:
+            log.info(
+                "fused intervals: %d reads on node-revisiting haplotypes "
+                "took the host residual path", self._n_int_residual,
+            )
+        if self._acc_sn is not None:
+            # fold the long-read segment-depth diffs into the accumulators
+            self.acc_b, self.acc_d, self.acc_t = _expand_ranges(
+                self.acc_b, self.acc_d, self.acc_t,
+                self._acc_sn, self._acc_st,
+                self.aligner.tnode_d, tables.nodes_len_d,
+                tables.base_offset_d, tables.trio_seg_d,
+                total_bases=tables.TB_pad,
+            )
+            self._acc_sn = self._acc_st = None
         if process_reduce is not None:
             merged = process_reduce((self.acc_b, self.acc_d, self.acc_t))
             self.acc_b, self.acc_d, self.acc_t = (
@@ -1063,6 +1376,21 @@ class FusedPipeline:
                 [lens for _, _, lens, _, _ in self._per_read]
             )
             self._per_read = []  # drop any remaining device interval refs
+        if self._int_reads is not None:
+            # interval-fed rows (host-computed columns) follow codes rows
+            for k in ("mapq", "aligned", "ridx", "read_len"):
+                reads[k] = np.concatenate(
+                    [reads[k]] + self._int_reads[k]
+                ) if len(reads[k]) else np.concatenate(self._int_reads[k])
+            if self.prefetch_spans:
+                for k in ("ts", "te"):
+                    reads[k] = np.concatenate(
+                        [reads[k]] + self._int_reads[k]
+                    ) if len(reads[k]) else np.concatenate(
+                        self._int_reads[k]
+                    )
+            if self._int_ids is not None:
+                ids_all = (ids_all or []) + self._int_ids
         reads["ids"] = ids_all
         return FusedResult(na, ta, bc, reads, ov)
 

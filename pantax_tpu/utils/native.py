@@ -61,8 +61,39 @@ def load_native() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
         ]
+        lib.pack_codes2_native.restype = ctypes.c_longlong
+        lib.pack_codes2_native.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_longlong,
+        ]
         _lib = lib
         return _lib
+
+
+def pack_codes2_native(codes: np.ndarray, lens: np.ndarray, cap: int):
+    """Native 2-bit wire pack (aligner.pack_codes2 parity).
+
+    Returns (packed uint8 [B, ceil(L/4)], exc int32 [cap]), None when the
+    library is unavailable, or False when the batch exceeds ``cap``
+    exceptions (caller falls back to the 4-bit pack)."""
+    lib = load_native()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    B, L = codes.shape
+    packed = np.empty((B, (L + 3) // 4), dtype=np.uint8)
+    exc = np.empty(cap, dtype=np.int32)
+    n = lib.pack_codes2_native(
+        codes.ctypes.data_as(ctypes.c_void_p), B, L,
+        lens.ctypes.data_as(ctypes.c_void_p),
+        packed.ctypes.data_as(ctypes.c_void_p),
+        exc.ctypes.data_as(ctypes.c_void_p), cap,
+    )
+    if n < 0:
+        return False
+    return packed, exc
 
 
 def fastx_parse_native(data: bytes):

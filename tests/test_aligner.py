@@ -514,3 +514,43 @@ def test_device_revcomp_matches_host():
         exp = np.where(fwd[::-1] < 4, 3 - fwd[::-1], 4).astype(np.int8)
         assert np.array_equal(out[i, : lens[i]], exp)
         assert (out[i, lens[i]:] == 4).all()
+
+
+def test_native_pack_codes2_matches_numpy():
+    """The C++ 2-bit wire pack is bit-identical to the NumPy oracle
+    (packed bytes, exception positions in scan order, sentinel padding,
+    and the overflow fallback)."""
+    import pytest
+
+    from pantax_tpu.utils.native import pack_codes2_native
+
+    if pack_codes2_native(np.zeros((1, 4), np.int8),
+                          np.zeros(1, np.int64), 4) is None:
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(0)
+    for B, L in ((9, 150), (7, 151), (4, 96), (3, 7)):
+        codes = rng.integers(0, 5, size=(B, L)).astype(np.int8)
+        lens = rng.integers(0, L + 1, size=B).astype(np.int64)
+        cols = np.arange(L)[None, :]
+        rows_m, cols_m = np.nonzero(
+            (codes >= 4) & (cols < lens.reshape(B, 1))
+        )
+        cap = 512
+        c = codes
+        if L % 4:
+            c = np.pad(c, ((0, 0), (0, 4 - L % 4)), constant_values=0)
+        Lp = c.shape[1]
+        cc = c.astype(np.uint8) & 3
+        ref_packed = (cc[:, 0::4] | (cc[:, 1::4] << 2)
+                      | (cc[:, 2::4] << 4) | (cc[:, 3::4] << 6))
+        ref_exc = np.full(cap, B * Lp, np.int32)
+        ref_exc[: len(rows_m)] = rows_m * Lp + cols_m
+        p, e = pack_codes2_native(codes, lens, cap)
+        assert np.array_equal(p, ref_packed), (B, L)
+        assert np.array_equal(e, ref_exc), (B, L)
+        # overflow -> False (pack_codes2 then takes the 4-bit fallback)
+        codes_n = np.full((B, L), 4, np.int8)
+        assert pack_codes2_native(
+            codes_n, np.full(B, L, np.int64), 2
+        ) is False

@@ -410,6 +410,117 @@ def test_fused_pipeline_mesh_bit_parity(db, index, tmp_path):
                             shallow=False), name
 
 
+def test_feed_intervals_matches_fastpath(db, index, aligner, tmp_path):
+    """Long-read interval feeds (windowed short spans + the segment-range
+    decomposition for long spans) produce the same coverage and the same
+    species/strain tables as the host per-species flow over identical
+    intervals."""
+    from pantax_tpu.fastpath import AlignmentArrays, profile_from_alignments
+    from pantax_tpu.graph.trio import build_trio_index
+    from pantax_tpu.ops.fused import (
+        FusedPipeline, build_fused_tables, profile_from_fused_result,
+    )
+    from pantax_tpu.profile.coverage import PackedReads, node_abundances_packed
+
+    rng = np.random.default_rng(7)
+    H = len(index.hap_names)
+    hap_off = index.hap_offsets
+    n = 1200
+    hap = rng.integers(0, H, size=n)
+    hap_len = (np.diff(hap_off) - 8)[hap]
+    # mixed spans: mostly long (up to 60kb), some short (<= ~200bp)
+    want = np.where(rng.random(n) < 0.3,
+                    rng.integers(60, 200, size=n),
+                    rng.integers(2000, 60000, size=n))
+    length = np.minimum(want, np.maximum(hap_len - 2, 50))
+    starts = hap_off[hap] + rng.integers(
+        0, np.maximum(hap_len - length, 1)
+    )
+    arrays = AlignmentArrays(
+        read_ids=[f"L{i}" for i in range(n)],
+        ts=starts.astype(np.int64),
+        te=(starts + length).astype(np.int64),
+        mapq=rng.integers(30, 61, size=n).astype(np.int64),
+        read_len=length.astype(np.int64),
+    )
+
+    cfg = ProfilingConfig.for_read_type("long")
+    out_fast = tmp_path / "fast"
+    profile_from_alignments(arrays, index, db, cfg, out_fast)
+
+    tables = build_fused_tables(db, index)
+    pipe = FusedPipeline(aligner, tables, batch=512)
+    pipe.feed_intervals(arrays.ts, arrays.te, arrays.mapq, arrays.read_len,
+                        ids=arrays.read_ids)
+    result = pipe.finish()
+    out_fused = tmp_path / "fused"
+    profile_from_fused_result(result, tables, index, db, cfg, out_fused)
+
+    # coverage parity per species against the host oracle
+    i0 = np.searchsorted(index.tstart, arrays.ts, side="right") - 1
+    i1 = np.searchsorted(index.tstart, np.maximum(arrays.te - 1, arrays.ts),
+                         side="right") - 1
+    spans = i1 - i0 + 1
+    assert (spans > 8).any() and (spans <= 8).any(), (
+        "fixture must exercise both the windowed and the range paths"
+    )
+    for sp in tables.species:
+        r = sp.range_
+        hap_idx = np.searchsorted(index.hap_offsets, arrays.ts,
+                                  side="right") - 1
+        sel = np.array([index.hap_species[h] == r.species for h in hap_idx])
+        if not sel.any():
+            continue
+        s0, s1 = i0[sel], i1[sel]
+        span = s1 - s0 + 1
+        Lw = int(span.max())
+        nodes = np.full((len(s0), Lw), -1, dtype=np.int64)
+        cols = np.arange(Lw)
+        take = np.clip(s0[:, None] + cols[None, :], 0, len(index.tnode) - 1)
+        valid = cols[None, :] < span[:, None]
+        nodes[valid] = (index.tnode[take] - r.start)[valid]
+        rs = (arrays.ts[sel] - index.tstart[s0]).astype(np.int64)
+        packed = PackedReads(
+            nodes=nodes, lengths=span.astype(np.int64), read_start=rs,
+            read_end=rs + (arrays.te[sel] - arrays.ts[sel]).astype(np.int64),
+        )
+        ti = build_trio_index(sp.nodes_len, sp.paths)
+        na, ta, bc = node_abundances_packed(packed, sp.nodes_len, ti)
+        np.testing.assert_allclose(
+            np.asarray(result.na_d)[sp.off:sp.off + sp.num_nodes], na,
+            rtol=1e-5, err_msg=f"node abundance {r.species}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(result.bc_d)[sp.off:sp.off + sp.num_nodes], bc,
+            err_msg=f"base cov {r.species}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(result.ta_d)[sp.trio_lo:sp.trio_hi], ta,
+            rtol=1e-5, err_msg=f"trio abundance {r.species}",
+        )
+
+    # table parity (strain tables to f32 tolerance, species byte-identical)
+    import filecmp as _filecmp
+
+    assert _filecmp.cmp(out_fast / "species_abundance.txt",
+                        out_fused / "species_abundance.txt", shallow=False)
+    for name in ("strain_abundance.txt", "ori_strain_abundance.txt"):
+        a = (out_fast / name).read_text().splitlines()
+        b = (out_fused / name).read_text().splitlines()
+        assert len(a) == len(b) and a[0] == b[0], name
+        for ra, rb in zip(a[1:], b[1:]):
+            ca, cb = ra.split("\t"), rb.split("\t")
+            assert ca[:3] == cb[:3], (name, ra, rb)
+            for x, y in zip(ca[3:], cb[3:]):
+                if x == "" or y == "":
+                    assert x == y, (name, ra, rb)
+                else:
+                    np.testing.assert_allclose(
+                        float(x), float(y), rtol=1e-5, atol=1e-8,
+                        err_msg=f"{name}: {ra} vs {rb}",
+                    )
+
+
 def test_fused_profile_matches_fastpath(db, index, aligner, tmp_path):
     """profile_fused writes byte-identical abundance tables to the
     per-species fastpath flow on the same reads."""
