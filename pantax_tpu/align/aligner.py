@@ -916,71 +916,27 @@ class Aligner:
         """codes int8 [B, Lr] padded with 4; lens int32 [B]."""
         return self.collect(self.dispatch_codes(codes, lens))
 
-    @staticmethod
-    def _parse_file(path):
-        """Whole-file native parse -> (codes_flat, offsets, ids) or None."""
-        import gzip as _gzip
-
-        from ..utils.native import fastx_parse_native
-
-        with open(path, "rb") as f:
-            raw = f.read()
-        if raw[:2] == b"\x1f\x8b":
-            raw = _gzip.decompress(raw)
-        return fastx_parse_native(raw)
-
     def align_paired_files(
-        self, path1, path2=None, batch_size: int = 4096
+        self, path1, path2=None, batch_size: int = 4096,
+        chunk_bytes: int = 64 << 20,
     ) -> list[GafRecord]:
         """Fragment-model alignment of mate pairs: two files (R1/R2, paired
         by order) or one interleaved file (path2=None) — the reference's
         ShortReadPaired / ShortReadPairedInter modes (types.rs:34-48,
-        alignment.rs:14-119)."""
-        parsed1 = self._parse_file(path1)
-        if parsed1 is None:
-            raise ValueError(f"{path1}: native parser unavailable for paired mode")
-        if path2 is not None:
-            parsed2 = self._parse_file(path2)
-            cf1, of1, ids1 = parsed1
-            cf2, of2, ids2 = parsed2
-            if len(ids1) != len(ids2):
-                raise ValueError(
-                    f"paired files differ in read count: {len(ids1)} vs {len(ids2)}"
-                )
-        else:  # interleaved
-            cf, of, ids = parsed1
-            if len(ids) % 2:
-                raise ValueError(f"{path1}: odd read count in interleaved paired file")
-            l_all = np.diff(of)
-            idx1 = np.arange(0, len(ids), 2)
-            idx2 = idx1 + 1
+        alignment.rs:14-119).
 
-            def split(idxs):
-                lens = l_all[idxs]
-                offsets = np.zeros(len(idxs) + 1, dtype=of.dtype)
-                np.cumsum(lens, out=offsets[1:])
-                flat = np.concatenate(
-                    [cf[of[i] : of[i] + l_all[i]] for i in idxs]
-                ) if len(idxs) else cf[:0]
-                return flat, offsets, [ids[i] for i in idxs]
+        Streams both inputs in ~chunk_bytes record-aligned buffers (the
+        same bounded-memory policy as align_file): a 10M-pair run never
+        holds whole files or their parsed records in RAM.  Interleaved
+        chunks may end on an odd record; the dangling mate is carried into
+        the next chunk."""
+        from ..io.fastx import stream_fastx_buffers
+        from ..utils.native import fastx_parse_native, load_native
 
-            cf1, of1, ids1 = split(idx1)
-            cf2, of2, ids2 = split(idx2)
-        l1_all = np.diff(of1)
-        l2_all = np.diff(of2)
-        n = len(ids1)
-        if n == 0:
-            return []
-        pad_len = _round_up(int(max(l1_all.max(), l2_all.max())))
-
-        def batch_of(cf, of_, l_all, lo, hi):
-            codes = np.full((batch_size, pad_len), 4, dtype=np.int8)
-            lens = np.zeros(batch_size, dtype=np.int64)
-            for i in range(lo, hi):
-                L = int(l_all[i])
-                codes[i - lo, :L] = cf[of_[i] : of_[i] + L]
-                lens[i - lo] = L
-            return codes, lens
+        if load_native() is None:
+            raise ValueError(
+                f"{path1}: paired mode needs the native parser"
+            )
 
         from ..utils import pipeline_depth
 
@@ -989,22 +945,92 @@ class Aligner:
         out: list[GafRecord] = []
 
         def drain(entry):
-            lo, hi, lens1, lens2, dev = entry
+            b_ids1, b_ids2, lens1, lens2, dev = entry
             res1, res2 = self.collect_pair(dev)
-            chunk1 = [(ids1[i], None) for i in range(lo, hi)]
-            chunk2 = [(ids2[i], None) for i in range(lo, hi)]
-            out.extend(self._emit_gaf_lens(chunk1, lens1, res1))
-            out.extend(self._emit_gaf_lens(chunk2, lens2, res2))
+            out.extend(self._emit_gaf_lens(
+                [(rid, None) for rid in b_ids1], lens1, res1))
+            out.extend(self._emit_gaf_lens(
+                [(rid, None) for rid in b_ids2], lens2, res2))
 
-        for lo in range(0, n, batch_size):
-            hi = min(lo + batch_size, n)
-            c1, len1 = batch_of(cf1, of1, l1_all, lo, hi)
-            c2, len2 = batch_of(cf2, of2, l2_all, lo, hi)
-            pending.append(
-                (lo, hi, len1, len2, self.dispatch_paired_codes(c1, len1, c2, len2))
-            )
-            if len(pending) >= depth:
-                drain(pending.pop(0))
+        def matrix(cf, of_, lo, hi, pad):
+            lens = np.diff(of_[lo:hi + 1])
+            codes = np.full((batch_size, pad), 4, dtype=np.int8)
+            mask = np.arange(pad)[None, :] < lens[:, None]
+            codes[:len(lens)][mask] = cf[of_[lo]:of_[hi]]
+            lens_p = np.zeros(batch_size, dtype=np.int64)
+            lens_p[: len(lens)] = lens
+            return codes, lens_p
+
+        def feed_chunk(cf1, of1, ids1, cf2, of2, ids2):
+            n = len(ids1)
+            if n == 0:
+                return
+            pad = _round_up(int(max(np.diff(of1).max(), np.diff(of2).max())))
+            for lo in range(0, n, batch_size):
+                hi = min(lo + batch_size, n)
+                c1, len1 = matrix(cf1, of1, lo, hi, pad)
+                c2, len2 = matrix(cf2, of2, lo, hi, pad)
+                pending.append((
+                    ids1[lo:hi], ids2[lo:hi], len1, len2,
+                    self.dispatch_paired_codes(c1, len1, c2, len2),
+                ))
+                if len(pending) >= depth:
+                    drain(pending.pop(0))
+
+        def parse(path, buf):
+            parsed = fastx_parse_native(buf)
+            if parsed is None:
+                raise ValueError(f"{path}: unparseable FASTA/FASTQ chunk")
+            return parsed
+
+        if path2 is not None:
+            n1 = n2 = 0
+            for buf1, buf2 in zip(stream_fastx_buffers(path1, chunk_bytes),
+                                  stream_fastx_buffers(path2, chunk_bytes)):
+                cf1, of1, ids1 = parse(path1, buf1)
+                cf2, of2, ids2 = parse(path2, buf2)
+                if len(ids1) != len(ids2):
+                    raise ValueError(
+                        "paired files desynchronized (unequal chunk read "
+                        f"counts {len(ids1)} vs {len(ids2)}); mates must "
+                        "pair by order"
+                    )
+                n1 += len(ids1)
+                n2 += len(ids2)
+                feed_chunk(cf1, of1, ids1, cf2, of2, ids2)
+        else:  # interleaved: split even/odd, carry a dangling mate
+            left: tuple | None = None
+            for buf in stream_fastx_buffers(path1, chunk_bytes):
+                cf, of, ids = parse(path1, buf)
+                if left is not None:
+                    lcf, lid = left
+                    cf = np.concatenate([lcf, cf])
+                    of = np.concatenate([of[:1], of[1:] + len(lcf)])
+                    of = np.insert(of, 1, len(lcf))
+                    ids = [lid] + ids
+                    left = None
+                if len(ids) % 2:
+                    last = len(of) - 2
+                    left = (cf[of[last]:of[last + 1]].copy(), ids[-1])
+                    cf, of, ids = cf[: of[last]], of[: last + 1], ids[:-1]
+                l_all = np.diff(of)
+                idx1 = np.arange(0, len(ids), 2)
+                idx2 = idx1 + 1
+
+                def split(idxs):
+                    lens = l_all[idxs]
+                    offsets = np.zeros(len(idxs) + 1, dtype=of.dtype)
+                    np.cumsum(lens, out=offsets[1:])
+                    flat = np.concatenate(
+                        [cf[of[i]: of[i] + l_all[i]] for i in idxs]
+                    ) if len(idxs) else cf[:0]
+                    return flat, offsets, [ids[i] for i in idxs]
+
+                feed_chunk(*split(idx1), *split(idx2))
+            if left is not None:
+                raise ValueError(
+                    f"{path1}: odd read count in interleaved paired file"
+                )
         for entry in pending:
             drain(entry)
         return out
@@ -1114,7 +1140,6 @@ class Aligner:
         for j, (read_id, seq) in enumerate(chunk):
             if not res.aligned[j]:
                 continue
-            nodes = idx.path_nodes(int(i0[j]), int(i1[j]))
             span = int(te[j] - ts[j])
             path_len = int(idx.tlen[int(i0[j]) : int(i1[j]) + 1].sum())
             rl = len(seq)
@@ -1125,7 +1150,7 @@ class Aligner:
                     query_start=0,
                     query_end=rl,
                     strand="+" if res.strand[j] == 0 else "-",
-                    path="".join(f">{n}" for n in nodes),
+                    path=idx.path_str(int(i0[j]), int(i1[j])),
                     path_len=path_len,
                     path_start=int(off[j]),
                     path_end=int(off[j]) + span,

@@ -36,7 +36,7 @@ class StaleIndexError(RuntimeError):
 
 INDEX_FILE = "align_index.npz"
 # bump whenever the on-disk layout changes; stale caches are rebuilt
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3
 
 
 @dataclass
@@ -52,6 +52,10 @@ class AlignIndex:
     tlen: np.ndarray
     k: int
     density_bits: int
+    # per-segment walk-step strand (1 = reverse-oriented step of an imported
+    # bidirected graph); None when every step is forward (native chunk /
+    # anchor-partition graphs) — GAF emission then prints all '>'
+    tstrand: np.ndarray | None = None
 
     @property
     def text_len(self) -> int:
@@ -73,6 +77,19 @@ class AlignIndex:
     def path_nodes(self, i0: int, i1: int) -> np.ndarray:
         return self.tnode[i0 : i1 + 1]
 
+    def path_str(self, i0: int, i1: int) -> str:
+        """GAF path string for segments [i0, i1]: orientation-faithful —
+        reverse-oriented walk steps of an imported bidirected graph emit
+        '<' (GAF spec; the reference consumes orientations via regex node
+        extraction, rcls.rs:119-146, so both characters must round-trip)."""
+        nodes = self.tnode[i0 : i1 + 1]
+        if self.tstrand is None:
+            return "".join(f">{n}" for n in nodes)
+        strands = self.tstrand[i0 : i1 + 1]
+        return "".join(
+            f"{'<' if s else '>'}{n}" for n, s in zip(nodes, strands)
+        )
+
     # ---- serialization ----------------------------------------------------
     def save(self, path: str | os.PathLike) -> None:
         np.savez_compressed(
@@ -86,6 +103,8 @@ class AlignIndex:
             tstart=self.tstart,
             tnode=self.tnode,
             tlen=self.tlen,
+            tstrand=(self.tstrand if self.tstrand is not None
+                     else np.zeros(0, dtype=np.int8)),
             params=np.array(
                 [self.k, self.density_bits, FORMAT_VERSION], dtype=np.int64
             ),
@@ -110,6 +129,8 @@ class AlignIndex:
                 tstart=z["tstart"],
                 tnode=z["tnode"],
                 tlen=z["tlen"],
+                tstrand=(z["tstrand"] if "tstrand" in z and len(z["tstrand"])
+                         else None),
                 k=int(z["params"][0]),
                 density_bits=int(z["params"][1]),
             )
@@ -141,6 +162,7 @@ def build_align_index(
     tstart_parts: list[np.ndarray] = []
     tnode_parts: list[np.ndarray] = []
     tlen_parts: list[np.ndarray] = []
+    tstrand_parts: list[np.ndarray] = []
     offset = 0
     for r in ranges:
         graph = db.load_graph(r.species)
@@ -153,6 +175,7 @@ def build_align_index(
             tstart_parts.append(node_starts)
             tnode_parts.append(global_nodes)
             tlen_parts.append(graph.nodes_len[graph.path(hi)].astype(np.int32))
+            tstrand_parts.append(graph.path_strand(hi).astype(np.int8))
             offset += len(seq_codes) + 1
             hap_offsets.append(offset)
             hap_names.append(name)
@@ -168,6 +191,9 @@ def build_align_index(
     tstart = np.concatenate(tstart_parts)
     tnode = np.concatenate(tnode_parts)
     tlen = np.concatenate(tlen_parts)
+    tstrand = np.concatenate(tstrand_parts) if tstrand_parts else None
+    if tstrand is not None and not tstrand.any():
+        tstrand = None  # all-forward: store nothing, emit all '>'
 
     native = None
     try:
@@ -203,6 +229,7 @@ def build_align_index(
         tstart=tstart,
         tnode=tnode,
         tlen=tlen,
+        tstrand=tstrand,
         k=k,
         density_bits=density_bits,
     )

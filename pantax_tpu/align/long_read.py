@@ -383,7 +383,6 @@ def align_long_reads(
     i0, i1, off = idx.project(mts[e_sel], mte[e_sel])
     for j, ri in enumerate(e_sel):
         read_id, seq = reads[ri]
-        nodes = idx.path_nodes(int(i0[j]), int(i1[j]))
         path_len = int(idx.tlen[int(i0[j]) : int(i1[j]) + 1].sum())
         span = int(mte[ri] - mts[ri])
         if strong[ri]:
@@ -398,7 +397,7 @@ def align_long_reads(
                 query_start=q_start,
                 query_end=q_end,
                 strand="+" if win_key[ri] % 2 == 0 else "-",
-                path="".join(f">{nd}" for nd in nodes),
+                path=idx.path_str(int(i0[j]), int(i1[j])),
                 path_len=path_len,
                 path_start=int(off[j]),
                 path_end=int(off[j]) + span,

@@ -235,3 +235,120 @@ def hierarchical_cluster(
         reps.append(rep)
         rep_to_cluster[rep] = [paths[i] for i in idxs if i != rep_i]
     return reps, rep_to_cluster
+
+
+# ---------------------------------------------------------------------------
+# metadata genome resolution (genomes_process.py:106-182,266-325: resolve
+# local genome files + taxonomy from an NCBI assembly_summary or a GTDB
+# metadata table — the pantax-rg "-r" / "--db gtdb" modes)
+# ---------------------------------------------------------------------------
+def _find_genome_file(genomes_dir, name: str) -> str | None:
+    """<genomes_dir>/<name> or its .gz (genomes_process.py:130-136)."""
+    import os
+
+    p = os.path.join(os.fspath(genomes_dir), name)
+    if os.path.exists(p):
+        return p
+    if os.path.exists(p + ".gz"):
+        return p + ".gz"
+    return None
+
+
+def _norm_level(genome_assembly_lvl: str) -> str:
+    if "complete" in genome_assembly_lvl.lower():
+        return "Complete Genome"
+    return genome_assembly_lvl
+
+
+def resolve_genomes_ncbi(
+    summary_file, genomes_dir,
+    assembly_level: str = "complete",
+    species_filter: list[str] | None = None,
+):
+    """Resolve genomes + taxonomy from an NCBI ``assembly_summary`` table.
+
+    Keeps rows whose assembly_level (col 12) matches (or 'all'), whose
+    genome file ``basename(ftp_path)_genomic.fna[.gz]`` exists under
+    ``genomes_dir``, and (optionally) whose species_taxid (col 7) is in
+    ``species_filter``.  Emits GenomeInfo rows with strain_taxid = taxid
+    (col 6), species_taxid (col 7), organism_name (col 8)
+    (genomes_process.py:151-180,305-318)."""
+    import os
+
+    from ..io.metadata import GenomeInfo
+
+    lvl = _norm_level(assembly_level)
+    wanted = set(species_filter) if species_filter else None
+    infos: list[GenomeInfo] = []
+    with open(summary_file) as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            t = line.rstrip("\n").split("\t")
+            if len(t) < 20:
+                continue
+            if lvl != "all" and t[11] != lvl:
+                continue
+            if wanted is not None and t[6] not in wanted:
+                continue
+            stem = os.path.basename(t[19])
+            path = _find_genome_file(genomes_dir, stem + "_genomic.fna")
+            if path is None:
+                log.warning("%s_genomic.fna(.gz) not in %s", stem, genomes_dir)
+                continue
+            infos.append(GenomeInfo(
+                genome_id=stem, strain_taxid=t[5], species_taxid=t[6],
+                organism_name=t[7], path=path,
+            ))
+    return infos
+
+
+def resolve_genomes_gtdb(
+    metadata_file, genomes_dir,
+    assembly_level: str = "complete",
+    species_filter: list[str] | None = None,
+):
+    """Resolve genomes + taxonomy from a GTDB metadata table.
+
+    Keeps rows whose ncbi_assembly_level (col 49) matches (or 'all') and
+    whose genome file ``<accession>_<ncbi_assembly_name>_genomic.fna[.gz]``
+    exists under ``genomes_dir``; ``species_filter`` matches the GTDB
+    species name (s__... with spaces or underscores).  strain_taxid is a
+    synthetic counter from 5000001 (GTDB has no NCBI strain taxids);
+    species_taxid is the underscored GTDB species name
+    (genomes_process.py:116-149,283-304 + the pantax-rg awk underscore
+    normalization)."""
+    from ..io.metadata import GenomeInfo
+
+    lvl = _norm_level(assembly_level)
+    wanted = (
+        {s.replace(" ", "_") for s in species_filter}
+        if species_filter else None
+    )
+    infos: list[GenomeInfo] = []
+    count = 5_000_000
+    with open(metadata_file) as f:
+        next(f)
+        for line in f:
+            t = line.rstrip("\n").split("\t")
+            if len(t) < 66:
+                continue
+            if lvl != "all" and t[48] != lvl:
+                continue
+            tax = t[19].strip().split(";")[-1]
+            if not tax.startswith("s__"):
+                continue
+            species = tax[3:].replace(" ", "_")
+            if wanted is not None and species not in wanted:
+                continue
+            accession = t[0].strip().split("_", 1)[1]
+            name = f"{accession}_{t[49]}_genomic.fna"
+            path = _find_genome_file(genomes_dir, name)
+            if path is None:
+                continue
+            count += 1
+            infos.append(GenomeInfo(
+                genome_id=accession, strain_taxid=str(count),
+                species_taxid=species, organism_name=t[65], path=path,
+            ))
+    return infos

@@ -65,8 +65,27 @@ def main(argv: list[str] | None = None) -> int:
         prog="pantax-tpu-rg",
         description="curate a reference-genome set into genomes_info.txt",
     )
-    p.add_argument("-c", "--custom", required=True,
-                   help="input genomes_info.txt (5 tab columns with header)")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("-c", "--custom",
+                     help="input genomes_info.txt (5 tab columns with header)")
+    src.add_argument("-r", "--genomes-dir",
+                     help="directory of local genome FASTAs; taxonomy is "
+                          "resolved from --summary (NCBI assembly_summary) "
+                          "or --gtdb (GTDB metadata) — the pantax-rg "
+                          "RefSeq/GTDB modes (pantax-rg:184-254)")
+    p.add_argument("--summary", default=None,
+                   help="NCBI assembly_summary.txt (strain/species taxids, "
+                        "organism name, ftp-path-derived file names)")
+    p.add_argument("--gtdb", default=None,
+                   help="GTDB metadata TSV (gtdb_taxonomy species names; "
+                        "strain taxids are synthesized from 5000001)")
+    p.add_argument("--assembly-level", default="complete",
+                   help="'complete' (default) or 'all' or an exact NCBI "
+                        "assembly_level value")
+    p.add_argument("--ds", "--species-clusters", dest="species_clusters",
+                   default=None,
+                   help="comma-separated species filter (NCBI species "
+                        "taxids, or GTDB species names)")
     p.add_argument("-o", "--out", default="genomes_info.txt")
     p.add_argument("--cluster", choices=["graph", "hcls", "none"], default="graph")
     p.add_argument("--base-dir", default=None)
@@ -82,7 +101,28 @@ def main(argv: list[str] | None = None) -> int:
     logging.basicConfig(level=logging.INFO, stream=sys.stderr,
                         format="%(asctime)s [%(levelname)s] %(message)s")
 
-    infos = read_genomes_info(args.custom)
+    if args.custom:
+        infos = read_genomes_info(args.custom)
+    else:
+        from .preprocess import resolve_genomes_gtdb, resolve_genomes_ncbi
+
+        species = (
+            [s.strip() for s in args.species_clusters.split(",") if s.strip()]
+            if args.species_clusters else None
+        )
+        if args.gtdb:
+            infos = resolve_genomes_gtdb(
+                args.gtdb, args.genomes_dir,
+                assembly_level=args.assembly_level, species_filter=species,
+            )
+        elif args.summary:
+            infos = resolve_genomes_ncbi(
+                args.summary, args.genomes_dir,
+                assembly_level=args.assembly_level, species_filter=species,
+            )
+        else:
+            p.error("-r/--genomes-dir requires --summary or --gtdb")
+        log.info("resolved %d genomes from %s", len(infos), args.genomes_dir)
     base_dir = args.base_dir or str(Path.cwd())
     if args.cluster == "none":
         curated, clusters = assign_strain_taxids(infos), {}

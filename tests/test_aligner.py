@@ -554,3 +554,41 @@ def test_native_pack_codes2_matches_numpy():
         assert pack_codes2_native(
             codes_n, np.full(B, L, np.int64), 2
         ) is False
+
+
+def test_paired_streaming_chunks_match_whole_file(db, index, aligner,
+                                                  tmp_path):
+    """align_paired_files streams in bounded record-aligned buffers; tiny
+    chunk sizes (forcing many chunks, odd interleaved splits, and the
+    dangling-mate carry) emit exactly the same GAF records as one big
+    chunk, for both the two-file and interleaved modes."""
+    from pantax_tpu.sim import simulate_reads
+
+    reads = simulate_reads(db, {"GCF_002012065.1": 2, "GCF_024223415.1": 1},
+                           n_reads=601 * 2, read_len=150, seed=23)
+    r1 = tmp_path / "R1.fq"
+    r2 = tmp_path / "R2.fq"
+    inter = tmp_path / "inter.fq"
+    with open(r1, "w") as f1, open(r2, "w") as f2, open(inter, "w") as fi:
+        for i in range(0, len(reads), 2):
+            for f, r in ((f1, reads[i]), (f2, reads[i + 1])):
+                s = r.seq if isinstance(r.seq, str) else r.seq.decode()
+                rec = f"@{r.read_id}\n{s}\n+\n{'I' * len(s)}\n"
+                f.write(rec)
+                fi.write(rec)
+
+    def key(recs):
+        return sorted((g.read_id, g.path_start, g.path_end, g.mapq)
+                      for g in recs)
+
+    whole2 = aligner.align_paired_files(r1, r2, batch_size=256)
+    small2 = aligner.align_paired_files(r1, r2, batch_size=256,
+                                        chunk_bytes=40_000)
+    assert key(whole2) == key(small2)
+
+    whole1 = aligner.align_paired_files(inter, None, batch_size=256)
+    # ~40KB chunks ~ 101 records -> odd splits exercise the mate carry
+    small1 = aligner.align_paired_files(inter, None, batch_size=256,
+                                        chunk_bytes=40_000)
+    assert key(whole1) == key(small1)
+    assert key(whole1) == key(whole2)

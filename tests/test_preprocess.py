@@ -396,3 +396,143 @@ def test_bidirected_gfa_import_linearize_align(tmp_path):
     assert int(res.text_start[0]) == 380
     i0, i1, _ = index.project(res.text_start[:1], res.text_end[:1])
     np.testing.assert_array_equal(index.tnode[i0[0]: i1[0] + 1], [1, 2, 3])
+
+    # GAF emission is orientation-faithful: the reverse-oriented walk step
+    # prints '<', and the record round-trips through the GAF reader with
+    # orientations + node ids intact (GAF spec usage in rcls.rs:119-146)
+    from pantax_tpu.io.gaf import parse_gaf_line
+
+    np.testing.assert_array_equal(index.tstrand[i0[0]: i1[0] + 1], [0, 1, 0])
+    gaf = aligner.align_reads([("b1", read)])
+    assert len(gaf) == 1
+    assert gaf[0].path == ">1<2>3"
+    rt = parse_gaf_line(gaf[0].to_line())
+    assert rt.path == ">1<2>3"
+    assert rt.path_nodes() == [1, 2, 3]
+
+
+def _write_genome(path, seed=0, n=2000):
+    rng = np.random.default_rng(seed)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, size=n))
+    with open(path, "w") as f:
+        f.write(f">chr{seed}\n{seq}\n")
+
+
+def test_resolve_genomes_ncbi(tmp_path):
+    """NCBI assembly_summary resolution: assembly-level filter, missing-file
+    skip, species filter, and the 5-column taxonomy mapping
+    (genomes_process.py:151-180,305-318)."""
+    from pantax_tpu.db.preprocess import resolve_genomes_ncbi
+
+    gd = tmp_path / "genomes"
+    gd.mkdir()
+    _write_genome(gd / "GCF_000001.1_ASM1v1_genomic.fna", 1)
+    _write_genome(gd / "GCF_000002.1_ASM2v1_genomic.fna", 2)
+    # the third exists only gzipped
+    import gzip
+
+    with gzip.open(gd / "GCF_000004.1_ASM4v1_genomic.fna.gz", "wt") as f:
+        f.write(">c\nACGTACGT\n")
+
+    rows = [
+        "#comment line",
+        "\t".join(["GCF_000001.1"] + [""] * 4 + ["561", "562", "E coli X"]
+                  + [""] * 3 + ["Complete Genome"] + [""] * 7
+                  + ["ftp://x/GCF_000001.1_ASM1v1"]),
+        "\t".join(["GCF_000002.1"] + [""] * 4 + ["33", "34", "M xanthus"]
+                  + [""] * 3 + ["Complete Genome"] + [""] * 7
+                  + ["ftp://x/GCF_000002.1_ASM2v1"]),
+        # wrong assembly level -> dropped unless 'all'
+        "\t".join(["GCF_000003.1"] + [""] * 4 + ["99", "100", "Z"]
+                  + [""] * 3 + ["Scaffold"] + [""] * 7
+                  + ["ftp://x/GCF_000003.1_ASM3v1"]),
+        # gz-only file
+        "\t".join(["GCF_000004.1"] + [""] * 4 + ["41", "42", "Q"]
+                  + [""] * 3 + ["Complete Genome"] + [""] * 7
+                  + ["ftp://x/GCF_000004.1_ASM4v1"]),
+        # file missing -> skipped with warning
+        "\t".join(["GCF_000005.1"] + [""] * 4 + ["51", "52", "W"]
+                  + [""] * 3 + ["Complete Genome"] + [""] * 7
+                  + ["ftp://x/GCF_000005.1_ASM5v1"]),
+    ]
+    summary = tmp_path / "assembly_summary.txt"
+    summary.write_text("\n".join(rows) + "\n")
+
+    infos = resolve_genomes_ncbi(summary, gd)
+    assert [i.genome_id for i in infos] == [
+        "GCF_000001.1_ASM1v1", "GCF_000002.1_ASM2v1", "GCF_000004.1_ASM4v1",
+    ]
+    assert infos[0].strain_taxid == "561"
+    assert infos[0].species_taxid == "562"
+    assert infos[0].organism_name == "E coli X"
+    assert infos[2].path.endswith(".gz")
+
+    only = resolve_genomes_ncbi(summary, gd, species_filter=["34"])
+    assert [i.species_taxid for i in only] == ["34"]
+    all_lvl = resolve_genomes_ncbi(summary, gd, assembly_level="all")
+    assert len(all_lvl) == 3  # scaffold row's file still missing
+
+
+def test_resolve_genomes_gtdb(tmp_path):
+    """GTDB metadata resolution: accession+assembly-name file names,
+    underscored species names as species_taxid, synthetic strain taxids
+    from 5000001 (genomes_process.py:116-149,283-304)."""
+    from pantax_tpu.db.preprocess import resolve_genomes_gtdb
+
+    gd = tmp_path / "genomes"
+    gd.mkdir()
+    _write_genome(gd / "GCF_000001.1_ASM1v1_genomic.fna", 1)
+    _write_genome(gd / "GCA_000002.1_ASM2v1_genomic.fna", 2)
+
+    def row(acc, tax, lvl, name, org):
+        t = [""] * 70
+        t[0] = acc
+        t[19] = tax
+        t[48] = lvl
+        t[49] = name
+        t[65] = org
+        return "\t".join(t)
+
+    md = tmp_path / "gtdb_metadata.tsv"
+    md.write_text("\n".join([
+        "accession\t...header...",
+        row("RS_GCF_000001.1", "d__Bacteria;p__X;s__Escherichia coli",
+            "Complete Genome", "ASM1v1", "E. coli K12"),
+        row("GB_GCA_000002.1", "d__Bacteria;p__X;s__Myxococcus xanthus",
+            "Complete Genome", "ASM2v1", "M. xanthus DK"),
+        row("RS_GCF_000009.1", "d__Bacteria;p__X;s__Ghost species",
+            "Complete Genome", "ASM9v1", "ghost"),  # file missing
+    ]) + "\n")
+
+    infos = resolve_genomes_gtdb(md, gd)
+    assert [i.genome_id for i in infos] == ["GCF_000001.1", "GCA_000002.1"]
+    assert [i.strain_taxid for i in infos] == ["5000001", "5000002"]
+    assert infos[0].species_taxid == "Escherichia_coli"
+    assert infos[1].organism_name == "M. xanthus DK"
+
+    only = resolve_genomes_gtdb(md, gd,
+                                species_filter=["Myxococcus xanthus"])
+    assert [i.genome_id for i in only] == ["GCA_000002.1"]
+
+
+def test_rg_cli_metadata_mode(tmp_path, monkeypatch):
+    """pantax-tpu-rg -r <dir> --summary ... writes a curated genomes_info
+    with resolved taxonomy (the RefSeq mode of pantax-rg:217-243)."""
+    from pantax_tpu.db.rg import main as rg_main
+    from pantax_tpu.io.metadata import read_genomes_info
+
+    gd = tmp_path / "genomes"
+    gd.mkdir()
+    _write_genome(gd / "GCF_000001.1_ASM1v1_genomic.fna", 1)
+    summary = tmp_path / "s.txt"
+    summary.write_text("\t".join(
+        ["GCF_000001.1"] + [""] * 4 + ["561", "562", "E coli X"]
+        + [""] * 3 + ["Complete Genome"] + [""] * 7
+        + ["ftp://x/GCF_000001.1_ASM1v1"]) + "\n")
+    out = tmp_path / "gi.txt"
+    rc = rg_main(["-r", str(gd), "--summary", str(summary),
+                  "-o", str(out), "--cluster", "none"])
+    assert rc == 0
+    infos = read_genomes_info(out)
+    assert len(infos) == 1 and infos[0].species_taxid == "562"
+    assert infos[0].strain_taxid == "561"
