@@ -45,28 +45,34 @@ def main() -> None:
     (k, density_bits, bucket_bits, steps, s_max, hits, top_k, pad, match,
      mismatch, gap) = cfg[:11]
 
-    def stage_hash(packed, lens_d):
+    TABLES = (al.text_d, al.run_table_d, al.seed_pos_d, al.bucket_lo_d,
+              al.tstart_d, al.tnode_d)
+
+    def stage_hash(text_d, run_table_d, seed_pos_d, bucket_lo_d,
+                   tstart_d, tnode_d, packed, lens_d):
         codes_fwd = A._unpack_codes_j(packed)
         hashes, valid = A._kmer_hashes_j(codes_fwd, k)
         sp, sh, sv = A._select_seeds(hashes, valid, density_bits, s_max)
         return sp.sum() + sh.sum().astype(jnp.int32)
 
-    def stage_lookup(packed, lens_d):
+    def stage_lookup(text_d, run_table_d, seed_pos_d, bucket_lo_d,
+                     tstart_d, tnode_d, packed, lens_d):
         codes_fwd = A._unpack_codes_j(packed)
         hashes, valid = A._kmer_hashes_j(codes_fwd, k)
         sp, sh, sv = A._select_seeds(hashes, valid, density_bits, s_max)
         hp, hv = A._lookup_hits(
-            al.run_table_d, al.seed_pos_d, al.bucket_lo_d, bucket_bits, steps,
+            run_table_d, seed_pos_d, bucket_lo_d, bucket_bits, steps,
             sh, sv, hits,
         )
         return hp.sum() + hv.sum()
 
-    def stage_vote(packed, lens_d):
+    def stage_vote(text_d, run_table_d, seed_pos_d, bucket_lo_d,
+                   tstart_d, tnode_d, packed, lens_d):
         codes_fwd = A._unpack_codes_j(packed)
         hashes, valid = A._kmer_hashes_j(codes_fwd, k)
         sp, sh, sv = A._select_seeds(hashes, valid, density_bits, s_max)
         hp, hv = A._lookup_hits(
-            al.run_table_d, al.seed_pos_d, al.bucket_lo_d, bucket_bits, steps,
+            run_table_d, seed_pos_d, bucket_lo_d, bucket_bits, steps,
             sh, sv, hits,
         )
         B = codes_fwd.shape[0]
@@ -78,19 +84,21 @@ def main() -> None:
         cd_r, cv_r = A._vote_diagonals(d_rev, hvf, band=pad, top_k=top_k)
         return cd_f.sum() + cv_f.sum() + cd_r.sum() + cv_r.sum()
 
-    def stage_full_cand(packed, lens_d):
+    def stage_full_cand(text_d, run_table_d, seed_pos_d, bucket_lo_d,
+                        tstart_d, tnode_d, packed, lens_d):
         codes_fwd = A._unpack_codes_j(packed)
         codes_rev = A._rev_codes_j(codes_fwd, lens_d)
         out = A._all_candidates(
-            al.text_d, al.run_table_d, al.seed_pos_d, al.bucket_lo_d,
-            al.tstart_d, al.tnode_d, codes_fwd, codes_rev, lens_d, cfg,
+            text_d, run_table_d, seed_pos_d, bucket_lo_d,
+            tstart_d, tnode_d, codes_fwd, codes_rev, lens_d, cfg,
         )
         return sum(o.sum().astype(jnp.int32) for o in out[:4])
 
-    def stage_query(packed, lens_d):
+    def stage_query(text_d, run_table_d, seed_pos_d, bucket_lo_d,
+                    tstart_d, tnode_d, packed, lens_d):
         out = A._query_batch(
-            al.text_d, al.run_table_d, al.seed_pos_d, al.bucket_lo_d,
-            al.tstart_d, al.tnode_d, packed, lens_d, cfg,
+            text_d, run_table_d, seed_pos_d, bucket_lo_d,
+            tstart_d, tnode_d, packed, lens_d, cfg,
         )
         return out[2].sum()
 
@@ -104,12 +112,12 @@ def main() -> None:
     prev = 0.0
     print(f"batch={BATCH} Lr={codes.shape[1]}")
     for name, fn in stages:
-        r = fn(packed, lens_d)
+        r = fn(*TABLES, packed, lens_d)
         np.asarray(r)  # force (compile + run)
         ts = []
         for _ in range(6):
             t0 = time.time()
-            r = fn(packed, lens_d)
+            r = fn(*TABLES, packed, lens_d)
             np.asarray(r)
             ts.append(time.time() - t0)
         t = sorted(ts)[len(ts) // 2] * 1e3
