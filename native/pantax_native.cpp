@@ -228,3 +228,73 @@ long long unique_kmer_positions(
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// CHD-style displacement-hash placement of n DISTINCT uint32 keys into an
+// open table of 2^Tb slots, with per-bucket displacements (bucket = top mb
+// key bits; 2^mb buckets, ~1 key each).  Greedy per bucket: the first d
+// whose slots mix32(key ^ d*GOLD) & (T-1) are all free and pairwise
+// distinct wins.  Writes each key's slot (out_slot, int64 [n]) and the
+// displacement array (out_disp, int32 [2^mb]); returns 0, or -1 when any
+// bucket exhausts d < 2^16 (caller falls back to bisection lookup).
+// Mirrors the NumPy fallback in align/aligner.py:_build_chd (any valid
+// placement is equivalent — the device lookup only needs table/disp to be
+// mutually consistent).
+long long chd_build(
+    const uint32_t* keys, long long n, int mb, int Tb,
+    long long* out_slot, int32_t* out_disp)
+{
+    const uint32_t GOLD = 0x9E3779B9u;
+    const long long m = 1LL << mb;
+    const long long T = 1LL << Tb;
+    const uint32_t mask = (uint32_t)(T - 1);
+    const int shift = 32 - mb;
+
+    // counting sort of key indices by bucket
+    std::vector<long long> start(m + 1, 0);
+    for (long long i = 0; i < n; ++i)
+        ++start[(keys[i] >> shift) + 1];
+    for (long long b = 0; b < m; ++b) start[b + 1] += start[b];
+    std::vector<long long> korder(n);
+    {
+        std::vector<long long> cur(start.begin(), start.begin() + m);
+        for (long long i = 0; i < n; ++i)
+            korder[cur[keys[i] >> shift]++] = i;
+    }
+
+    std::vector<uint8_t> occ(T, 0);
+    uint32_t slots[64];
+    for (long long b = 0; b < m; ++b) {
+        const long long s = start[b], e = start[b + 1];
+        out_disp[b] = 0;
+        if (s == e) continue;
+        if (e - s > 64) return -1;
+        const int w = (int)(e - s);
+        bool placed = false;
+        for (uint32_t d = 1; d < (1u << 16); ++d) {
+            const uint32_t salt = GOLD * d;
+            bool ok = true;
+            for (int j = 0; j < w && ok; ++j) {
+                const uint32_t sl = mix32(keys[korder[s + j]] ^ salt) & mask;
+                if (occ[sl]) { ok = false; break; }
+                for (int j2 = 0; j2 < j; ++j2)
+                    if (slots[j2] == sl) { ok = false; break; }
+                slots[j] = sl;
+            }
+            if (ok) {
+                for (int j = 0; j < w; ++j) {
+                    occ[slots[j]] = 1;
+                    out_slot[korder[s + j]] = (long long)slots[j];
+                }
+                out_disp[b] = (int32_t)d;
+                placed = true;
+                break;
+            }
+        }
+        if (!placed) return -1;
+    }
+    return 0;
+}
+
+}  // extern "C"

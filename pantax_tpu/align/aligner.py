@@ -214,27 +214,58 @@ def _select_seeds(hashes, valid, density_bits: int, s_max: int):
     return sel_pos, sel_hash, sel_valid
 
 
+_CHD_GOLD = 0x9E3779B9  # displacement salt (build/device must agree)
+
+
 def _lookup_hits(
     run_table, seed_pos, bucket_lo, bucket_bits: int, steps: int,
     sel_hash, sel_valid, hits_per_seed: int,
 ):
     """Text positions for each read seed: [B, S, C] (+validity).
 
-    The sorted seed table is addressed at RUN granularity: run_table int32
-    [D, 3] holds one row (key, start, len) per distinct key, and bucket_lo
-    pre-resolves the hash's top bucket_bits to a run range [lo, hi).  A
-    ``steps``-deep bisection (static, = ceil(log2(max runs/bucket + 1))
-    measured at build — typically 2-4) finds the exact run.  Serial gathers
-    are the dominant kernel cost on TPU, and a deep repeat run costs nothing
-    here because it is one row regardless of length, where the previous
-    entry-granular bisection needed 10 gathers to cover max_occ-long runs.
-    Hit positions gather from seed_pos[start : start + C], masked by the
-    true run length; bisecting (rather than probing the bucket head) keeps
-    hits exact when a smaller foreign key shares the bucket."""
+    Serial (dependent) gathers are the dominant kernel cost on TPU — each
+    [B*S]-index gather round costs ~15 ms at batch 65536 regardless of row
+    width (<= 4 int32), while slice-style gathers (vmapped dynamic_slice)
+    are ~50x slower — so the lookup is engineered to a minimum count of
+    elementwise gather rounds.  Two modes, keyed by the sign of ``steps``
+    (chosen at build, build_seed_lookup):
+
+    ``steps < 0`` — CHD displacement hash (the fast path, 3 rounds):
+    run_table is a [T, 3] open slot table (key, start, len) at perfect-hash
+    positions, bucket_lo is the per-bucket displacement array disp[m], and
+    seed_pos is PRE-WIDENED to [S, C] rows (seed_pos_wide[i] = positions
+    i..i+C-1) so the C hits come from ONE row gather instead of a C*B*S
+    elementwise gather.  Chain: d = disp[hash >> (32-bucket_bits)];
+    slot = mix32(hash ^ d * GOLD) & (T-1); row = table[slot]; key equality
+    confirms membership (keys are globally unique; empty slots carry
+    len = 0 so they can never validate); positions = seed_pos_wide[start].
+
+    ``steps >= 0`` — bucketed bisection (fallback when the CHD build does
+    not converge): bucket_lo[b] pre-resolves the hash's top bucket_bits to
+    a run range [lo, hi) of the key-sorted run table; a ``steps``-deep
+    bisection finds the exact run, then positions gather elementwise from
+    the flat [S] seed_pos: 7-ish rounds (lo, hi, ``steps`` key probes, row,
+    positions)."""
     D = run_table.shape[0]
-    S_len = seed_pos.shape[0]
     shift = jnp.uint32(32 - bucket_bits)
     b = (sel_hash >> shift).astype(jnp.int32)
+    c = jnp.arange(hits_per_seed, dtype=jnp.int32)
+    if steps < 0:
+        T = D
+        S_rows = seed_pos.shape[0]
+        d = jax.lax.bitcast_convert_type(bucket_lo[b], jnp.uint32)
+        slot = (
+            _mix32_j(sel_hash ^ (d * jnp.uint32(_CHD_GOLD)))
+            & jnp.uint32(T - 1)
+        ).astype(jnp.int32)
+        row = run_table[slot]
+        key = jax.lax.bitcast_convert_type(row[..., 0], jnp.uint32)
+        ok = (key == sel_hash) & sel_valid
+        rlen = jnp.where(ok, row[..., 2], 0)
+        pos = seed_pos[jnp.clip(row[..., 1], 0, S_rows - 1)]
+        hit_valid = ok[..., None] & (c < rlen[..., None])
+        return pos, hit_valid
+    S_len = seed_pos.shape[0]
     lo = bucket_lo[b]
     hi = bucket_lo[b + 1]
     # first run index in [lo, hi) whose key >= sel_hash (uint32 order; keys
@@ -252,7 +283,6 @@ def _lookup_hits(
     row = run_table[jnp.clip(lo_s, 0, D - 1)]  # [B, S, 3]
     key_j = jax.lax.bitcast_convert_type(row[..., 0], jnp.uint32)
     found = (key_j == sel_hash) & (lo_s < hi) & sel_valid
-    c = jnp.arange(hits_per_seed, dtype=jnp.int32)
     idx = row[..., 1][..., None] + c
     pos = seed_pos[jnp.clip(idx, 0, S_len - 1)]
     hit_valid = found[..., None] & (c < row[..., 2][..., None])
@@ -706,29 +736,137 @@ def build_bucket_table(seed_keys: np.ndarray) -> tuple[int, np.ndarray]:
     return bits, lo
 
 
-def build_seed_lookup(
-    seed_keys: np.ndarray, seed_pos: np.ndarray
-) -> tuple[np.ndarray, np.ndarray, int, np.ndarray, int]:
-    """Run-granular device lookup tables from the sorted seed table:
-    (run_table int32 [D, 3] = (key, start, len) per distinct key,
-     pos int32 [S], bucket_bits, bucket_lo over runs, bisection steps).
+def _build_chd(
+    keys: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, int, int] | None:
+    """Displacement-hash (CHD-style) placement of distinct uint32 keys.
 
-    ``steps`` = ceil(log2(max runs per bucket + 1)) is the static in-bucket
-    bisection depth the device kernel needs — typically 2-4, because distinct
-    mixed hashes spread evenly over buckets, while the previous entry-granular
-    table needed 10 steps to cover max_occ-long repeat runs."""
+    Returns (slot int64 [n] — each key's unique position in a T-slot open
+    table, disp int32 [m] — per-bucket displacement, mb — bucket bits, T),
+    or None if placement does not converge (caller falls back to bisection).
+
+    Vectorized greedy rounds: every still-unplaced bucket tries the same
+    displacement d; a bucket wins the round when none of its keys lands on
+    an occupied slot or collides with ANY other key probed this round
+    (conservative: both duplicate parties retry — duplicates are rare at
+    <= 0.65 load, and d+1 decorrelates repeat offenders)."""
+    n = len(keys)
+    # ~1 key per bucket: a failed probe then retries (mostly) alone, so each
+    # round places ~(1 - load) of the pending keys and the loop converges in
+    # a few dozen geometric rounds; multi-key buckets (birthday collisions,
+    # ~20%) just need a d where all their keys place simultaneously.
+    mb = min(max(int(np.ceil(np.log2(max(n, 2)))) + 1, 1), 26)
+    m = 1 << mb
+    Tb = max(int(np.ceil(np.log2(max(n, 1) * 1.3))), 1)
+    T = 1 << Tb
+    from ..utils.native import chd_build_native
+
+    native = chd_build_native(keys.astype(np.uint32), mb, Tb)
+    if native is not None and native is not False:
+        slot, disp = native
+        return slot, disp, mb, T
+    if native is False:
+        return None
+    mask = np.uint32(T - 1)
+    from .encode import _mix32 as _mix32_np
+
+    b = (keys >> np.uint32(32 - mb)).astype(np.int64)
+    order = np.argsort(b, kind="stable")
+    keys_s = keys[order]
+    b_s = b[order]
+
+    disp = np.zeros(m, dtype=np.int32)
+    occupied = np.zeros(T, dtype=bool)
+    # last-writer claim register: every slot a round probes is written before
+    # it is read back, so stale entries from earlier rounds are never seen
+    claim = np.zeros(T, dtype=np.int64)
+    slot_s = np.full(n, -1, dtype=np.int64)
+    pend_keys = keys_s
+    pend_bucket = b_s  # stays ascending across rounds (filtered subsets)
+    pend_kidx = np.arange(n, dtype=np.int64)
+    d = 1
+    while len(pend_keys) and d < (1 << 16):
+        salt = np.uint32((_CHD_GOLD * d) & 0xFFFFFFFF)
+        slots = (_mix32_np(pend_keys ^ salt) & mask).astype(np.int64)
+        # a key fails on an occupied slot or when another key claims the
+        # same slot this round (the last writer survives the collision)
+        rid = np.arange(len(slots), dtype=np.int64)
+        claim[slots] = rid
+        bad = occupied[slots] | (claim[slots] != rid)
+        # a bucket wins only if ALL its keys placed (keys share one d)
+        seg = np.flatnonzero(
+            np.concatenate([[True], pend_bucket[1:] != pend_bucket[:-1]])
+        )
+        seg_len = np.diff(np.concatenate([seg, [len(bad)]]))
+        seg_bad = np.maximum.reduceat(bad.astype(np.int8), seg) > 0
+        win = np.repeat(~seg_bad, seg_len)
+        wslots = slots[win]
+        occupied[wslots] = True
+        slot_s[pend_kidx[win]] = wslots
+        disp[pend_bucket[seg][~seg_bad]] = d
+        keep = ~win
+        pend_keys = pend_keys[keep]
+        pend_bucket = pend_bucket[keep]
+        pend_kidx = pend_kidx[keep]
+        d += 1
+    if len(pend_keys):
+        return None
+    slot = np.empty(n, dtype=np.int64)
+    slot[order] = slot_s
+    return slot, disp, mb, T
+
+
+def build_seed_lookup(
+    seed_keys: np.ndarray, seed_pos: np.ndarray, hits_per_seed: int = 4
+) -> tuple[np.ndarray, np.ndarray, int, np.ndarray, int]:
+    """Device lookup tables from the sorted seed table, run-granular (one
+    row (key, start, len) per DISTINCT key).  Returns a 5-tuple shaped for
+    _query_batch's positional args: (table, positions, bucket_bits, aux,
+    plan); the plan integer feeds _lookup_hits (see its docstring).
+
+    Fast path (plan = -1, CHD): table int32 [T, 3] is an open slot table
+    with each run at its perfect-hash slot (empty slots len = 0), aux is
+    the displacement array disp[2^bucket_bits], and positions are widened
+    to [S, hits_per_seed] rows so the whole lookup is 3 dependent gathers.
+
+    Fallback (plan = steps >= 0, bisection): table is the key-sorted run
+    table, aux is bucket_lo (prefix table over runs), positions stay flat
+    [S]."""
     S = len(seed_keys)
     pos = np.ascontiguousarray(seed_pos.astype(np.int32))
     if S == 0:
-        bits, lo = build_bucket_table(np.zeros(0, dtype=np.uint32))
-        return (np.zeros((1, 3), np.int32), np.zeros(1, np.int32), bits, lo, 0)
+        return (
+            np.zeros((1, 3), np.int32),
+            np.zeros((1, hits_per_seed), np.int32),
+            1,
+            np.zeros(2, np.int32),
+            -1,
+        )
     starts = np.flatnonzero(
         np.concatenate([[True], seed_keys[1:] != seed_keys[:-1]])
     ).astype(np.int64)
     ends = np.concatenate([starts[1:], [S]])
+    run_keys = np.ascontiguousarray(seed_keys[starts]).astype(np.uint32)
+    chd = _build_chd(run_keys)
+    if chd is not None:
+        slot, disp, mb, T = chd
+        table = np.zeros((T, 3), dtype=np.int32)
+        table[slot, 0] = run_keys.view(np.int32)
+        table[slot, 1] = starts.astype(np.int32)
+        table[slot, 2] = (ends - starts).astype(np.int32)
+        pos_wide = np.lib.stride_tricks.sliding_window_view(
+            np.pad(pos, (0, hits_per_seed)), hits_per_seed
+        )[:S]
+        return (
+            table,
+            np.ascontiguousarray(pos_wide.astype(np.int32)),
+            mb,
+            disp,
+            -1,
+        )
     run_table = np.stack(
         [
-            np.ascontiguousarray(seed_keys[starts]).view(np.int32),
+            run_keys.view(np.int32),
             starts.astype(np.int32),
             (ends - starts).astype(np.int32),
         ],
@@ -737,7 +875,7 @@ def build_seed_lookup(
     bits, lo = build_bucket_table(seed_keys[starts])
     occ = int(np.diff(lo).max()) if len(lo) > 1 else 0
     steps = int(np.ceil(np.log2(occ + 1))) if occ > 0 else 0
-    return run_table, pos, bits, lo, steps
+    return np.ascontiguousarray(run_table), pos, bits, lo, steps
 
 
 class Aligner:
@@ -752,7 +890,8 @@ class Aligner:
         put = self._replicate
         self.text_d = put(index.text.reshape(-1, 256))
         (run_table, pos, self.bucket_bits, bucket_lo,
-         self.lookup_steps) = build_seed_lookup(index.seed_keys, index.seed_pos)
+         self.lookup_steps) = build_seed_lookup(
+            index.seed_keys, index.seed_pos, self.cfg.hits_per_seed)
         self.run_table_d = put(run_table)
         self.seed_pos_d = put(pos)
         self.tstart_d = put(index.tstart.astype(np.int32))

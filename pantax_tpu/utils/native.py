@@ -67,6 +67,11 @@ def load_native() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_longlong,
         ]
+        lib.chd_build.restype = ctypes.c_longlong
+        lib.chd_build.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         _lib = lib
         return _lib
 
@@ -147,6 +152,28 @@ def kmer_hash_sample_native(codes: np.ndarray, k: int, density_bits: int):
         if m >= 0:
             return out_hash[:m].copy(), out_pos[:m].copy()
         cap = max(cap * 4, 1024)  # overflowed at -m entries; retry larger
+
+
+def chd_build_native(keys: np.ndarray, mb: int, Tb: int):
+    """Displacement-hash placement (align.aligner._build_chd's hot loop).
+
+    Returns (slot int64 [n], disp int32 [2^mb]), None when the library is
+    unavailable, or False when placement fails (caller falls back)."""
+    lib = load_native()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.uint32)
+    n = len(keys)
+    slot = np.empty(n, dtype=np.int64)
+    disp = np.empty(1 << mb, dtype=np.int32)
+    rc = lib.chd_build(
+        keys.ctypes.data_as(ctypes.c_void_p), n, mb, Tb,
+        slot.ctypes.data_as(ctypes.c_void_p),
+        disp.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc < 0:
+        return False
+    return slot, disp
 
 
 def unique_kmer_positions_native(codes: np.ndarray, k: int):

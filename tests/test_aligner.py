@@ -592,3 +592,61 @@ def test_paired_streaming_chunks_match_whole_file(db, index, aligner,
                                         chunk_bytes=40_000)
     assert key(whole1) == key(small1)
     assert key(whole1) == key(whole2)
+
+
+def test_chd_lookup_matches_bisect():
+    """The CHD displacement-hash lookup (plan -1) returns the same hits as
+    the bucketed-bisection fallback on the same seed table: identical
+    hit_valid masks and identical positions wherever valid."""
+    import jax.numpy as jnp
+
+    from pantax_tpu.align.aligner import (
+        _lookup_hits,
+        build_bucket_table,
+        build_seed_lookup,
+    )
+    from pantax_tpu.align.encode import _mix32
+
+    rng = np.random.default_rng(7)
+    # runs of repeated keys (mixed, like real seed hashes), sorted
+    n_runs, C = 5000, 4
+    run_keys = np.unique(_mix32(rng.integers(0, 2**32, size=n_runs,
+                                             dtype=np.uint32)))
+    run_len = rng.integers(1, 7, size=len(run_keys))
+    seed_keys = np.repeat(run_keys, run_len)
+    seed_pos = rng.integers(0, 10**6, size=len(seed_keys)).astype(np.int32)
+
+    table, pos_wide, mb, disp, plan = build_seed_lookup(
+        seed_keys, seed_pos, hits_per_seed=C)
+    assert plan == -1, "CHD build must converge on a well-mixed key set"
+
+    # bisect tables, the way the fallback path builds them
+    starts = np.flatnonzero(
+        np.concatenate([[True], seed_keys[1:] != seed_keys[:-1]]))
+    ends = np.concatenate([starts[1:], [len(seed_keys)]])
+    run_table = np.stack([
+        seed_keys[starts].astype(np.uint32).view(np.int32),
+        starts.astype(np.int32), (ends - starts).astype(np.int32)], axis=1)
+    bits, lo = build_bucket_table(seed_keys[starts])
+    occ = int(np.diff(lo).max())
+    steps = int(np.ceil(np.log2(occ + 1)))
+
+    # queries: half present keys, half absent, some invalid lanes
+    B, S = 16, 24
+    present = rng.choice(run_keys, size=B * S // 2)
+    absent = _mix32(rng.integers(0, 2**32, size=B * S - B * S // 2,
+                                 dtype=np.uint32) | np.uint32(1))
+    sel_hash = rng.permutation(np.concatenate([present, absent]))
+    sel_hash = jnp.asarray(sel_hash.reshape(B, S))
+    sel_valid = jnp.asarray(rng.random((B, S)) < 0.9)
+
+    pos_chd, hv_chd = _lookup_hits(
+        jnp.asarray(table), jnp.asarray(pos_wide), jnp.asarray(disp),
+        mb, plan, sel_hash, sel_valid, C)
+    pos_bis, hv_bis = _lookup_hits(
+        jnp.asarray(run_table), jnp.asarray(seed_pos), jnp.asarray(lo),
+        bits, steps, sel_hash, sel_valid, C)
+    np.testing.assert_array_equal(np.asarray(hv_chd), np.asarray(hv_bis))
+    m = np.asarray(hv_bis)
+    np.testing.assert_array_equal(np.asarray(pos_chd)[m],
+                                  np.asarray(pos_bis)[m])
