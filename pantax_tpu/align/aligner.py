@@ -164,13 +164,25 @@ def _unpack_reads_j(codes_packed, read_len):
 
 
 def _rev_codes_j(codes, lens):
-    """Device-side left-aligned reverse complement of right-padded codes."""
+    """Device-side left-aligned reverse complement of right-padded codes.
+
+    Gather-free: static flip puts row content at [Lr-len, Lr), then a
+    variable left-roll by (Lr - len) realigns it via binary decomposition
+    (static rolls + per-row selects).  The per-row [B, Lr] gather this
+    replaces costs ~140 ms/batch at 65536x160 on v5e — TPU gathers price
+    per index (see _lookup_hits), so 10.5M indices dwarf the ~10 cheap
+    whole-array passes used here."""
     B, Lr = codes.shape
     cols = jnp.arange(Lr, dtype=jnp.int32)[None, :]
-    idx = jnp.clip(lens[:, None] - 1 - cols, 0, Lr - 1)
-    g = jnp.take_along_axis(codes, idx, axis=1)
+    rev = codes[:, ::-1]
+    sh = jnp.int32(Lr) - lens.astype(jnp.int32)
+    t = 0
+    while (1 << t) < Lr:
+        rolled = jnp.roll(rev, -(1 << t), axis=1)
+        rev = jnp.where((((sh >> t) & 1) == 1)[:, None], rolled, rev)
+        t += 1
     return jnp.where(
-        (cols < lens[:, None]) & (g < 4), jnp.int8(3) - g, jnp.int8(4)
+        (cols < lens[:, None]) & (rev < 4), jnp.int8(3) - rev, jnp.int8(4)
     )
 
 
@@ -230,15 +242,15 @@ def _lookup_hits(
     elementwise gather rounds.  Two modes, keyed by the sign of ``steps``
     (chosen at build, build_seed_lookup):
 
-    ``steps < 0`` — CHD displacement hash (the fast path, 3 rounds):
-    run_table is a [T, 3] open slot table (key, start, len) at perfect-hash
-    positions, bucket_lo is the per-bucket displacement array disp[m], and
-    seed_pos is PRE-WIDENED to [S, C] rows (seed_pos_wide[i] = positions
-    i..i+C-1) so the C hits come from ONE row gather instead of a C*B*S
-    elementwise gather.  Chain: d = disp[hash >> (32-bucket_bits)];
-    slot = mix32(hash ^ d * GOLD) & (T-1); row = table[slot]; key equality
+    ``steps < 0`` — CHD displacement hash (the fast path, 2 rounds):
+    run_table is a [T, 2+C] open slot table (key, run length, then the
+    first C = hits_per_seed hit positions INLINE) at perfect-hash
+    positions, and bucket_lo is the per-bucket displacement array disp[m]
+    (seed_pos is unused).  Chain: d = disp[hash >> (32-bucket_bits)];
+    slot = mix32(hash ^ d * GOLD) & (T-1); one row gather; key equality
     confirms membership (keys are globally unique; empty slots carry
-    len = 0 so they can never validate); positions = seed_pos_wide[start].
+    len = 0 so they can never validate).  Inlining the positions trades
+    ~2.5x table bytes for removing the third dependent gather round.
 
     ``steps >= 0`` — bucketed bisection (fallback when the CHD build does
     not converge): bucket_lo[b] pre-resolves the hash's top bucket_bits to
@@ -251,18 +263,17 @@ def _lookup_hits(
     b = (sel_hash >> shift).astype(jnp.int32)
     c = jnp.arange(hits_per_seed, dtype=jnp.int32)
     if steps < 0:
-        T = D
-        S_rows = seed_pos.shape[0]
+        assert run_table.shape[-1] == 2 + hits_per_seed
         d = jax.lax.bitcast_convert_type(bucket_lo[b], jnp.uint32)
         slot = (
             _mix32_j(sel_hash ^ (d * jnp.uint32(_CHD_GOLD)))
-            & jnp.uint32(T - 1)
+            & jnp.uint32(D - 1)
         ).astype(jnp.int32)
         row = run_table[slot]
         key = jax.lax.bitcast_convert_type(row[..., 0], jnp.uint32)
         ok = (key == sel_hash) & sel_valid
-        rlen = jnp.where(ok, row[..., 2], 0)
-        pos = seed_pos[jnp.clip(row[..., 1], 0, S_rows - 1)]
+        rlen = jnp.where(ok, row[..., 1], 0)
+        pos = row[..., 2:]
         hit_valid = ok[..., None] & (c < rlen[..., None])
         return pos, hit_valid
     S_len = seed_pos.shape[0]
@@ -376,10 +387,13 @@ def _banded_extend(window, read, read_len, pad: int, match: int, mismatch: int, 
 
     init_cell = (jnp.int32(bias) << sh_score) + band  # score 0, start = b
     state = init_cell + sub_packed(0)  # [Wb, N] after consuming read[0]
-    out = jnp.where((read_len[None, :] == 1), state, neg)
 
-    def step(carry, i):
-        state, out = carry
+    # No separate "answer" carry: updates freeze once i >= read_len, so the
+    # final state IS the state at step read_len-1 for every live row.  The
+    # two-array carry this replaces bloated the scan enough that the
+    # [131072, 160] graph took ~20 min to compile (vs ~3 s single-carry) and
+    # cost ~6 ms/batch more at runtime.
+    def step(state, i):
         # diagonal move keeps band idx; up move (read char vs ref gap) shifts
         up = jnp.concatenate([state[1:], jnp.full((1, N), neg, jnp.int32)], axis=0)
         v = jnp.maximum(state + sub_packed(i), up + gap_p)
@@ -393,12 +407,13 @@ def _banded_extend(window, read, read_len, pad: int, match: int, mismatch: int, 
         v = u + decay
         live = (i < read_len)[None, :]
         state = jnp.where(live, v, state)
-        out = jnp.where((i == read_len - 1)[None, :], state, out)
-        return (state, out), None
+        return state, None
 
-    (state, out), _ = jax.lax.scan(
-        step, (state, out), jnp.arange(1, Lr, dtype=jnp.int32), unroll=_DP_UNROLL
+    state, _ = jax.lax.scan(
+        step, state, jnp.arange(1, Lr, dtype=jnp.int32), unroll=_DP_UNROLL
     )
+    # empty (padding) rows never capture a step; keep their old NEG sentinel
+    out = jnp.where((read_len >= 1)[None, :], state, neg)
     b_best = jnp.argmax(out, axis=0)  # [N]
     cell = jnp.max(out, axis=0)
     best = (cell >> sh_score) - bias
@@ -480,9 +495,10 @@ def _all_candidates(
     cand_votes = jnp.take_along_axis(vote_u, sel, axis=1)
     strand = (sel >= K).astype(jnp.int8)                    # [B, K]
 
-    codes_pair = jnp.stack([codes_fwd, codes_rev], axis=1)  # [B, 2, Lr]
-    read_rep = jnp.take_along_axis(
-        codes_pair, strand.astype(jnp.int32)[:, :, None], axis=1
+    # per-candidate strand pick as a broadcast select (a take_along_axis
+    # over a stacked [B, 2, Lr] pays TPU gather pricing for what is a mask)
+    read_rep = jnp.where(
+        (strand == 1)[:, :, None], codes_rev[:, None, :], codes_fwd[:, None, :]
     ).reshape(B * K, -1)
     len_rep = jnp.repeat(read_len, K)
     w0 = jnp.clip(cand_diag - pad, 0, T - W)
@@ -824,20 +840,22 @@ def build_seed_lookup(
     _query_batch's positional args: (table, positions, bucket_bits, aux,
     plan); the plan integer feeds _lookup_hits (see its docstring).
 
-    Fast path (plan = -1, CHD): table int32 [T, 3] is an open slot table
-    with each run at its perfect-hash slot (empty slots len = 0), aux is
-    the displacement array disp[2^bucket_bits], and positions are widened
-    to [S, hits_per_seed] rows so the whole lookup is 3 dependent gathers.
+    Fast path (plan = -1, CHD): table int32 [T, 2 + hits_per_seed] is an
+    open slot table with each run at its perfect-hash slot carrying (key,
+    run length, first hits_per_seed positions inline; empty slots have
+    length 0), aux is the displacement array disp[2^bucket_bits], and the
+    positions element is a dummy (unused) — the whole lookup is 2
+    dependent gathers.
 
     Fallback (plan = steps >= 0, bisection): table is the key-sorted run
-    table, aux is bucket_lo (prefix table over runs), positions stay flat
-    [S]."""
+    table [D, 3] = (key, start, len), aux is bucket_lo (prefix table over
+    runs), positions are the flat [S] seed positions."""
     S = len(seed_keys)
     pos = np.ascontiguousarray(seed_pos.astype(np.int32))
     if S == 0:
         return (
-            np.zeros((1, 3), np.int32),
-            np.zeros((1, hits_per_seed), np.int32),
+            np.zeros((1, 2 + hits_per_seed), np.int32),
+            np.zeros(1, np.int32),
             1,
             np.zeros(2, np.int32),
             -1,
@@ -850,20 +868,14 @@ def build_seed_lookup(
     chd = _build_chd(run_keys)
     if chd is not None:
         slot, disp, mb, T = chd
-        table = np.zeros((T, 3), dtype=np.int32)
+        table = np.zeros((T, 2 + hits_per_seed), dtype=np.int32)
         table[slot, 0] = run_keys.view(np.int32)
-        table[slot, 1] = starts.astype(np.int32)
-        table[slot, 2] = (ends - starts).astype(np.int32)
+        table[slot, 1] = (ends - starts).astype(np.int32)
         pos_wide = np.lib.stride_tricks.sliding_window_view(
             np.pad(pos, (0, hits_per_seed)), hits_per_seed
-        )[:S]
-        return (
-            table,
-            np.ascontiguousarray(pos_wide.astype(np.int32)),
-            mb,
-            disp,
-            -1,
         )
+        table[slot, 2:] = pos_wide[starts]
+        return table, np.zeros(1, np.int32), mb, disp, -1
     run_table = np.stack(
         [
             run_keys.view(np.int32),
