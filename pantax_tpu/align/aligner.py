@@ -1081,7 +1081,6 @@ class Aligner:
         holds whole files or their parsed records in RAM.  Interleaved
         chunks may end on an odd record; the dangling mate is carried into
         the next chunk."""
-        from ..io.fastx import stream_fastx_buffers
         from ..utils.native import fastx_parse_native, load_native
 
         if load_native() is None:
@@ -1134,54 +1133,10 @@ class Aligner:
                 raise ValueError(f"{path}: unparseable FASTA/FASTQ chunk")
             return parsed
 
-        if path2 is not None:
-            n1 = n2 = 0
-            for buf1, buf2 in zip(stream_fastx_buffers(path1, chunk_bytes),
-                                  stream_fastx_buffers(path2, chunk_bytes)):
-                cf1, of1, ids1 = parse(path1, buf1)
-                cf2, of2, ids2 = parse(path2, buf2)
-                if len(ids1) != len(ids2):
-                    raise ValueError(
-                        "paired files desynchronized (unequal chunk read "
-                        f"counts {len(ids1)} vs {len(ids2)}); mates must "
-                        "pair by order"
-                    )
-                n1 += len(ids1)
-                n2 += len(ids2)
-                feed_chunk(cf1, of1, ids1, cf2, of2, ids2)
-        else:  # interleaved: split even/odd, carry a dangling mate
-            left: tuple | None = None
-            for buf in stream_fastx_buffers(path1, chunk_bytes):
-                cf, of, ids = parse(path1, buf)
-                if left is not None:
-                    lcf, lid = left
-                    cf = np.concatenate([lcf, cf])
-                    of = np.concatenate([of[:1], of[1:] + len(lcf)])
-                    of = np.insert(of, 1, len(lcf))
-                    ids = [lid] + ids
-                    left = None
-                if len(ids) % 2:
-                    last = len(of) - 2
-                    left = (cf[of[last]:of[last + 1]].copy(), ids[-1])
-                    cf, of, ids = cf[: of[last]], of[: last + 1], ids[:-1]
-                l_all = np.diff(of)
-                idx1 = np.arange(0, len(ids), 2)
-                idx2 = idx1 + 1
+        from ..io.fastx import stream_paired_parsed
 
-                def split(idxs):
-                    lens = l_all[idxs]
-                    offsets = np.zeros(len(idxs) + 1, dtype=of.dtype)
-                    np.cumsum(lens, out=offsets[1:])
-                    flat = np.concatenate(
-                        [cf[of[i]: of[i] + l_all[i]] for i in idxs]
-                    ) if len(idxs) else cf[:0]
-                    return flat, offsets, [ids[i] for i in idxs]
-
-                feed_chunk(*split(idx1), *split(idx2))
-            if left is not None:
-                raise ValueError(
-                    f"{path1}: odd read count in interleaved paired file"
-                )
+        for block in stream_paired_parsed(path1, path2, parse, chunk_bytes):
+            feed_chunk(*block)
         for entry in pending:
             drain(entry)
         return out

@@ -55,6 +55,57 @@ def _empty_arrays():
     return AlignmentArrays(read_ids=[], ts=z, te=z, mapq=z, read_len=z)
 
 
+# streamed long-read group size (total bases): the chunk/codes matrices built
+# per group scale with it, so it bounds host RAM for arbitrarily large inputs
+# (GraphAligner streams reads from disk, alignment.rs:144-165); overridable
+# for tests and small-RAM hosts
+_GROUP_BASES_ENV = "PANTAX_TPU_LONG_GROUP_BASES"
+DEFAULT_GROUP_BASES = 256 << 20
+
+
+def iter_read_groups(paths, group_bases: int | None = None):
+    """Yield lists of (read_id, seq) from FASTA/FASTQ ``paths``, each group
+    capped at ~``group_bases`` total sequence.  align_long_reads merges
+    chunks PER READ, so running it group-by-group is exact (bit-identical
+    outputs to the whole-list call, tests/test_aligner.py) while keeping
+    memory bounded — the whole-file ``reads.extend(iter_fastx(...))`` it
+    replaces held every parsed read in RAM at once."""
+    import os
+
+    from ..io.fastx import iter_fastx
+
+    if group_bases is None:
+        group_bases = int(os.environ.get(_GROUP_BASES_ENV,
+                                         DEFAULT_GROUP_BASES))
+    group: list[tuple[str, bytes]] = []
+    nb = 0
+    for rf in paths:
+        for rec in iter_fastx(rf):
+            group.append(rec)
+            nb += len(rec[1])
+            if nb >= group_bases:
+                yield group
+                group, nb = [], 0
+    if group:
+        yield group
+
+
+def concat_arrays(parts):
+    """Concatenate per-group AlignmentArrays (streamed long-read flow)."""
+    from ..fastpath import AlignmentArrays
+
+    parts = [p for p in parts if len(p.read_ids)]
+    if not parts:
+        return _empty_arrays()
+    return AlignmentArrays(
+        read_ids=[r for p in parts for r in p.read_ids],
+        ts=np.concatenate([p.ts for p in parts]),
+        te=np.concatenate([p.te for p in parts]),
+        mapq=np.concatenate([p.mapq for p in parts]),
+        read_len=np.concatenate([p.read_len for p in parts]),
+    )
+
+
 def align_long_reads(
     aligner: Aligner,
     reads: list[tuple[str, bytes]],

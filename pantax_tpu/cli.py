@@ -316,18 +316,21 @@ def _main(argv: list[str] | None = None) -> int:
                         gaf.extend(aligner.align_file(rf, batch_size=args.batch_size))
             else:
                 from .align.long_read import (
-                    LONG_READ_PRESETS, LONG_READ_SEED_STRIDE, align_long_reads,
+                    LONG_READ_PRESETS, LONG_READ_SEED_STRIDE,
+                    align_long_reads, iter_read_groups,
                 )
-                from .io.fastx import iter_fastx
 
-                reads = []
-                for rf in args.reads:
-                    reads.extend(iter_fastx(rf))
+                # streamed in bounded read groups (GraphAligner streams from
+                # disk, alignment.rs:144-165); per-group alignment is exact
+                # because chunk merging is per read
                 chunk = LONG_READ_PRESETS[args.long_read_type]
-                gaf = align_long_reads(
-                    aligner, reads, chunk=chunk, batch_size=args.batch_size,
-                    seed_stride=LONG_READ_SEED_STRIDE[args.long_read_type],
-                )
+                gaf = []
+                for group in iter_read_groups(args.reads):
+                    gaf.extend(align_long_reads(
+                        aligner, group, chunk=chunk,
+                        batch_size=args.batch_size,
+                        seed_stride=LONG_READ_SEED_STRIDE[args.long_read_type],
+                    ))
                 gaf = filter_best_long_read_alignments(gaf)
         write_gaf(gaf_file, gaf)
         log.info("- Aligned %d reads", len(gaf))
@@ -410,36 +413,40 @@ def _run_fastpath_long(args, db, index, tmp: Path, t0: float) -> int:
     from .align.aligner import Aligner
     from .align.long_read import (
         LONG_READ_PRESETS, LONG_READ_SEED_STRIDE, align_long_reads,
+        iter_read_groups,
     )
-    from .io.fastx import iter_fastx
     from .ops.fused import (
         FusedPipeline, build_fused_tables, profile_from_fused_result,
     )
     from .utils.logging import stage_timer
 
     aligner = Aligner(index)
-    reads = []
-    for rf in args.reads:
-        reads.extend(iter_fastx(rf))
-    with stage_timer("long-read alignment (fastpath)"):
-        merged = align_long_reads(
-            aligner, reads, chunk=LONG_READ_PRESETS[args.long_read_type],
-            batch_size=args.batch_size,
-            seed_stride=LONG_READ_SEED_STRIDE[args.long_read_type],
-            as_arrays=True,
-        )
-    log.info("- Aligned %d reads", len(merged.read_ids))
+    tables = build_fused_tables(db, index)
+    pipe = FusedPipeline(aligner, tables, batch=args.batch_size)
+    n_aligned = 0
+    # streamed: each bounded read group is aligned (chunked blockwise DP)
+    # and its merged per-read intervals fed straight into the incremental
+    # fused accumulators — host RAM never holds the whole input
+    # (GraphAligner's streaming role, alignment.rs:144-165)
+    with stage_timer("long-read alignment+coverage (fastpath)"):
+        for group in iter_read_groups(args.reads):
+            merged = align_long_reads(
+                aligner, group, chunk=LONG_READ_PRESETS[args.long_read_type],
+                batch_size=args.batch_size,
+                seed_stride=LONG_READ_SEED_STRIDE[args.long_read_type],
+                as_arrays=True,
+            )
+            pipe.feed_intervals(
+                merged.ts, merged.te, merged.mapq, merged.read_len,
+                ids=merged.read_ids,
+            )
+            n_aligned += len(merged.read_ids)
+    log.info("- Aligned %d reads", n_aligned)
 
     cfg = _profiling_config(args, db, tmp, "long",
                             species=True,
                             strain=args.strain or not args.species)
     with stage_timer("profiling (fused intervals)"):
-        tables = build_fused_tables(db, index)
-        pipe = FusedPipeline(aligner, tables, batch=args.batch_size)
-        pipe.feed_intervals(
-            merged.ts, merged.te, merged.mapq, merged.read_len,
-            ids=merged.read_ids,
-        )
         result = pipe.finish()
         profile_from_fused_result(result, tables, index, db, cfg, tmp)
 
@@ -528,28 +535,37 @@ def _run_fastpath_fused(args, db, index, aligner, tmp: Path, t0: float,
             raise ValueError(f"{rf}: unparseable FASTA/FASTQ chunk")
         return parsed
 
+    # stream granularity: also the paired round-robin shard granularity
+    # (overridable for tests that need several chunks from a small file)
+    chunk_bytes = int(os.environ.get("PANTAX_TPU_CHUNK_BYTES", 64 << 20))
+
     def buffers(rf):
         if dist:
-            return shard_fastx_buffers(rf, jax.process_index(), n_proc)
-        return stream_fastx_buffers(rf)
+            return shard_fastx_buffers(rf, jax.process_index(), n_proc,
+                                       chunk_bytes=chunk_bytes)
+        return stream_fastx_buffers(rf, chunk_bytes)
 
     with stage_timer("alignment+coverage (fused)"):
-        if args.paired and len(args.reads) == 2:
-            r1, r2 = args.reads
+        if args.paired and len(args.reads) in (1, 2):
+            from .io.fastx import stream_paired_parsed
+
+            r1 = args.reads[0]
+            r2 = args.reads[1] if len(args.reads) == 2 else None
             # paired shards are chunk-round-robin (byte ranges of the two
-            # mate files would desynchronize pairs); classification rows
-            # then appear in shard order, species/strain tables unchanged
-            for ci, (buf1, buf2) in enumerate(zip(stream_fastx_buffers(r1),
-                                                  stream_fastx_buffers(r2))):
+            # mate files — or of one interleaved file, whose odd-record
+            # carry must be tracked across ALL chunks — would desynchronize
+            # pairs); classification rows then appear in shard order,
+            # species/strain tables unchanged.  r2=None is the reference's
+            # interleaved ShortReadPairedInter mode (types.rs:34-48): mates
+            # are adjacent records, de-interleaved by the shared streamer
+            # and fed through the SAME joint fragment-model step as two-file
+            # mode.
+            for ci, block in enumerate(
+                stream_paired_parsed(r1, r2, parse, chunk_bytes)
+            ):
                 if dist and ci % n_proc != jax.process_index():
                     continue
-                cf1, of1, ids1 = parse(r1, buf1)
-                cf2, of2, ids2 = parse(r2, buf2)
-                if len(ids1) != len(ids2):
-                    raise ValueError(
-                        "paired files desynchronized (unequal chunk read "
-                        "counts); re-run without --fastpath"
-                    )
+                cf1, of1, ids1, cf2, of2, ids2 = block
                 if len(ids1) == 0:
                     continue
                 pad = _round_up(int(max(np.diff(of1).max(),
@@ -558,11 +574,6 @@ def _run_fastpath_fused(args, db, index, aligner, tmp: Path, t0: float,
                 c2, l2 = _codes_matrix(cf2, of2, pad)
                 pipe.feed_paired(c1, l1, c2, l2, ids1=ids1, ids2=ids2)
         else:
-            if args.paired:
-                log.warning(
-                    "--fastpath paired mode needs two mate files; "
-                    "aligning independently"
-                )
             for rf in args.reads:
                 for buf in buffers(rf):
                     codes_flat, offsets, ids = parse(rf, buf)

@@ -60,6 +60,67 @@ def curate(
     return assign_strain_taxids(kept), clusters
 
 
+NCBI_SUMMARY_URL = (
+    "https://ftp.ncbi.nlm.nih.gov/genomes/refseq/bacteria/assembly_summary.txt"
+)
+
+
+def download_assembly_summary(dest: Path) -> Path:
+    """Fetch the NCBI RefSeq bacteria assembly_summary to ``dest`` (the
+    reference driver wgets it when missing, pantax-rg:218-219).  Raises a
+    helpful error when the host has no network access."""
+    import urllib.error
+    import urllib.request
+
+    dest.parent.mkdir(parents=True, exist_ok=True)
+    try:
+        urllib.request.urlretrieve(NCBI_SUMMARY_URL, dest)  # noqa: S310
+    except (urllib.error.URLError, OSError) as e:
+        raise SystemExit(
+            f"--download-summary failed ({e}): this host cannot reach NCBI. "
+            f"Download {NCBI_SUMMARY_URL} elsewhere and pass it with "
+            "--summary."
+        ) from e
+    log.info("downloaded assembly summary to %s", dest)
+    return dest
+
+
+def remove_plasmids(
+    infos: list[GenomeInfo], base_dir: str, out_dir: Path,
+    min_scaffold_mb: float = 1.0,
+) -> list[GenomeInfo]:
+    """Write plasmid/short-scaffold-filtered copies of each genome FASTA to
+    ``out_dir`` and return infos pointing at them (the reference's --remove
+    extraction stage, pantax-rg:86,130-150 ->
+    scripts/genomes_process.py:193-231).  Genomes whose every scaffold falls
+    below the cutoff are dropped with a warning (the reference logs the same
+    condition)."""
+    from ..io.fastx import iter_fastx, write_fasta
+    from .preprocess import filter_plasmids
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    kept_infos: list[GenomeInfo] = []
+    for gi in infos:
+        src = gi.resolved_path(base_dir)
+        kept = filter_plasmids(list(iter_fastx(src)),
+                               min_scaffold_mb=min_scaffold_mb)
+        if not kept:
+            log.warning(
+                "%s: every scaffold below %.1fMbp after plasmid removal; "
+                "genome dropped", gi.genome_id, min_scaffold_mb,
+            )
+            continue
+        dst = out_dir / Path(src).name
+        write_fasta(dst, kept)
+        kept_infos.append(GenomeInfo(
+            gi.genome_id, gi.strain_taxid, gi.species_taxid,
+            gi.organism_name, str(dst),
+        ))
+    log.info("plasmid removal: %d/%d genomes kept under %s",
+             len(kept_infos), len(infos), out_dir)
+    return kept_infos
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(
         prog="pantax-tpu-rg",
@@ -97,10 +158,27 @@ def main(argv: list[str] | None = None) -> int:
                    help="hcls distance cutoff (100 - ANI)")
     p.add_argument("--cluster-out", default=None,
                    help="write rep -> cluster members table here")
+    p.add_argument("--remove", action="store_true",
+                   help="remove plasmids / short scaffolds: write filtered "
+                        "genome copies and point the curated genomes_info at "
+                        "them (pantax-rg --remove)")
+    p.add_argument("-rl", "--remove-scaffold-len", type=float, default=1.0,
+                   metavar="MBP",
+                   help="--remove scaffold length cutoff in Mbp (default 1)")
+    p.add_argument("--filtered-dir", default=None,
+                   help="--remove output directory "
+                        "(default <out>_filtered_genomes)")
+    p.add_argument("--download-summary", action="store_true",
+                   help="download the NCBI RefSeq bacteria assembly_summary "
+                        "for -r mode (errors helpfully offline; "
+                        "pantax-rg:218-219)")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, stream=sys.stderr,
                         format="%(asctime)s [%(levelname)s] %(message)s")
 
+    if args.download_summary and not args.summary:
+        dest = Path(args.genomes_dir or ".") / "assembly_summary_bacteria.txt"
+        args.summary = str(download_assembly_summary(dest))
     if args.custom:
         infos = read_genomes_info(args.custom)
     else:
@@ -124,6 +202,14 @@ def main(argv: list[str] | None = None) -> int:
             p.error("-r/--genomes-dir requires --summary or --gtdb")
         log.info("resolved %d genomes from %s", len(infos), args.genomes_dir)
     base_dir = args.base_dir or str(Path.cwd())
+    if args.remove:
+        filtered_dir = Path(args.filtered_dir or
+                            str(Path(args.out).with_suffix(""))
+                            + "_filtered_genomes")
+        infos = remove_plasmids(infos, base_dir, filtered_dir,
+                                min_scaffold_mb=args.remove_scaffold_len)
+        # filtered copies carry absolute paths; clustering reads them as-is
+        base_dir = str(Path.cwd())
     if args.cluster == "none":
         curated, clusters = assign_strain_taxids(infos), {}
     else:

@@ -255,6 +255,81 @@ def iter_fastx_shard(
             yield from _iter_fastq(f)
 
 
+def stream_paired_parsed(
+    path1: str | os.PathLike,
+    path2: str | os.PathLike | None,
+    parse,
+    chunk_bytes: int = 64 << 20,
+    buffers1: Iterator[bytes] | None = None,
+):
+    """Yield parsed mate blocks ``(cf1, of1, ids1, cf2, of2, ids2)`` per
+    streamed chunk, from two mate files (paired by order) or ONE interleaved
+    file (``path2=None``) — the reference's ShortReadPaired /
+    ShortReadPairedInter input modes (/root/reference/pantax/src/types.rs:34-48,
+    alignment.rs:14-119).  ``parse(path, buf) -> (codes_flat int8 [sum lens],
+    offsets int64 [n+1], ids list[str])`` is the caller's record parser.
+
+    Interleaved chunks may end on an odd record; the dangling mate is carried
+    into the next chunk, so yielded blocks always hold complete pairs.
+    ``buffers1`` overrides the chunk stream for path1 (e.g. a byte-range
+    shard); the default streams the whole file."""
+    import numpy as np
+
+    if path2 is not None:
+        it1 = buffers1 if buffers1 is not None else stream_fastx_buffers(
+            path1, chunk_bytes
+        )
+        for buf1, buf2 in zip(it1, stream_fastx_buffers(path2, chunk_bytes)):
+            cf1, of1, ids1 = parse(path1, buf1)
+            cf2, of2, ids2 = parse(path2, buf2)
+            if len(ids1) != len(ids2):
+                raise ValueError(
+                    "paired files desynchronized (unequal chunk read counts "
+                    f"{len(ids1)} vs {len(ids2)}); mates must pair by order"
+                )
+            yield cf1, of1, ids1, cf2, of2, ids2
+        return
+
+    # interleaved: split even/odd records, carry a dangling mate
+    left: tuple | None = None
+    it = buffers1 if buffers1 is not None else stream_fastx_buffers(
+        path1, chunk_bytes
+    )
+    for buf in it:
+        cf, of, ids = parse(path1, buf)
+        if left is not None:
+            lcf, lid = left
+            cf = np.concatenate([lcf, cf])
+            of = np.concatenate([of[:1], of[1:] + len(lcf)])
+            of = np.insert(of, 1, len(lcf))
+            ids = [lid] + ids
+            left = None
+        if len(ids) % 2:
+            last = len(of) - 2
+            left = (cf[of[last]:of[last + 1]].copy(), ids[-1])
+            cf, of, ids = cf[: of[last]], of[: last + 1], ids[:-1]
+        if not len(ids):
+            continue
+        l_all = np.diff(of)
+        idx1 = np.arange(0, len(ids), 2)
+        idx2 = idx1 + 1
+
+        def split(idxs):
+            lens = l_all[idxs]
+            offsets = np.zeros(len(idxs) + 1, dtype=of.dtype)
+            np.cumsum(lens, out=offsets[1:])
+            flat = np.concatenate(
+                [cf[of[i]: of[i] + l_all[i]] for i in idxs]
+            ) if len(idxs) else cf[:0]
+            return flat, offsets, [ids[i] for i in idxs]
+
+        yield (*split(idx1), *split(idx2))
+    if left is not None:
+        raise ValueError(
+            f"{path1}: odd read count in interleaved paired file"
+        )
+
+
 def stream_fastx_buffers(
     path: str | os.PathLike, chunk_bytes: int = 64 << 20
 ) -> Iterator[bytes]:

@@ -581,6 +581,16 @@ def host_residual_updates(index, tables: FusedTables, ts, te, ridx):
 
     tstart = np.asarray(index.tstart, dtype=np.int64)
     tnode = np.asarray(index.tnode, dtype=np.int64)
+    # clamp intervals to the classifying (ts) haplotype: a read whose
+    # mismatching tail pushed te past the sentinel separator would otherwise
+    # project onto ANOTHER species' segments and index its local node arrays
+    # out of range (alignments are classified by ts, fastpath.py:165-177)
+    hap = np.clip(
+        np.searchsorted(index.hap_offsets, ts, side="right") - 1,
+        0, len(index.hap_offsets) - 2,
+    )
+    te = np.minimum(te, index.hap_offsets[hap + 1] - 1)
+    te = np.maximum(te, ts + 1)
     base_off_host = getattr(tables, "_base_offset_host", None)
     if base_off_host is None:
         base_off_host = np.asarray(tables.base_offset_d, dtype=np.int64)

@@ -2,7 +2,7 @@
 a jax.distributed fleet (CPU backend, 1 local device per process).
 
 Run as: python tests/_dist_cli_worker.py <proc_id> <n_proc> <port> <db_dir>
-        <reads.fq> <run_dir>
+        <run_dir> [-p] <reads.fq> [<reads_R2.fq>]
 """
 import os
 import sys
@@ -13,14 +13,18 @@ def main() -> None:
 
     jax.config.update("jax_platforms", "cpu")
     idx, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
-    db, reads, run_dir = sys.argv[4], sys.argv[5], sys.argv[6]
+    db, run_dir = sys.argv[4], sys.argv[5]
+    rest = sys.argv[6:]
+    paired = rest and rest[0] == "-p"
+    reads = rest[1:] if paired else rest
 
     os.makedirs(run_dir, exist_ok=True)
     os.chdir(run_dir)
     from pantax_tpu.cli import main as cli_main
 
     rc = cli_main([
-        "-d", db, "-s", "-r", reads, "--species", "--strain",
+        "-d", db, "-s", *(["-p"] if paired else []), "-r", *reads,
+        "--species", "--strain",
         "--fastpath", "--batch-size", "512",
         "--distributed", f"localhost:{port},{nproc},{idx}",
         "-T", os.path.join(run_dir, "tmpdir"),

@@ -208,6 +208,49 @@ def test_long_read_seed_stride_matches_full_seeding(db, aligner):
         assert (s.path_end - s.path_start) / s.read_len > 0.9
 
 
+def test_long_read_streamed_groups_match_whole_list(db, aligner, tmp_path):
+    """The streamed long-read flow (iter_read_groups + per-group
+    align_long_reads + concat) is bit-identical to the whole-list call:
+    chunk merging is per read, so group boundaries cannot change any output.
+    Bounded-memory replacement for reads.extend(iter_fastx(...)),
+    GraphAligner's streaming role (alignment.rs:144-165)."""
+    from pantax_tpu.align.long_read import (
+        align_long_reads, concat_arrays, iter_read_groups,
+    )
+
+    rng = np.random.default_rng(5)
+    g = db.load_graph("562")
+    seq = g.path_seq(0).tobytes()
+    reads = []
+    for i in range(20):
+        s = int(rng.integers(0, len(seq) - 5000))
+        piece = bytearray(seq[s : s + 5000])
+        for _ in range(25):
+            p = int(rng.integers(len(piece)))
+            piece[p] = ord("ACGT"[rng.integers(4)])
+        reads.append((f"S{i}", bytes(piece)))
+    fq = tmp_path / "lr.fq"
+    with open(fq, "wb") as f:
+        for name, s in reads:
+            f.write(b"@" + name.encode() + b"\n" + s + b"\n+\n"
+                    + b"I" * len(s) + b"\n")
+
+    whole = align_long_reads(aligner, reads, chunk=512, batch_size=512,
+                             as_arrays=True)
+    # ~12KB groups -> several groups from the 100KB input
+    groups = list(iter_read_groups([fq], group_bases=12_000))
+    assert len(groups) > 3
+    assert [r for grp in groups for r in grp] == reads
+    streamed = concat_arrays([
+        align_long_reads(aligner, grp, chunk=512, batch_size=512,
+                         as_arrays=True)
+        for grp in groups
+    ])
+    assert streamed.read_ids == whole.read_ids
+    for f in ("ts", "te", "mapq", "read_len"):
+        assert np.array_equal(getattr(streamed, f), getattr(whole, f)), f
+
+
 def test_short_engine_rejects_long_reads(aligner, tmp_path):
     p = tmp_path / "long.fq"
     p.write_bytes(b"@r1\n" + b"A" * 2000 + b"\n+\n" + b"I" * 2000 + b"\n")

@@ -115,6 +115,36 @@ def test_cli_paired_modes(workdir):
     assert "562" in a
 
 
+def test_cli_fastpath_paired_interleaved_matches_two_file(workdir):
+    """--fastpath -p with ONE interleaved file de-interleaves adjacent
+    records and runs the SAME joint fragment-model fused step as two-file
+    mode (reference ShortReadPairedInter, types.rs:34-48) — species/strain/
+    classification tables byte-identical, no independent-mate fallback."""
+    import filecmp
+
+    reads = list(itertools.islice(iter_fastx(NGS), 1200))
+    with open("fpp_R1.fq", "wb") as f1, open("fpp_R2.fq", "wb") as f2:
+        for i in range(0, len(reads), 2):
+            for f, (name, seq) in ((f1, reads[i]), (f2, reads[i + 1])):
+                f.write(b"@" + name.encode() + b"\n" + seq + b"\n+\n"
+                        + b"I" * len(seq) + b"\n")
+    _subset_fastq(NGS, "fpp_inter.fq", 1200)
+
+    rc = main(["-d", "db", "-s", "-p", "-r", "fpp_R1.fq", "fpp_R2.fq",
+               "--species", "--strain", "--fastpath", "-o", "fpp2",
+               "-R", "fpp2_cls.tsv", "-T", "tmpfpp2", "--batch-size", "512"])
+    assert rc == 0
+    rc = main(["-d", "db", "-s", "-p", "-r", "fpp_inter.fq",
+               "--species", "--strain", "--fastpath", "-o", "fpp1",
+               "-R", "fpp1_cls.tsv", "-T", "tmpfpp1", "--batch-size", "512"])
+    assert rc == 0
+    for a, b in (("fpp2_species_abundance.txt", "fpp1_species_abundance.txt"),
+                 ("fpp2_strains_abundance.txt", "fpp1_strains_abundance.txt"),
+                 ("fpp2_cls.tsv", "fpp1_cls.tsv")):
+        assert filecmp.cmp(a, b, shallow=False), (a, b)
+    assert "562" in open("fpp1_species_abundance.txt").read()
+
+
 def test_sketch_cli_prebuilds_fast_cache(workdir):
     """pantax-tpu-sketch pre-builds the --syldb sketch cache (the reference's
     standalone sketch binary role, sketch.rs:1-6)."""

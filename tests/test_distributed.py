@@ -116,7 +116,7 @@ def test_two_process_cli_matches_single_process(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(i), "2", str(port), str(db_dir),
-             str(reads_fq), str(runs[i])],
+             str(runs[i]), str(reads_fq)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
         for i in range(2)
@@ -134,4 +134,91 @@ def test_two_process_cli_matches_single_process(tmp_path):
             name, "\n".join(logs)[-2000:]
         )
     # process 1 wrote nothing
+    assert not (runs[1] / "strain_abundance.txt").exists()
+
+
+def test_two_process_cli_paired_matches_single_process(tmp_path):
+    """--distributed with -p (two mate files): the chunk-round-robin paired
+    shards (cli.py _run_fastpath_fused) keep mates synchronized — 2
+    processes write the same species/strain tables byte-for-byte as 1
+    process, and the same classification ROWS (round-robin shard order
+    permutes rows across chunks, unlike the byte-range unpaired shards, so
+    rows compare as sorted lines).  PANTAX_TPU_CHUNK_BYTES forces several
+    chunks from the small fixture so both processes genuinely feed reads."""
+    import filecmp
+
+    from pantax_tpu.cli import main as cli_main
+    from pantax_tpu.db.construct import build_database
+    from pantax_tpu.sim import simulate_reads
+
+    db_dir = tmp_path / "db"
+    db = build_database("/root/reference/example/example_genomes_info.txt",
+                        db_dir, base_dir="/root/reference/example/ngs")
+    reads = simulate_reads(db, {"GCF_002012065.1": 4, "GCF_024223415.1": 2,
+                                "GCF_006400955.1": 2},
+                           n_reads=3000, read_len=150, seed=44)
+    r1_fq, r2_fq = tmp_path / "pe_R1.fq", tmp_path / "pe_R2.fq"
+    with open(r1_fq, "w") as f1, open(r2_fq, "w") as f2:
+        for i in range(0, len(reads), 2):
+            for f, r in ((f1, reads[i]), (f2, reads[i + 1])):
+                seq = r.seq if isinstance(r.seq, str) else r.seq.decode()
+                f.write(f"@{r.read_id}\n{seq}\n+\n{'I' * len(seq)}\n")
+
+    env_chunk = {"PANTAX_TPU_CHUNK_BYTES": str(64 << 10)}  # ~4 chunks
+    one = tmp_path / "one"
+    one.mkdir()
+    cwd = os.getcwd()
+    os.chdir(one)
+    os.environ.update(env_chunk)
+    try:
+        rc = cli_main([
+            "-d", str(db_dir), "-s", "-p", "-r", str(r1_fq), str(r2_fq),
+            "--species", "--strain", "--fastpath", "--batch-size", "512",
+            "--mesh", "off",
+            "-T", str(one / "tmpdir"),
+            "-R", str(one / "reads_classification.tsv"),
+        ])
+    finally:
+        os.chdir(cwd)
+        os.environ.pop("PANTAX_TPU_CHUNK_BYTES", None)
+    assert rc == 0
+
+    worker = os.path.join(os.path.dirname(__file__), "_dist_cli_worker.py")
+    port = _free_port()
+    env = {
+        **os.environ,
+        **env_chunk,
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+        "PYTHONPATH": os.pathsep.join([
+            os.path.dirname(__file__),
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            os.environ.get("PYTHONPATH", ""),
+        ]),
+    }
+    runs = [tmp_path / "p0", tmp_path / "p1"]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port), str(db_dir),
+             str(runs[i]), "-p", str(r1_fq), str(r2_fq)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=600)
+        logs.append(stdout.decode())
+    assert all(p.returncode == 0 for p in procs), "\n".join(logs)
+
+    for name in ("species_abundance.txt", "strain_abundance.txt"):
+        assert filecmp.cmp(one / name, runs[0] / name, shallow=False), (
+            name, "\n".join(logs)[-2000:]
+        )
+    a = open(one / "reads_classification.tsv").read().splitlines()
+    b = open(runs[0] / "reads_classification.tsv").read().splitlines()
+    assert sorted(a) == sorted(b), (
+        "classification rows differ between 1- and 2-process runs"
+    )
+    # the round-robin split was real: shard order permuted the rows
+    assert a != b, "expected multiple chunks (PANTAX_TPU_CHUNK_BYTES too big?)"
     assert not (runs[1] / "strain_abundance.txt").exists()

@@ -410,6 +410,62 @@ def test_fused_pipeline_mesh_bit_parity(db, index, tmp_path):
                             shallow=False), name
 
 
+def test_fused_mesh_overflow_residual_bit_parity(db, index, tmp_path):
+    """Mesh x overflow intersection: a forced-tiny L_cap makes reads
+    overflow the node window ON THE 8-DEVICE MESH, so host_residual_updates
+    scatter-adds host-computed contributions into the REPLICATED (sharded-
+    scatter-merged) accumulators (ops/fused.py apply_residual) — an
+    interaction no n_overflow=0 mesh run exercises.  Coverage arrays,
+    per-read columns, overflow count, and the final tables must be
+    bit-identical to the single-device run at the same L_cap."""
+    import filecmp as _filecmp
+
+    from pantax_tpu import parallel
+    from pantax_tpu.align.encode import encode_seq
+    from pantax_tpu.ops.fused import (
+        FusedPipeline, build_fused_tables, profile_from_fused_result,
+    )
+
+    reads = simulate_reads(db, {"GCF_002012065.1": 3, "GCF_024223415.1": 2,
+                                "GCF_006400955.1": 1},
+                           n_reads=1600, read_len=150, seed=23)
+    L = 160
+    codes = np.full((len(reads), L), 4, dtype=np.int8)
+    lens = np.zeros(len(reads), dtype=np.int64)
+    for i, r in enumerate(reads):
+        codes[i, : len(r.seq)] = encode_seq(r.seq)
+        lens[i] = len(r.seq)
+    ids = [r.read_id for r in reads]
+    cfg = ProfilingConfig.for_read_type("short")
+    cfg.tail = "device"
+
+    def run(mesh, out, L_cap):
+        a = Aligner(index, mesh=mesh)
+        tables = build_fused_tables(db, index, mesh=mesh)
+        pipe = FusedPipeline(a, tables, batch=512, L_cap=L_cap)
+        pipe.feed(codes, lens, ids=ids)
+        result = pipe.finish()
+        profile_from_fused_result(result, tables, index, db, cfg, out)
+        return result
+
+    r1 = run(None, tmp_path / "one", L_cap=1)
+    assert r1.n_overflow > 0, "L_cap=1 should overflow 150bp reads"
+    parallel.set_default_mesh(None)  # meshes passed explicitly
+    r8 = run(parallel.make_mesh(8), tmp_path / "mesh", L_cap=1)
+    assert r8.n_overflow == r1.n_overflow
+
+    for name in ("na_d", "ta_d", "bc_d"):
+        assert np.array_equal(
+            np.asarray(getattr(r1, name)), np.asarray(getattr(r8, name))
+        ), f"{name} differs between 1-device and 8-device overflow runs"
+    for k in ("mapq", "aligned", "ridx", "read_len"):
+        assert np.array_equal(r1.reads[k], r8.reads[k]), k
+    for name in ("species_abundance.txt", "strain_abundance.txt",
+                 "ori_strain_abundance.txt", "reads_classification.tsv"):
+        assert _filecmp.cmp(tmp_path / "one" / name, tmp_path / "mesh" / name,
+                            shallow=False), name
+
+
 def test_feed_intervals_matches_fastpath(db, index, aligner, tmp_path):
     """Long-read interval feeds (windowed short spans + the segment-range
     decomposition for long spans) produce the same coverage and the same

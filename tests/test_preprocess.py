@@ -186,6 +186,59 @@ def test_rg_driver(tmp_path, species_genomes):
     assert len(set(taxids)) == len(taxids)
 
 
+def test_rg_cli_remove_plasmids(tmp_path):
+    """pantax-tpu-rg --remove / -rl: plasmid-named and short scaffolds are
+    stripped into filtered genome copies, the curated genomes_info points at
+    them, and all-short genomes are dropped (pantax-rg:86,130-150 ->
+    genomes_process.py:193-231)."""
+    from pantax_tpu.db.rg import main as rg_main
+    from pantax_tpu.io.fastx import iter_fastx, write_fasta
+    from pantax_tpu.io.metadata import read_genomes_info, write_genomes_info
+
+    rng = np.random.default_rng(3)
+    g1 = tmp_path / "g1.fna"
+    write_fasta(g1, [("chr1", _random_genome(rng, 1_200_000)),
+                     ("plasmid pX", _random_genome(rng, 1_100_000)),
+                     ("tiny", _random_genome(rng, 500))])
+    g2 = tmp_path / "g2.fna"
+    write_fasta(g2, [("only_small", _random_genome(rng, 2000))])
+    src = tmp_path / "in_info.txt"
+    out = tmp_path / "out_info.txt"
+    write_genomes_info(src, [
+        GenomeInfo("GCF_1.1_x", "71", "71", "org", str(g1)),
+        GenomeInfo("GCF_2.1_x", "72", "72", "org", str(g2)),
+    ])
+    rc = rg_main(["-c", str(src), "-o", str(out), "--cluster", "none",
+                  "--remove", "-rl", "1.0",
+                  "--filtered-dir", str(tmp_path / "filtered"),
+                  "--base-dir", str(tmp_path)])
+    assert rc == 0
+    curated = read_genomes_info(out)
+    assert [g.genome_id for g in curated] == ["GCF_1.1_x"]  # g2 dropped
+    recs = list(iter_fastx(curated[0].path))
+    assert [n for n, _ in recs] == ["chr1"]  # plasmid + tiny removed
+    assert str(tmp_path / "filtered") in curated[0].path
+
+
+def test_rg_cli_download_summary_offline_error(tmp_path, monkeypatch):
+    """--download-summary on a networkless host fails with a helpful error
+    naming the NCBI URL (the reference driver wgets it, pantax-rg:218-219)."""
+    import urllib.error
+    import urllib.request
+
+    import pytest
+
+    from pantax_tpu.db import rg
+
+    def no_net(*a, **k):
+        raise urllib.error.URLError("no route to host")
+
+    monkeypatch.setattr(urllib.request, "urlretrieve", no_net)
+    with pytest.raises(SystemExit, match="assembly_summary"):
+        rg.main(["-r", str(tmp_path), "--download-summary",
+                 "-o", str(tmp_path / "o.txt")])
+
+
 def test_gfa_import_into_database(tmp_path):
     """Externally built species GFA (pggb-style) is imported as-is."""
     from pantax_tpu.db.construct import build_database
