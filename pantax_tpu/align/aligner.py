@@ -423,19 +423,39 @@ def _banded_extend(window, read, read_len, pad: int, match: int, mismatch: int, 
     return best, start_off, end_off, mcnt
 
 
+def pack_text2d(text: np.ndarray) -> np.ndarray:
+    """Nibble-pack the 256-padded index text into [T/256, 128] uint8 rows
+    (2 bases/byte, 256 bases per row).  _extract_windows gathers whole rows,
+    so halving the row bytes halves that gather's HBM traffic AND the
+    text's device footprint (locality matters once 100M+ base DBs exceed
+    any cache) for the price of a cheap VPU nibble unpack.  Code 4
+    (N/separator) fits a nibble, so no exception list is needed (unlike the
+    2-bit read wire)."""
+    c = np.ascontiguousarray(text).reshape(-1, 256).astype(np.uint8)
+    return c[:, 0::2] | (c[:, 1::2] << 4)
+
+
 def _extract_windows(text2d, w0, W: int):
     """window[i] = text[w0[i] : w0[i] + W] without an elementwise gather:
-    gather whole 256-byte rows, then shift each row into place with a binary
-    decomposition of the in-row offset (static rolls + arithmetic selects).
-    ~4x faster than the naive gather on v5e."""
+    gather whole nibble-packed 128-byte rows (256 bases each, pack_text2d),
+    shift into place with a binary decomposition of the in-row offset
+    (static rolls + arithmetic selects — ~4x faster than the naive
+    elementwise gather on v5e), unpack, and fix up the odd-base offset bit.
+    Rolling the PACKED bytes halves both the gathered traffic and the
+    roll-loop bandwidth vs rolling unpacked codes."""
     n_extra = (W + 255) // 256
     r = w0 >> 8
-    seg = jnp.concatenate([text2d[r + j] for j in range(n_extra + 1)], axis=1)
-    off = (w0 & 255)[:, None]
-    for t in range(8):
-        rolled = jnp.roll(seg, -(1 << t), axis=1)
-        bit = ((off >> t) & 1).astype(jnp.int8)
-        seg = rolled * bit + seg * (1 - bit)
+    seg_p = jnp.concatenate(
+        [text2d[r + j] for j in range(n_extra + 1)], axis=1
+    )
+    offb = ((w0 & 255) >> 1)[:, None]  # byte offset within the row
+    for t in range(7):
+        rolled = jnp.roll(seg_p, -(1 << t), axis=1)
+        bit = ((offb >> t) & 1).astype(seg_p.dtype)
+        seg_p = rolled * bit + seg_p * (1 - bit)
+    seg = _unpack_codes_j(seg_p)
+    odd = (w0 & 1)[:, None]
+    seg = jnp.where(odd == 1, jnp.roll(seg, -1, axis=1), seg)
     return seg[:, :W]
 
 
@@ -900,7 +920,7 @@ class Aligner:
         assert index.text_len % 256 == 0, "index text must be 256-padded (rebuild the align index)"
         self.mesh = mesh if mesh is not None else default_mesh()
         put = self._replicate
-        self.text_d = put(index.text.reshape(-1, 256))
+        self.text_d = put(pack_text2d(index.text))
         (run_table, pos, self.bucket_bits, bucket_lo,
          self.lookup_steps) = build_seed_lookup(
             index.seed_keys, index.seed_pos, self.cfg.hits_per_seed)

@@ -637,6 +637,21 @@ def test_paired_streaming_chunks_match_whole_file(db, index, aligner,
     assert key(whole1) == key(whole2)
 
 
+def test_auto_density_bits_scales_with_text():
+    """Seed sampling density adapts to DB size at build time (VERDICT r3
+    item 2): small/mid DBs keep bits=3 (warmed graphs unchanged); each ~4x
+    of text beyond 48M bases adds one bit, capped at 5 so a 150bp read still
+    samples enough seeds for the diagonal vote."""
+    from pantax_tpu.align.index import auto_density_bits
+
+    assert auto_density_bits(1 << 20) == 3
+    assert auto_density_bits(48 << 20) == 3       # scale-1 (~31M) stays 3
+    assert auto_density_bits(102 << 20) == 4      # scale-2 (~103M) -> 4
+    assert auto_density_bits(192 << 20) == 4
+    assert auto_density_bits(500 << 20) == 5
+    assert auto_density_bits(1 << 40) == 5        # capped
+
+
 def test_chd_lookup_matches_bisect():
     """The CHD displacement-hash lookup (plan -1) returns the same hits as
     the bucketed-bisection fallback on the same seed table: identical

@@ -86,7 +86,9 @@ def test_default_mesh_routes_device_coverage():
 def test_coverage_totals_match_alignment_spans():
     """Sharded coverage sums to the total aligned bases."""
     import __graft_entry__ as g
-    from pantax_tpu.align.aligner import _query_batch, build_seed_lookup, pack_codes
+    from pantax_tpu.align.aligner import (
+        _query_batch, build_seed_lookup, pack_codes, pack_text2d,
+    )
     from pantax_tpu.align.index import build_align_index
     from pantax_tpu.config import AlignConfig
     from pantax_tpu.ops.coverage import interval_node_coverage
@@ -104,7 +106,7 @@ def test_coverage_totals_match_alignment_spans():
     )
     codes, lens = g._reads_from_index(index, 128, 128, seed=5)
     ts, te, *_rest = _query_batch(
-        index.text.reshape(-1, 256),
+        pack_text2d(index.text),
         run_table, pos, bucket_lo,
         index.tstart.astype(np.int32), index.tnode.astype(np.int32),
         pack_codes(codes), lens.astype(np.int32), cfg_static,
