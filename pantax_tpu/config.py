@@ -69,7 +69,14 @@ class AlignConfig:
     (seeds are sampled where mix(hash) % 2^density_bits == 0 on both sides).
     """
 
-    max_seeds: int = 24         # sampled seeds per read strand
+    # sampled seeds per read strand.  16 measured IDENTICAL to 24 in aligned
+    # fraction, placement, species accuracy AND the full mapq distribution on
+    # both the example reads and the 102-strain scale DB (1% error, CPU A/B
+    # 2026-08: the diagonal vote saturates well before 16 seeds), while the
+    # seed-lookup gathers, the select one-hot and the O(S^2 C^2) vote all
+    # shrink with S.  hits_per_seed=2 was TRIED AND REJECTED: -0.17% aligned,
+    # mapq60 0.762 -> 0.745 at 102 strains (multiplicity evidence lost).
+    max_seeds: int = 16
     hits_per_seed: int = 4      # index hits taken per seed
     max_candidates: int = 2     # extension candidates after strand-union voting
     extension_band: int = 8     # banded-DP half band (band = 2*pad+1 = 17)
