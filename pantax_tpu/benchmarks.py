@@ -251,7 +251,9 @@ def run_long_e2e_benchmark(
     )
 
     index = build_align_index(db)
-    aligner = Aligner(index)
+    from .config import AlignConfig
+
+    aligner = Aligner(index, cfg=AlignConfig.for_read_type("long"))
     cfg = ProfilingConfig.for_read_type("long")
     tables = build_fused_tables(db, index)
     chunk = LONG_READ_PRESETS[read_type]
@@ -319,7 +321,10 @@ def run_mixed_benchmark(
     from .ops.fused import build_fused_tables, profile_fused
 
     index = build_align_index(db)
+    from .config import AlignConfig
+
     aligner = Aligner(index)
+    aligner_long = Aligner(index, cfg=AlignConfig.for_read_type("long"))
     cfg = ProfilingConfig.for_read_type("short")
     tables = build_fused_tables(db, index)
 
@@ -332,7 +337,7 @@ def run_mixed_benchmark(
     profile_fused(aligner, codes[: 2 * batch], lens[: 2 * batch], index, db,
                   cfg, out_dir, batch, tables=tables)
     stride = LONG_READ_SEED_STRIDE[read_type]
-    align_long_reads(aligner, long_reads[:1024], chunk=chunk,
+    align_long_reads(aligner_long, long_reads[:1024], chunk=chunk,
                      batch_size=long_batch, seed_stride=stride)
 
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -342,7 +347,7 @@ def run_mixed_benchmark(
                   tables=tables, stage_out=stage)
     short_s = time.time() - t0
     t1 = time.time()
-    gaf = align_long_reads(aligner, long_reads, chunk=chunk,
+    gaf = align_long_reads(aligner_long, long_reads, chunk=chunk,
                            batch_size=long_batch, seed_stride=stride)
     gaf = filter_best_long_read_alignments(gaf)
     long_s = time.time() - t1
@@ -490,7 +495,9 @@ def long_read_accuracy_benchmark(
     from .pipeline import profile_from_gaf
 
     index = build_align_index(db)
-    aligner = Aligner(index)
+    from .config import AlignConfig
+
+    aligner = Aligner(index, cfg=AlignConfig.for_read_type("long"))
     H = len(index.hap_names)
     weights = np.array([1.0 * (3 ** (i % 3)) for i in range(H)])
     reads, hap = simulate_long_reads(

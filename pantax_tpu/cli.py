@@ -233,9 +233,11 @@ def _main(argv: list[str] | None = None) -> int:
             import numpy as np
 
             from .align.aligner import Aligner
+            from .config import AlignConfig
             from .ops.fused import build_fused_tables, fused_alignment_coverage
 
-            aligner = Aligner(index)
+            aligner = Aligner(index, cfg=AlignConfig.for_read_type(
+                "long" if args.long_read else "short"))
             B = args.batch_size
             # an N-heavy batch (all bases = 4 within read lengths) exceeds
             # the 2-bit wire's exception cap, so feeding one warms the 4-bit
@@ -298,8 +300,10 @@ def _main(argv: list[str] | None = None) -> int:
         gaf = read_gaf(gaf_file)
     else:
         from .align.aligner import Aligner
+        from .config import AlignConfig
 
-        aligner = Aligner(index)
+        aligner = Aligner(index, cfg=AlignConfig.for_read_type(
+            "long" if args.long_read else "short"))
         with stage_timer("alignment"), device_trace(args.trace_dir):
             if args.short_read:
                 gaf = []
@@ -418,9 +422,10 @@ def _run_fastpath_long(args, db, index, tmp: Path, t0: float) -> int:
     from .ops.fused import (
         FusedPipeline, build_fused_tables, profile_from_fused_result,
     )
+    from .config import AlignConfig
     from .utils.logging import stage_timer
 
-    aligner = Aligner(index)
+    aligner = Aligner(index, cfg=AlignConfig.for_read_type("long"))
     tables = build_fused_tables(db, index)
     pipe = FusedPipeline(aligner, tables, batch=args.batch_size)
     n_aligned = 0

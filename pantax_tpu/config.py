@@ -77,9 +77,14 @@ class AlignConfig:
     # shrink with S.  hits_per_seed=2 was TRIED AND REJECTED: -0.17% aligned,
     # mapq60 0.762 -> 0.745 at 102 strains (multiplicity evidence lost).
     max_seeds: int = 16
+    # banded-DP half band.  4 (8 sublane rows = ONE tile, half the DP work)
+    # measured identical to 8 on 150bp short reads at 1% subs + 1% indels
+    # (102-strain CPU A/B: aligned/acc/mapq unchanged); LONG-read chunks
+    # keep 8 via for_read_type("long") — indel drift across a 512bp chunk
+    # plus rescue-window slack needs the wider band (align/long_read.py).
     hits_per_seed: int = 4      # index hits taken per seed
     max_candidates: int = 2     # extension candidates after strand-union voting
-    extension_band: int = 8     # banded-DP half band (band = 2*pad+1 = 17)
+    extension_band: int = 4
     match: int = 1
     mismatch: int = -1
     gap_extend: int = -2        # linear gap cost
@@ -94,6 +99,14 @@ class AlignConfig:
     frag_max: int = 1200
     pair_bonus: int = 4
     rescue_frac: float = 0.45
+
+    @classmethod
+    def for_read_type(cls, read_type: str, **kw) -> "AlignConfig":
+        """Read-type-tuned aligner config: long-read chunking keeps the
+        wider DP band (see extension_band comment)."""
+        if read_type == "long":
+            kw.setdefault("extension_band", 8)
+        return cls(**kw)
 
 
 @dataclass

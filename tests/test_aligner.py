@@ -32,6 +32,15 @@ def aligner(index):
 
 
 @pytest.fixture(scope="module")
+def aligner_long(index):
+    """Long-read product config: wider DP band for chunk indel drift
+    (AlignConfig.for_read_type('long') — what the CLI long flows build)."""
+    from pantax_tpu.config import AlignConfig
+
+    return Aligner(index, cfg=AlignConfig.for_read_type("long"))
+
+
+@pytest.fixture(scope="module")
 def hap_weights(db):
     infos = read_genomes_info(EXAMPLE_INFO)
     return {i.hap_id if i.hap_id != "MGYG000002538" else i.hap_id: 1.0
@@ -138,7 +147,7 @@ def test_full_pipeline_with_aligner(db, aligner, tmp_path):
     assert top["predicted_abundance"] == pytest.approx(4.0 / total, abs=0.08)
 
 
-def test_long_reads_with_indels(db, aligner):
+def test_long_reads_with_indels(db, aligner_long):
     """Chunked long-read alignment survives indels (HiFi-like error model)."""
     from pantax_tpu.align.long_read import align_long_reads
 
@@ -157,7 +166,7 @@ def test_long_reads_with_indels(db, aligner):
             else:
                 piece.insert(p, ord("ACGT"[rng.integers(4)]))
         reads.append((f"L{i}", bytes(piece)))
-    gaf = align_long_reads(aligner, reads, chunk=512, batch_size=512)
+    gaf = align_long_reads(aligner_long, reads, chunk=512, batch_size=512)
     assert len(gaf) >= 18
     ranges = load_species_range(db.range_file)
     from pantax_tpu.profile.rcls import classify_reads
@@ -167,7 +176,7 @@ def test_long_reads_with_indels(db, aligner):
     assert np.mean([(g.path_end - g.path_start) / g.read_len for g in gaf]) > 0.9
 
 
-def test_long_read_seed_stride_matches_full_seeding(db, aligner):
+def test_long_read_seed_stride_matches_full_seeding(db, aligner_long):
     """seed_stride=2 (skip seeding for every other chunk; rescue at
     neighbour-predicted windows) reproduces full seeding's emitted spans on
     HiFi-like reads — the carried-band blockwise DP path."""
@@ -191,9 +200,9 @@ def test_long_read_seed_stride_matches_full_seeding(db, aligner):
                 piece.insert(p, ord("ACGT"[rng.integers(4)]))
         reads.append((f"S{i}", bytes(piece)))
     full = {r.read_id: r for r in
-            align_long_reads(aligner, reads, chunk=512, batch_size=512)}
+            align_long_reads(aligner_long, reads, chunk=512, batch_size=512)}
     strided = {r.read_id: r for r in
-               align_long_reads(aligner, reads, chunk=512, batch_size=512,
+               align_long_reads(aligner_long, reads, chunk=512, batch_size=512,
                                 seed_stride=2)}
     assert len(strided) >= len(full) - 1
     both = set(full) & set(strided)
@@ -208,7 +217,7 @@ def test_long_read_seed_stride_matches_full_seeding(db, aligner):
         assert (s.path_end - s.path_start) / s.read_len > 0.9
 
 
-def test_long_read_streamed_groups_match_whole_list(db, aligner, tmp_path):
+def test_long_read_streamed_groups_match_whole_list(db, aligner_long, tmp_path):
     """The streamed long-read flow (iter_read_groups + per-group
     align_long_reads + concat) is bit-identical to the whole-list call:
     chunk merging is per read, so group boundaries cannot change any output.
@@ -235,14 +244,14 @@ def test_long_read_streamed_groups_match_whole_list(db, aligner, tmp_path):
             f.write(b"@" + name.encode() + b"\n" + s + b"\n+\n"
                     + b"I" * len(s) + b"\n")
 
-    whole = align_long_reads(aligner, reads, chunk=512, batch_size=512,
+    whole = align_long_reads(aligner_long, reads, chunk=512, batch_size=512,
                              as_arrays=True)
     # ~12KB groups -> several groups from the 100KB input
     groups = list(iter_read_groups([fq], group_bases=12_000))
     assert len(groups) > 3
     assert [r for grp in groups for r in grp] == reads
     streamed = concat_arrays([
-        align_long_reads(aligner, grp, chunk=512, batch_size=512,
+        align_long_reads(aligner_long, grp, chunk=512, batch_size=512,
                          as_arrays=True)
         for grp in groups
     ])
@@ -262,7 +271,7 @@ def test_short_engine_rejects_long_reads(aligner, tmp_path):
     (0.015, 0.005, 384),   # ONT R10-like
     (0.04, 0.02, 256),     # ONT R9-like
 ])
-def test_long_reads_high_error(db, aligner, sub, indel, chunk):
+def test_long_reads_high_error(db, aligner_long, sub, indel, chunk):
     from pantax_tpu.align.long_read import align_long_reads
 
     rng = np.random.default_rng(13)
@@ -282,7 +291,7 @@ def test_long_reads_high_error(db, aligner, sub, indel, chunk):
             else:
                 piece.insert(p, ord("ACGT"[rng.integers(4)]))
         reads.append((f"E{i}", bytes(piece)))
-    gaf = align_long_reads(aligner, reads, chunk=chunk, batch_size=512)
+    gaf = align_long_reads(aligner_long, reads, chunk=chunk, batch_size=512)
     assert len(gaf) >= 13
     spans = [(g.path_end - g.path_start) / g.read_len for g in gaf]
     assert np.mean(spans) > 0.9
