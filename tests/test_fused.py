@@ -410,6 +410,61 @@ def test_fused_pipeline_mesh_bit_parity(db, index, tmp_path):
                             shallow=False), name
 
 
+def test_fused_paired_and_intervals_mesh_bit_parity(db, index, tmp_path):
+    """Mesh x paired and mesh x interval-feed intersections: feed_paired
+    (joint fragment step, 4-bit wire on multi-device) and feed_intervals
+    (windowed + range-decomposed long spans) on the 8-device mesh produce
+    coverage arrays and per-read columns bit-identical to 1 device."""
+    from pantax_tpu import parallel
+    from pantax_tpu.ops.fused import FusedPipeline, build_fused_tables
+
+    rng = np.random.default_rng(31)
+    n, Lr, frag, L = 1024, 150, 400, 160
+    H = len(index.hap_names)
+    hap = rng.integers(0, H, size=n)
+    spans = np.diff(index.hap_offsets) - 1
+    starts = (
+        index.hap_offsets[hap]
+        + rng.integers(0, np.maximum(spans[hap] - frag - 64, 1))
+    ).astype(np.int64)
+    cols = np.arange(Lr)
+    c1 = np.full((n, L), 4, np.int8)
+    c2 = np.full((n, L), 4, np.int8)
+    c1[:, :Lr] = index.text[starts[:, None] + cols]
+    m2 = index.text[(starts + frag - Lr)[:, None] + cols]
+    rc = (3 - m2[:, ::-1]).astype(np.int8)
+    c2[:, :Lr] = np.where(rc < 0, 4, rc)
+    l1 = np.full(n, Lr, np.int64)
+    l2 = l1.copy()
+    # long intervals for feed_intervals: spans well past the window cap
+    iv_hap = rng.integers(0, H, size=64)
+    iv_lo = index.hap_offsets[iv_hap]
+    iv_hi = index.hap_offsets[iv_hap + 1] - 1
+    iv_ts = iv_lo + rng.integers(0, np.maximum((iv_hi - iv_lo) // 2, 1))
+    iv_te = np.minimum(iv_ts + 9000, iv_hi)
+    iv_mapq = rng.integers(0, 61, size=64)
+    iv_len = (iv_te - iv_ts).astype(np.int64)
+
+    def run(mesh):
+        a = Aligner(index, mesh=mesh)
+        tables = build_fused_tables(db, index, mesh=mesh)
+        pipe = FusedPipeline(a, tables, batch=256)
+        pipe.feed_paired(c1, l1, c2, l2)
+        pipe.feed_intervals(iv_ts, iv_te, iv_mapq, iv_len)
+        return pipe.finish()
+
+    r1 = run(None)
+    parallel.set_default_mesh(None)
+    r8 = run(parallel.make_mesh(8))
+    assert int(r1.reads["aligned"].sum()) > n  # both mates + intervals
+    for name in ("na_d", "ta_d", "bc_d"):
+        assert np.array_equal(
+            np.asarray(getattr(r1, name)), np.asarray(getattr(r8, name))
+        ), f"{name} differs between 1-device and 8-device paired/interval run"
+    for k in ("mapq", "aligned", "ridx", "read_len"):
+        assert np.array_equal(r1.reads[k], r8.reads[k]), k
+
+
 def test_fused_mesh_overflow_residual_bit_parity(db, index, tmp_path):
     """Mesh x overflow intersection: a forced-tiny L_cap makes reads
     overflow the node window ON THE 8-DEVICE MESH, so host_residual_updates
