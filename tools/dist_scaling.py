@@ -44,7 +44,7 @@ def _run(nproc: int, db_dir: str, reads_fq: str, root: str) -> float:
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(i), str(nproc), str(port), db_dir,
-             reads_fq, os.path.join(root, f"n{nproc}_p{i}")],
+             os.path.join(root, f"n{nproc}_p{i}"), reads_fq],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
         for i in range(nproc)
