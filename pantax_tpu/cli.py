@@ -273,6 +273,28 @@ def _main(argv: list[str] | None = None) -> int:
                     tables = build_fused_tables(db, index)
                     fused_alignment_coverage(aligner, zc, zl, tables, B)
                     fused_alignment_coverage(aligner, zc, zl_n, tables, B)
+                with stage_timer("kernel warmup (device profile tail)"):
+                    # the batched device-PAO graphs are the slowest tail
+                    # compiles (~17 min at 102 species in busy windows) and
+                    # their shapes are fixed by the DB's species/path
+                    # geometry — warm them with a synthetic uniform
+                    # coverage that passes every strain through the first
+                    # filter so every bucket's solve compiles now
+                    import jax.numpy as jnp
+
+                    from .config import ProfilingConfig
+                    from .ops.fused import FusedResult, _device_tail_solve
+
+                    fake = FusedResult(
+                        jnp.ones(tables.N_pad, jnp.float32),
+                        jnp.ones(tables.U_pad, jnp.float32),
+                        jnp.ones(tables.N_pad, jnp.int32),
+                        {"aligned": np.ones(1, bool)}, 0,
+                    )
+                    _device_tail_solve(
+                        tables, ProfilingConfig.for_read_type("short"),
+                        list(tables.species), fake,
+                    )
         return 0
 
     if not args.reads:
