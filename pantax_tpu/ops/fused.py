@@ -232,6 +232,104 @@ def _classify_scatter(
     return ridx, overflow, new_acc
 
 
+def _classify_scatter_ranges(
+    ts, te, aligned,
+    hap_offsets, hap_range, pos_lo, tstart, tnode, trio_seg,
+    nodes_len, base_offset,
+    acc,
+    *,
+    win_shift: int, pos_steps: int, total_bases: int,
+):
+    """Range-decomposition classify+scatter: O(1) device updates per read
+    for ANY node span, no L_cap window, no overflow path.
+
+    Generalizes _interval_range_step (long-read spans >= 5) to every span:
+
+      span 1:  bases te-ts @ first node, diff [rs, rs + te-ts); no depth.
+      span 2:  first/last partial segments direct; the middle-depth diff
+               updates (+1 @ i0+1, -1 @ i1) land on the same index and
+               cancel; no trio (needs 3 segments).
+      span >=3: first/last direct, middle segments [i0+1, i1-1] and trio
+               windows [i0, i1-2] as segment-space depth diffs (acc_sn /
+               acc_st, folded by _expand_ranges once at finish), plus the
+               two end-window partial-node trio corrections.
+
+    Replaces the [B, L_cap] window gathers + per-column scatters of
+    _classify_scatter (~74ms/batch over the plain query at 1M scale,
+    ~151ms at 102 strains — tools/fused_split.py) with ~12 scalar scatter
+    updates per read (~2ms, tools/scatter_probe.py).  Valid only on
+    DBs where no haplotype revisits a node within one read's segment span
+    (tables.has_dups False, the measured case for chunked and
+    anchor-partition graphs): first-occurrence dedup would need the
+    windowed formulation.  Semantics parity: profile.rs:742-1026 base
+    allocation, same oracle as _classify_scatter (tests/test_fused.py runs
+    both formulations against profile/coverage.py)."""
+    acc_bases, acc_diff, acc_trio, acc_sn, acc_st = acc
+
+    h = jnp.clip(
+        jnp.searchsorted(hap_offsets, ts, side="right") - 1,
+        0, hap_range.shape[0] - 1,
+    )
+    ridx = jnp.where(aligned, hap_range[h], -1)
+    live = aligned & (ridx >= 0) & (te > ts)
+
+    i0 = locate_segment(tstart, pos_lo, win_shift, pos_steps, ts)
+    i1 = locate_segment(tstart, pos_lo, win_shift, pos_steps,
+                        jnp.maximum(te - 1, ts))
+    span = i1 - i0 + 1
+    multi = live & (span >= 2)
+    trio3 = live & (span >= 3)
+
+    n0 = tnode[i0].astype(jnp.int32) - 1
+    n1 = tnode[i1].astype(jnp.int32) - 1
+    rs = (ts - tstart[i0]).astype(jnp.int32)
+    rem = (te - tstart[i1]).astype(jnp.int32)
+    nlen0 = nodes_len[n0].astype(jnp.int32)
+    nlen1 = nodes_len[n1].astype(jnp.int32)
+    tgt = (te - ts).astype(jnp.int32)
+
+    N = acc_bases.shape[0]
+    first_val = jnp.where(multi, nlen0 - rs, tgt)
+    b_idx = jnp.concatenate([
+        jnp.where(live, n0, N), jnp.where(multi, n1, N),
+    ])
+    b_val = jnp.concatenate([first_val, rem]).astype(jnp.float32)
+    acc_bases = acc_bases.at[b_idx].add(b_val, mode="drop")
+
+    # per-base diff: sentinel index total_bases is the [TB+1] array's last
+    # element, excluded by the finalize cumsum (diff[:-1])
+    bo0 = base_offset[n0]
+    bo1 = base_offset[n1]
+    first_hi = jnp.where(multi, nlen0, rs + tgt)
+    d_lo = jnp.concatenate([
+        jnp.where(live, bo0 + rs, total_bases),
+        jnp.where(multi, bo1, total_bases),
+    ])
+    d_hi = jnp.concatenate([
+        jnp.where(live, bo0 + first_hi, total_bases),
+        jnp.where(multi, bo1 + rem, total_bases),
+    ])
+    acc_diff = acc_diff.at[d_lo].add(1).at[d_hi].add(-1)
+
+    S = acc_sn.shape[0]
+    acc_sn = acc_sn.at[jnp.where(multi, i0 + 1, S)].add(1, mode="drop")
+    acc_sn = acc_sn.at[jnp.where(multi, i1, S)].add(-1, mode="drop")
+    acc_st = acc_st.at[jnp.where(trio3, i0, S)].add(1, mode="drop")
+    acc_st = acc_st.at[jnp.where(trio3, i1 - 1, S)].add(-1, mode="drop")
+
+    U = acc_trio.shape[0]
+    m0 = trio_seg[i0]
+    m1 = trio_seg[jnp.maximum(i1 - 2, 0)]
+    t_idx = jnp.concatenate([
+        jnp.where(trio3 & (m0 >= 0), m0, U),
+        jnp.where(trio3 & (m1 >= 0), m1, U),
+    ])
+    t_val = jnp.concatenate([-rs, -(nlen1 - rem)]).astype(jnp.float32)
+    acc_trio = acc_trio.at[t_idx].add(t_val, mode="drop")
+
+    return ridx, (acc_bases, acc_diff, acc_trio, acc_sn, acc_st)
+
+
 def _fused_step_impl(
     # align index (replicated device arrays)
     text2d, run_table, seed_pos, bucket_lo, tstart, tnode,
@@ -315,6 +413,95 @@ _fused_step = partial(
     ),
     donate_argnums=(18, 19, 20),  # acc_bases, acc_diff, acc_trio
 )(_fused_step_impl)
+
+
+def _narrow_per_read_nov(ts, te, mapq, aligned, ridx):
+    """_narrow_per_read for the range-decomposition step: no overflow
+    exists, so the compact row table and its nonzero sort are dropped."""
+    return (
+        ts.astype(jnp.int32),
+        (te - ts).astype(jnp.int16),
+        mapq.astype(jnp.int8),
+        aligned,
+        ridx.astype(jnp.int16),
+    )
+
+
+def _fused_step_ranges_impl(
+    text2d, run_table, seed_pos, bucket_lo, tstart, tnode,
+    hap_offsets, hap_range, pos_lo, trio_seg,
+    nodes_len, base_offset,
+    codes_packed, read_len,
+    acc_bases, acc_diff, acc_trio, acc_sn, acc_st,
+    *,
+    cfg_static, win_shift: int, pos_steps: int, total_bases: int,
+):
+    """Fused align+classify+coverage with the range-decomposition scatter
+    (_classify_scatter_ranges): no window gathers, no L_cap, no overflow."""
+    from ..align.aligner import _query_batch
+
+    ts, te, score, matches, mapq, strand, aligned = _query_batch(
+        text2d, run_table, seed_pos, bucket_lo, tstart, tnode,
+        codes_packed, read_len, cfg_static,
+    )
+    ridx, accs = _classify_scatter_ranges(
+        ts, te, aligned,
+        hap_offsets, hap_range, pos_lo, tstart, tnode, trio_seg,
+        nodes_len, base_offset,
+        (acc_bases, acc_diff, acc_trio, acc_sn, acc_st),
+        win_shift=win_shift, pos_steps=pos_steps, total_bases=total_bases,
+    )
+    return accs + _narrow_per_read_nov(ts, te, mapq, aligned, ridx)
+
+
+_fused_step_ranges = partial(
+    jax.jit,
+    static_argnames=("cfg_static", "win_shift", "pos_steps", "total_bases"),
+    donate_argnums=(14, 15, 16, 17, 18),  # the five accumulators
+)(_fused_step_ranges_impl)
+
+
+def _fused_step_paired_ranges_impl(
+    text2d, run_table, seed_pos, bucket_lo, tstart, tnode,
+    hap_offsets, hap_range, pos_lo, trio_seg,
+    nodes_len, base_offset,
+    codes1_packed, len1, codes2_packed, len2,
+    acc_bases, acc_diff, acc_trio, acc_sn, acc_st,
+    *,
+    cfg_static, frag_max: int, pair_bonus: int, rescue_frac: float,
+    win_shift: int, pos_steps: int, total_bases: int,
+):
+    from ..align.aligner import _query_batch_paired
+
+    r1, r2 = _query_batch_paired(
+        text2d, run_table, seed_pos, bucket_lo, tstart, tnode,
+        codes1_packed, len1, codes2_packed, len2,
+        cfg_static, frag_max, pair_bonus, rescue_frac,
+    )
+    (ts1, te1, _s1, _m1, mq1, _st1, al1) = r1
+    (ts2, te2, _s2, _m2, mq2, _st2, al2) = r2
+    ts = jnp.concatenate([ts1, ts2])
+    te = jnp.concatenate([te1, te2])
+    aligned = jnp.concatenate([al1, al2])
+    ridx, accs = _classify_scatter_ranges(
+        ts, te, aligned,
+        hap_offsets, hap_range, pos_lo, tstart, tnode, trio_seg,
+        nodes_len, base_offset,
+        (acc_bases, acc_diff, acc_trio, acc_sn, acc_st),
+        win_shift=win_shift, pos_steps=pos_steps, total_bases=total_bases,
+    )
+    mapq = jnp.concatenate([mq1, mq2])
+    return accs + _narrow_per_read_nov(ts, te, mapq, aligned, ridx)
+
+
+_fused_step_paired_ranges = partial(
+    jax.jit,
+    static_argnames=(
+        "cfg_static", "frag_max", "pair_bonus", "rescue_frac",
+        "win_shift", "pos_steps", "total_bases",
+    ),
+    donate_argnums=(16, 17, 18, 19, 20),  # the five accumulators
+)(_fused_step_paired_ranges_impl)
 
 
 def _fused_step_paired_impl(
@@ -430,74 +617,30 @@ _interval_window_step = partial(
 
 
 def _interval_range_step_impl(
-    tstart, tnode, pos_lo, trio_seg,
+    tstart, tnode, hap_offsets, hap_range, pos_lo, trio_seg,
     nodes_len, base_offset,
     ts, te, live,
     acc_bases, acc_diff, acc_trio, acc_sn, acc_st,
     *,
     win_shift: int, pos_steps: int, total_bases: int,
 ):
-    """Range decomposition for reads spanning > L_cap segments (span >= 5
-    guaranteed by the host pre-partition):
-
-      - first segment: bases nlen0 - rs starting at rs; last: rem from 0
-        (profile.rs:848-883 end allocation), scattered per read;
-      - middle segments [i0+1, i1-1]: +1 into the node-depth diff acc_sn;
-      - trio windows [i0, i1-2]: +1 into the window-depth diff acc_st, with
-        the two end windows' partial-node corrections (-rs at window i0,
-        -(nlen1 - rem) at window i1-2) scattered per read."""
-    M = tstart.shape[0]
-    i0 = locate_segment(tstart, pos_lo, win_shift, pos_steps, ts)
-    i1 = locate_segment(tstart, pos_lo, win_shift, pos_steps,
-                        jnp.maximum(te - 1, ts))
-    n0 = tnode[i0].astype(jnp.int32) - 1
-    n1 = tnode[i1].astype(jnp.int32) - 1
-    rs = (ts - tstart[i0]).astype(jnp.int32)
-    rem = (te - tstart[i1]).astype(jnp.int32)
-    nlen0 = nodes_len[n0].astype(jnp.int32)
-    nlen1 = nodes_len[n1].astype(jnp.int32)
-
-    N = acc_bases.shape[0]
-    b_idx = jnp.concatenate([
-        jnp.where(live, n0, N), jnp.where(live, n1, N),
-    ])
-    b_val = jnp.concatenate([nlen0 - rs, rem]).astype(jnp.float32)
-    acc_bases = acc_bases.at[b_idx].add(b_val, mode="drop")
-
-    bo0 = base_offset[n0]
-    bo1 = base_offset[n1]
-    d_lo = jnp.concatenate([
-        jnp.where(live, bo0 + rs, total_bases),
-        jnp.where(live, bo1, total_bases),
-    ])
-    d_hi = jnp.concatenate([
-        jnp.where(live, bo0 + nlen0, total_bases),
-        jnp.where(live, bo1 + rem, total_bases),
-    ])
-    acc_diff = acc_diff.at[d_lo].add(1).at[d_hi].add(-1)
-
-    S = acc_sn.shape[0]
-    acc_sn = acc_sn.at[jnp.where(live, i0 + 1, S)].add(1, mode="drop")
-    acc_sn = acc_sn.at[jnp.where(live, i1, S)].add(-1, mode="drop")
-    # trio window range [i0, i1-2] (span >= 5 -> nonempty, ends distinct)
-    acc_st = acc_st.at[jnp.where(live, i0, S)].add(1, mode="drop")
-    acc_st = acc_st.at[jnp.where(live, i1 - 1, S)].add(-1, mode="drop")
-    U = acc_trio.shape[0]
-    m0 = trio_seg[i0]
-    m1 = trio_seg[jnp.maximum(i1 - 2, 0)]
-    t_idx = jnp.concatenate([
-        jnp.where(live & (m0 >= 0), m0, U),
-        jnp.where(live & (m1 >= 0), m1, U),
-    ])
-    t_val = jnp.concatenate([-rs, -(nlen1 - rem)]).astype(jnp.float32)
-    acc_trio = acc_trio.at[t_idx].add(t_val, mode="drop")
-    return acc_bases, acc_diff, acc_trio, acc_sn, acc_st
+    """Range decomposition for pre-aligned text intervals of ANY span on
+    dup-free haplotypes: _classify_scatter_ranges without the query (the
+    per-read columns were computed on host by feed_intervals)."""
+    _ridx, accs = _classify_scatter_ranges(
+        ts, te, live,
+        hap_offsets, hap_range, pos_lo, tstart, tnode, trio_seg,
+        nodes_len, base_offset,
+        (acc_bases, acc_diff, acc_trio, acc_sn, acc_st),
+        win_shift=win_shift, pos_steps=pos_steps, total_bases=total_bases,
+    )
+    return accs
 
 
 _interval_range_step = partial(
     jax.jit,
     static_argnames=("win_shift", "pos_steps", "total_bases"),
-    donate_argnums=(9, 10, 11, 12, 13),
+    donate_argnums=(11, 12, 13, 14, 15),
 )(_interval_range_step_impl)
 
 
@@ -899,6 +1042,11 @@ class FusedPipeline:
         self.tables = tables
         self.batch = batch
         self.L_cap = L_cap  # None -> auto_node_window at first feed
+        # None -> decided at first feed: dup-free DBs route the codes path
+        # through the range-decomposition scatter (no window, no overflow);
+        # an explicit L_cap forces the windowed formulation (the overflow
+        # tests' knob), PANTAX_TPU_FUSED_RANGES=0/1 overrides for A/B
+        self.use_ranges: bool | None = False if L_cap is not None else None
         # prefetch_spans=True streams the per-read text intervals (ts/span,
         # 6B/read) to host during the align loop like the other columns —
         # for callers that always consume them (the CLI's resume artifact).
@@ -936,6 +1084,37 @@ class FusedPipeline:
         self._n_int_residual = 0
 
     _MAT_LAG = 8  # batches kept on device before materializing to host
+
+    def _decide_ranges(self, read_pad: int) -> bool:
+        """Range scatter needs dup-free windows over one read's whole
+        segment span; tables.has_dups checked a 64-segment window, so wider
+        span bounds re-check at the exact width (cached per width)."""
+        env = os.environ.get("PANTAX_TPU_FUSED_RANGES")
+        if env == "0":
+            return False
+        tables, index = self.tables, self.aligner.index
+        if tables.has_dups and env != "1":
+            return False
+        bound = node_span_bound(
+            index, read_pad, self.aligner.cfg.extension_band
+        )
+        if bound > 64 and env != "1":
+            cached = getattr(tables, "_dupfree_w", {})
+            ok = cached.get(bound)
+            if ok is None:
+                ok = not _window_has_dup_nodes(index, W=bound)
+                cached[bound] = ok
+                tables._dupfree_w = cached
+            if not ok:
+                return False
+        return True
+
+    def _ensure_seg_accs(self) -> None:
+        if self._acc_sn is None:
+            M = len(self.aligner.index.tstart)
+            mesh = self.tables.mesh
+            self._acc_sn = _put_repl(np.zeros(M + 1, np.int32), mesh)
+            self._acc_st = _put_repl(np.zeros(M + 1, np.int32), mesh)
 
     def _materialize_to(self, bound: int, ov_bound: int | None = None) -> None:
         """Convert per-read device refs to host arrays up to ``bound``.
@@ -1012,7 +1191,11 @@ class FusedPipeline:
 
     def feed(self, codes, lens, ids=None) -> None:
         aligner, tables, batch = self.aligner, self.tables, self.batch
-        if self.L_cap is None:
+        if self.use_ranges is None:
+            self.use_ranges = self._decide_ranges(codes.shape[1])
+        if self.use_ranges:
+            self._ensure_seg_accs()
+        elif self.L_cap is None:
             self.L_cap = auto_node_window(
                 aligner.index, codes.shape[1], aligner.cfg.extension_band
             )
@@ -1029,28 +1212,48 @@ class FusedPipeline:
                 b_lens = np.concatenate(
                     [b_lens, np.zeros(batch - (hi - lo), b_lens.dtype)]
                 )
-            out = _fused_step(
-                aligner.text_d, aligner.run_table_d, aligner.seed_pos_d,
-                aligner.bucket_lo_d, aligner.tstart_d, aligner.tnode_d,
-                tables.hap_offsets_d, tables.hap_range_d, tables.pos_lo_d,
-                tables.trio_seg_d,
-                tables.nodes_len_d, tables.base_offset_d,
-                tables.trio_hash_d, tables.trio_order_d, tables.trio_abc_d,
-                tables.trio_bucket_d,
-                aligner._pack_reads(b_codes, b_lens),
-                aligner._put_lens(b_lens),
-                self.acc_b, self.acc_d, self.acc_t,
-                cfg_static=aligner._static(), win_shift=tables.win_shift,
-                pos_steps=tables.pos_steps, L_cap=self.L_cap,
-                num_nodes=tables.N_pad, total_bases=tables.TB_pad,
-                num_trios=tables.U_pad,
-                trio_bits=tables.trio_bits, trio_steps=tables.trio_steps,
-                trio_probes=tables.trio_probes, has_dups=tables.has_dups,
-            )
-            self.acc_b, self.acc_d, self.acc_t = out[:3]
+            if self.use_ranges:
+                out = _fused_step_ranges(
+                    aligner.text_d, aligner.run_table_d, aligner.seed_pos_d,
+                    aligner.bucket_lo_d, aligner.tstart_d, aligner.tnode_d,
+                    tables.hap_offsets_d, tables.hap_range_d,
+                    tables.pos_lo_d, tables.trio_seg_d,
+                    tables.nodes_len_d, tables.base_offset_d,
+                    aligner._pack_reads(b_codes, b_lens),
+                    aligner._put_lens(b_lens),
+                    self.acc_b, self.acc_d, self.acc_t,
+                    self._acc_sn, self._acc_st,
+                    cfg_static=aligner._static(),
+                    win_shift=tables.win_shift,
+                    pos_steps=tables.pos_steps, total_bases=tables.TB_pad,
+                )
+                (self.acc_b, self.acc_d, self.acc_t,
+                 self._acc_sn, self._acc_st) = out[:5]
+                per_read, ov = out[5:10], (0, None)
+            else:
+                out = _fused_step(
+                    aligner.text_d, aligner.run_table_d, aligner.seed_pos_d,
+                    aligner.bucket_lo_d, aligner.tstart_d, aligner.tnode_d,
+                    tables.hap_offsets_d, tables.hap_range_d,
+                    tables.pos_lo_d, tables.trio_seg_d,
+                    tables.nodes_len_d, tables.base_offset_d,
+                    tables.trio_hash_d, tables.trio_order_d,
+                    tables.trio_abc_d, tables.trio_bucket_d,
+                    aligner._pack_reads(b_codes, b_lens),
+                    aligner._put_lens(b_lens),
+                    self.acc_b, self.acc_d, self.acc_t,
+                    cfg_static=aligner._static(), win_shift=tables.win_shift,
+                    pos_steps=tables.pos_steps, L_cap=self.L_cap,
+                    num_nodes=tables.N_pad, total_bases=tables.TB_pad,
+                    num_trios=tables.U_pad,
+                    trio_bits=tables.trio_bits, trio_steps=tables.trio_steps,
+                    trio_probes=tables.trio_probes, has_dups=tables.has_dups,
+                )
+                self.acc_b, self.acc_d, self.acc_t = out[:3]
+                per_read, ov = out[3:8], (out[8], out[9])
             self._push_batch(
                 hi - lo, ids[lo:hi] if ids is not None else None,
-                np.asarray(lens[lo:hi]), out[3:8], (out[8], out[9]),
+                np.asarray(lens[lo:hi]), per_read, ov,
             )
             self._materialize_to(len(self._per_read) - self._MAT_LAG)
 
@@ -1062,7 +1265,13 @@ class FusedPipeline:
         mate2-block per dispatched batch."""
         aligner, tables, batch = self.aligner, self.tables, self.batch
         c = aligner.cfg
-        if self.L_cap is None:
+        if self.use_ranges is None:
+            self.use_ranges = self._decide_ranges(
+                max(codes1.shape[1], codes2.shape[1])
+            )
+        if self.use_ranges:
+            self._ensure_seg_accs()
+        elif self.L_cap is None:
             self.L_cap = auto_node_window(
                 aligner.index, max(codes1.shape[1], codes2.shape[1]),
                 c.extension_band,
@@ -1087,39 +1296,62 @@ class FusedPipeline:
             hi = min(lo + batch, n)
             b1, l1 = pad(codes1, lens1, lo, hi)
             b2, l2 = pad(codes2, lens2, lo, hi)
-            out = _fused_step_paired(
-                aligner.text_d, aligner.run_table_d, aligner.seed_pos_d,
-                aligner.bucket_lo_d, aligner.tstart_d, aligner.tnode_d,
-                tables.hap_offsets_d, tables.hap_range_d, tables.pos_lo_d,
-                tables.trio_seg_d,
-                tables.nodes_len_d, tables.base_offset_d,
-                tables.trio_hash_d, tables.trio_order_d, tables.trio_abc_d,
-                tables.trio_bucket_d,
-                aligner._pack_reads(b1, l1),
-                aligner._put_lens(l1),
-                aligner._pack_reads(b2, l2),
-                aligner._put_lens(l2),
-                self.acc_b, self.acc_d, self.acc_t,
-                cfg_static=aligner._static(), frag_max=c.frag_max,
-                pair_bonus=c.pair_bonus, rescue_frac=c.rescue_frac,
-                win_shift=tables.win_shift,
-                pos_steps=tables.pos_steps, L_cap=self.L_cap,
-                num_nodes=tables.N_pad, total_bases=tables.TB_pad,
-                num_trios=tables.U_pad,
-                trio_bits=tables.trio_bits, trio_steps=tables.trio_steps,
-                trio_probes=tables.trio_probes, has_dups=tables.has_dups,
-            )
-            self.acc_b, self.acc_d, self.acc_t = out[:3]
+            if self.use_ranges:
+                out = _fused_step_paired_ranges(
+                    aligner.text_d, aligner.run_table_d, aligner.seed_pos_d,
+                    aligner.bucket_lo_d, aligner.tstart_d, aligner.tnode_d,
+                    tables.hap_offsets_d, tables.hap_range_d,
+                    tables.pos_lo_d, tables.trio_seg_d,
+                    tables.nodes_len_d, tables.base_offset_d,
+                    aligner._pack_reads(b1, l1),
+                    aligner._put_lens(l1),
+                    aligner._pack_reads(b2, l2),
+                    aligner._put_lens(l2),
+                    self.acc_b, self.acc_d, self.acc_t,
+                    self._acc_sn, self._acc_st,
+                    cfg_static=aligner._static(), frag_max=c.frag_max,
+                    pair_bonus=c.pair_bonus, rescue_frac=c.rescue_frac,
+                    win_shift=tables.win_shift,
+                    pos_steps=tables.pos_steps, total_bases=tables.TB_pad,
+                )
+                (self.acc_b, self.acc_d, self.acc_t,
+                 self._acc_sn, self._acc_st) = out[:5]
+                rows, ov = out[5:10], (0, None)
+            else:
+                out = _fused_step_paired(
+                    aligner.text_d, aligner.run_table_d, aligner.seed_pos_d,
+                    aligner.bucket_lo_d, aligner.tstart_d, aligner.tnode_d,
+                    tables.hap_offsets_d, tables.hap_range_d,
+                    tables.pos_lo_d, tables.trio_seg_d,
+                    tables.nodes_len_d, tables.base_offset_d,
+                    tables.trio_hash_d, tables.trio_order_d,
+                    tables.trio_abc_d, tables.trio_bucket_d,
+                    aligner._pack_reads(b1, l1),
+                    aligner._put_lens(l1),
+                    aligner._pack_reads(b2, l2),
+                    aligner._put_lens(l2),
+                    self.acc_b, self.acc_d, self.acc_t,
+                    cfg_static=aligner._static(), frag_max=c.frag_max,
+                    pair_bonus=c.pair_bonus, rescue_frac=c.rescue_frac,
+                    win_shift=tables.win_shift,
+                    pos_steps=tables.pos_steps, L_cap=self.L_cap,
+                    num_nodes=tables.N_pad, total_bases=tables.TB_pad,
+                    num_trios=tables.U_pad,
+                    trio_bits=tables.trio_bits, trio_steps=tables.trio_steps,
+                    trio_probes=tables.trio_probes, has_dups=tables.has_dups,
+                )
+                self.acc_b, self.acc_d, self.acc_t = out[:3]
+                rows, ov = out[3:8], (out[8], out[9])
             B = batch
             m = hi - lo
             self._push_batch(
                 m, ids1[lo:hi] if ids1 is not None else None,
-                np.asarray(lens1[lo:hi]), tuple(a[:B] for a in out[3:8]),
-                (out[8], out[9]),
+                np.asarray(lens1[lo:hi]), tuple(a[:B] for a in rows),
+                ov,
             )
             self._push_batch(
                 m, ids2[lo:hi] if ids2 is not None else None,
-                np.asarray(lens2[lo:hi]), tuple(a[B:] for a in out[3:8]),
+                np.asarray(lens2[lo:hi]), tuple(a[B:] for a in rows),
                 None,  # one overflow record covers both mates
             )
             self._materialize_to(len(self._per_read) - 2 * self._MAT_LAG)
@@ -1160,10 +1392,14 @@ class FusedPipeline:
                              side="right") - 1
         span = i1 - i0 + 1
         ok = al & (ridx >= 0) & (te > ts)
-        short = ok & (span <= self._L_INT)
         dup = tables.hap_dup[hap]
-        long_ok = ok & (span > self._L_INT) & ~dup
-        resid = ok & (span > self._L_INT) & dup
+        # dup-free haplotypes: the generalized range decomposition covers
+        # EVERY span (O(1) device updates/read); dup haplotypes keep the
+        # windowed step (in-window first-occurrence dedup) for short spans
+        # and the exact host residual beyond it
+        long_ok = ok & ~dup
+        short = ok & dup & (span <= self._L_INT)
+        resid = ok & dup & (span > self._L_INT)
 
         # host per-read rows (identical content to the codes path's
         # device-narrowed columns)
@@ -1222,13 +1458,12 @@ class FusedPipeline:
             )
             self.acc_b, self.acc_d, self.acc_t = out
 
-        if long_ok.any() and self._acc_sn is None:
-            M = len(tstart)
-            self._acc_sn = _put_repl(np.zeros(M + 1, np.int32), tables.mesh)
-            self._acc_st = _put_repl(np.zeros(M + 1, np.int32), tables.mesh)
+        if long_ok.any():
+            self._ensure_seg_accs()
         for c_ts, c_te, c_live in chunks(long_ok):
             out = _interval_range_step(
-                aligner.tstart_d, aligner.tnode_d, tables.pos_lo_d,
+                aligner.tstart_d, aligner.tnode_d,
+                tables.hap_offsets_d, tables.hap_range_d, tables.pos_lo_d,
                 tables.trio_seg_d,
                 tables.nodes_len_d, tables.base_offset_d,
                 c_ts, c_te, c_live,

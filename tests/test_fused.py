@@ -1,6 +1,7 @@
 """Fused align+classify+coverage pipeline: batch additivity and full parity
 against the per-species fastpath flow on the example database."""
 import filecmp
+import os
 
 import numpy as np
 import pytest
@@ -168,6 +169,47 @@ def test_fused_paired_matches_fastpath(db, index, aligner, tmp_path):
                 [float(x) for x in ca[3:]], [float(x) for x in cb[3:]],
                 rtol=1e-6, atol=1e-9, err_msg=f"{name}: {ra} vs {rb}",
             )
+
+
+def test_ranges_vs_windowed_bit_parity(db, index, aligner):
+    """The range-decomposition scatter (_classify_scatter_ranges, the
+    default on dup-free DBs) produces BIT-identical finalized coverage and
+    per-read columns to the windowed _classify_scatter on the same reads:
+    every addend is integer-valued, so the different accumulation orders
+    cannot round differently."""
+    from pantax_tpu.benchmarks import simulate_read_batch
+    from pantax_tpu.ops.fused import FusedPipeline, build_fused_tables
+
+    codes, lens, _ = simulate_read_batch(index, 1500, 150, 0.02, seed=11)
+    tables = build_fused_tables(db, index)
+
+    def run(force: str):
+        os.environ["PANTAX_TPU_FUSED_RANGES"] = force
+        try:
+            pipe = FusedPipeline(aligner, tables, batch=512)
+            pipe.feed(codes, lens)
+            r = pipe.finish()
+            assert pipe.use_ranges is (force == "1")
+            return r
+        finally:
+            del os.environ["PANTAX_TPU_FUSED_RANGES"]
+
+    rw = run("0")
+    rr = run("1")
+    assert rw.n_overflow == 0  # both formulations saw every read
+    # meaningful only if multi-segment (trio-window) spans occurred
+    res = aligner.align_codes(codes[:256], lens[:256])
+    tstart = np.asarray(index.tstart, dtype=np.int64)
+    i0 = np.searchsorted(tstart, res.text_start, side="right") - 1
+    i1 = np.searchsorted(
+        tstart, np.maximum(res.text_end - 1, res.text_start), side="right"
+    ) - 1
+    assert ((i1 - i0 + 1) >= 3).any(), "no span>=3 read; test is vacuous"
+    for k in ("mapq", "aligned", "ridx", "read_len"):
+        assert np.array_equal(rw.reads[k], rr.reads[k]), k
+    for name, a, b in (("na", rw.na_d, rr.na_d), ("ta", rw.ta_d, rr.ta_d),
+                       ("bc", rw.bc_d, rr.bc_d)):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
 
 
 def test_hash_bisect_matches_searchsorted():
