@@ -475,6 +475,7 @@ class DeviceTailSolver:
         if not self._prepared:
             self._prepare()
         results: list[np.ndarray | None] = [None] * len(self.jobs)
+        runs = []
         for key, prep in self._prepared.items():
             n_pad, p_pad, Lp = key
             rows = prep["rows"]
@@ -493,18 +494,48 @@ class DeviceTailSolver:
             ub_d = jnp.asarray(ub)
             x0 = jnp.zeros((S, p_pad), dtype=jnp.float32)
             z0 = jnp.zeros((S, n_pad), dtype=jnp.float32)
-            state = (x0, z0, x0, z0, x0)
-            rho = jnp.float32(1.0)
-            for _ in range(max(iters // chunk, 1)):
-                state, res = _admm_chunk_batch(
-                    prep["A"], prep["b"], ub_d, rho, state, prep["L"], chunk
-                )
-                if float(np.max(np.asarray(res))) < tol:
-                    break
-            x = jnp.clip(state[2], 0.0, ub_d)
-            x = _polish_batch(prep["A"], prep["b"], x, ub_d)
-            X = np.asarray(x, dtype=np.float64)
-            for s, (ji, si, gs, lens, _raw_ub) in enumerate(rows):
+            runs.append({
+                "prep": prep, "ub_d": ub_d, "state": (x0, z0, x0, z0, x0),
+                "left": max(iters // chunk, 1), "res": None,
+            })
+        rho = jnp.float32(1.0)
+
+        def step(r):
+            r["state"], res = _admm_chunk_batch(
+                r["prep"]["A"], r["prep"]["b"], r["ub_d"], rho, r["state"],
+                r["prep"]["L"], chunk,
+            )
+            r["left"] -= 1
+            r["res"] = res
+            f = getattr(res, "copy_to_host_async", None)
+            if f is not None:
+                f()
+
+        # round-robin across buckets: every bucket keeps one chunk in
+        # flight, so one bucket's residual download overlaps the others'
+        # compute.  The sequential per-bucket loop was dispatch/sync-bound
+        # on the tunnel (~30ms RPC + a blocking scalar read per chunk); the
+        # per-bucket chunk sequence and early-stop decisions are unchanged,
+        # so results stay bit-identical.
+        from collections import deque
+
+        q = deque()
+        for r in runs:
+            step(r)
+            q.append(r)
+        while q:
+            r = q.popleft()
+            if float(np.max(np.asarray(r["res"]))) >= tol and r["left"] > 0:
+                step(r)
+                q.append(r)
+        for r in runs:
+            x = jnp.clip(r["state"][2], 0.0, r["ub_d"])
+            r["x"] = _polish_batch(r["prep"]["A"], r["prep"]["b"], x,
+                                   r["ub_d"])
+        for r in runs:
+            X = np.asarray(r["x"], dtype=np.float64)
+            prep = r["prep"]
+            for s, (ji, si, gs, lens, _raw_ub) in enumerate(prep["rows"]):
                 results[ji] = X[s, :len(gs)] * float(prep["scale"][s])
         return results
 
