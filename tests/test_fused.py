@@ -212,6 +212,46 @@ def test_ranges_vs_windowed_bit_parity(db, index, aligner):
         assert np.array_equal(np.asarray(a), np.asarray(b)), name
 
 
+def test_feed_intervals_dup_routing_parity(db, index, aligner):
+    """Forcing hap_dup=True routes interval rows through the windowed step
+    (span <= 8) and the host residual (span > 8) instead of the range
+    decomposition — coverage must come out bit-identical either way (the
+    example DB is genuinely dup-free, so all three formulations share one
+    oracle)."""
+    from pantax_tpu.ops.fused import FusedPipeline, build_fused_tables
+
+    rng = np.random.default_rng(13)
+    H = len(index.hap_names)
+    hap_off = index.hap_offsets
+    n = 400
+    hap = rng.integers(0, H, size=n)
+    hap_len = (np.diff(hap_off) - 8)[hap]
+    want = np.where(rng.random(n) < 0.5,
+                    rng.integers(60, 200, size=n),
+                    rng.integers(1500, 20000, size=n))
+    length = np.minimum(want, np.maximum(hap_len - 2, 50))
+    starts = hap_off[hap] + rng.integers(0, np.maximum(hap_len - length, 1))
+    ts, te = starts.astype(np.int64), (starts + length).astype(np.int64)
+    mapq = rng.integers(30, 61, size=n).astype(np.int64)
+
+    def run(force_dup: bool):
+        tables = build_fused_tables(db, index)
+        if force_dup:
+            tables.hap_dup = np.ones_like(tables.hap_dup)
+        pipe = FusedPipeline(aligner, tables, batch=256)
+        pipe.feed_intervals(ts, te, mapq, length.astype(np.int64))
+        r = pipe.finish()
+        if force_dup:
+            assert pipe._n_int_residual > 0  # long spans took the residual
+        return r
+
+    rr = run(False)
+    rw = run(True)
+    for name, a, b in (("na", rr.na_d, rw.na_d), ("ta", rr.ta_d, rw.ta_d),
+                       ("bc", rr.bc_d, rw.bc_d)):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
+
+
 def test_hash_bisect_matches_searchsorted():
     """Bucketed trio-hash bisection == np.searchsorted side='left' for
     queries hitting, missing, and beyond the table."""
