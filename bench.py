@@ -120,7 +120,7 @@ def bench_scale() -> tuple[float, dict]:
 
         db = scale_db(os.environ.get("PANTAX_TPU_SCALE_DIR",
                                      "/tmp/pantax_tpu_scale"))
-        m = run_long_e2e_benchmark(db, long_batch=BATCH // 8)
+        m = run_long_e2e_benchmark(db, long_batch=BATCH // 4)
         print(
             f"# long e2e: {m['total_reads']} reads ({m['total_bases']/1e9:.1f}"
             f" Gb), aligned {m['aligned_frac']:.3f}, e2e {m['wall_s']:.1f}s "

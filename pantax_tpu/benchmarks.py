@@ -233,7 +233,7 @@ def run_e2e_benchmark(
 
 def run_long_e2e_benchmark(
     db: DatabasePaths, n_long: int = 100_000, long_len: int = 8192,
-    read_type: str = "hifi", long_batch: int = 8192,
+    read_type: str = "hifi", long_batch: int = 16384,
     out_dir: str = "/tmp/pantax_tpu_long_e2e",
 ):
     """Pure long-read end-to-end: chunked alignment + best-alignment filter
@@ -300,7 +300,7 @@ def run_long_e2e_benchmark(
 def run_mixed_benchmark(
     db: DatabasePaths, n_short: int = 9_900_000, n_long: int = 100_000,
     batch: int = 65536, long_len: int = 8192, read_type: str = "hifi",
-    long_batch: int = 8192, out_dir: str = "/tmp/pantax_tpu_mixed",
+    long_batch: int = 16384, out_dir: str = "/tmp/pantax_tpu_mixed",
 ):
     """BASELINE config 5, single-chip slice: 10M mixed reads (99% 150bp NGS +
     1% 8kb HiFi-like) against the 102-strain community database.

@@ -76,7 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["hifi", "ontr10", "ontr9", "clr"],
                    help="sets chunking and DP band width (GraphAligner's "
                         "--precise-clipping analog, alignment.rs:144-165)")
-    a.add_argument("--batch-size", type=int, default=65536)
+    a.add_argument("--batch-size", type=int, default=None,
+                   help="reads per device dispatch (default: 65536 short, "
+                        "16384 long — the long-read [B, chunk] DP measured "
+                        "fastest at 16384: 8192/32768 are 1.4x/1.4x slower)")
     a.add_argument("--mesh", default="auto", metavar="auto|off|N",
                    help="shard read batches over a device mesh: 'auto' uses "
                         "all visible chips (coverage psum-merged over ICI), "
@@ -148,6 +151,11 @@ def main(argv: list[str] | None = None) -> int:
 
 def _main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.batch_size is None:
+        # measured on v5e (tools/long_batch_ab.py): the [B, 512] chunk DP
+        # peaks at B=16384 (8192 and 32768 both ~1.4x slower); short reads
+        # keep the wide batch that amortizes the seed-lookup stage
+        args.batch_size = 16384 if args.long_read else 65536
     from .utils import enable_compilation_cache
     from .utils.logging import device_trace, setup_logging, stage_timer
 
