@@ -146,13 +146,49 @@ def _unpack_codes2_j(packed):
 
 
 def _unpack_reads_j(codes_packed, read_len):
-    """Unpack a read batch in either wire format: a plain array is the 4-bit
-    nibble pack (pad bases already 4); a (packed2, exc) tuple is the 2-bit
-    pack — scatter code 4 at the exception positions, then restore the pad
-    tail beyond each read's length.  Output is bit-identical between the
-    two formats."""
+    """Unpack a read batch in any wire format — output is bit-identical
+    between all three:
+
+      plain array                   4-bit nibble pack (pad bases already 4)
+      (packed2, exc)                2-bit pack + sparse N-exception scatter
+      (buf, byte_off, exc, wm)      device-resident GROUP buffer: rows are
+                                    gathered from a 2-bit packed buffer
+                                    uploaded ONCE per read group (the
+                                    long-read chunk flow — each chunk's
+                                    bases would otherwise cross the tunnel
+                                    twice, seeded pass + rescue).  byte_off
+                                    int32 [B] ascending row byte offsets,
+                                    exc int32 sorted N positions in buffer
+                                    BASE coords, wm an empty [0, W_bytes]
+                                    static-width carrier."""
     if not isinstance(codes_packed, tuple):
         return _unpack_codes_j(codes_packed)
+    if len(codes_packed) == 4:
+        # reads are padded to CHUNK boundaries in the buffer, so a chunk is
+        # exactly one row of the 2-D packed buffer: ONE gather index pulls
+        # a whole Wb-byte row (TPU gathers price per index — a flat
+        # [B, Wb] byte-gather measured 5.6x slower end to end)
+        buf, row_idx, exc, wm = codes_packed
+        Wb = wm.shape[1]
+        B = row_idx.shape[0]
+        L = Wb * 4
+        rows = buf[row_idx]
+        codes = _unpack_codes2_j(rows)
+        base = row_idx * L
+        idx = jnp.clip(jnp.searchsorted(base, exc, side="right") - 1,
+                       0, B - 1)
+        col = exc - base[idx]
+        flat = jnp.where((col >= 0) & (col < L), idx * L + col, B * L)
+        codes = codes.reshape(-1).at[flat].set(
+            jnp.int8(4), mode="drop"
+        ).reshape(B, L)
+        cols = jnp.arange(L, dtype=jnp.int32)[None, :]
+        codes = jnp.where(cols < read_len[:, None], codes, jnp.int8(4))
+        # materialize ONCE: without the barrier XLA fuses the row gather +
+        # unpack into every downstream consumer (fwd hash, revcomp, DP
+        # windows), re-gathering per use — measured 2.8x whole-kernel
+        # slowdown vs the parameter-fed codes wire
+        return jax.lax.optimization_barrier(codes)
     packed2, exc = codes_packed
     codes = _unpack_codes2_j(packed2)
     B, L = codes.shape
@@ -1014,6 +1050,85 @@ class Aligner:
             self.lookup_steps, c.max_seeds, c.hits_per_seed,
             c.max_candidates, c.extension_band, c.match, c.mismatch, c.gap_extend,
             c.mapq_scale, c.min_score_frac,
+        )
+
+    _GRP_EXC_CAP = 32768  # N-exception cap per read-group buffer
+
+    def put_read_group(self, enc_list, chunk: int):
+        """Upload a whole read group ONCE as a device-resident 2-bit packed
+        buffer for the chunked long-read flow: each chunk batch then ships
+        only [B] int32 byte offsets instead of re-packing and re-uploading
+        its bases (the rescue pass re-visits ~45% of chunks, so the codes
+        path uploads every base ~1.45x; the buffer uploads each base once
+        and drops ~100 per-batch RPC fixed costs at 100k x 8kb reads).
+
+        Returns None when the buffer wire doesn't apply (multi-device mesh:
+        the exception scatter would force GSPMD resharding, same reason as
+        _pack_reads' 4-bit fallback; or > _GRP_EXC_CAP N bases): callers
+        fall back to the per-batch codes path.  Reads are padded to 4-base
+        boundaries so every chunk offset is byte-aligned."""
+        if chunk % 4 or (self.mesh is not None and self.mesh.devices.size > 1):
+            return None
+        Wb = chunk // 4
+        # reads padded to CHUNK boundaries: every chunk is one whole row of
+        # the 2-D packed buffer (one gather index per chunk; ~3% padding at
+        # 8kb reads vs 512 chunks)
+        offs = np.zeros(len(enc_list), dtype=np.int64)
+        pos = 0
+        for i, e in enumerate(enc_list):
+            offs[i] = pos
+            pos += -(-len(e) // chunk) * chunk
+        if pos >= (1 << 31):
+            return None
+        buf = np.zeros(pos + chunk, dtype=np.int8)  # final-row slack
+        for e, o in zip(enc_list, offs):
+            buf[o:o + len(e)] = e
+        # one flat [1, total] row through the batch packer: the native
+        # single pass packs + collects N positions (buffer base coords) at
+        # memory bandwidth — the strided NumPy pack cost 3.4s of host time
+        # per 160MB group and dominated the buffer wire's win
+        p2 = pack_codes2(buf.reshape(1, -1),
+                         np.array([len(buf)], dtype=np.int64),
+                         cap=self._GRP_EXC_CAP)
+        if p2 is None:
+            return None
+        packed_row, exc = p2
+        packed = packed_row.reshape(-1, Wb)
+        import jax
+
+        return {
+            "buf_d": jax.device_put(packed),
+            "exc_d": self._cached_put(exc),
+            "wm": np.empty((0, Wb), dtype=np.uint8),
+            "read_off": offs,
+            "chunk": chunk,
+            "pad_off": (packed.shape[0] - 1) * chunk,  # last (slack) row
+        }
+
+    def _buf_wire(self, grp, base_off: np.ndarray):
+        row_idx = (base_off // grp["chunk"]).astype(np.int32)
+        return (grp["buf_d"], self._shard_reads(row_idx), grp["exc_d"],
+                grp["wm"])
+
+    def dispatch_codes_buf(self, grp, base_off: np.ndarray, lens: np.ndarray):
+        """dispatch_codes against a put_read_group buffer: rows are the
+        chunks starting at ``base_off`` (buffer base coords, 4-aligned)."""
+        return _query_batch_packed(
+            self.text_d, self.run_table_d, self.seed_pos_d, self.bucket_lo_d,
+            self.tstart_d, self.tnode_d,
+            self._buf_wire(grp, base_off),
+            self._put_lens(lens), self._static(),
+        )
+
+    def dispatch_extend_buf(self, grp, base_off, lens, w0, strand):
+        """dispatch_extend against a put_read_group buffer."""
+        return _extend_batch(
+            self.text_d,
+            self._buf_wire(grp, base_off),
+            self._put_lens(lens),
+            self._shard_reads(w0.astype(np.int32)),
+            self._shard_reads(strand.astype(np.int32)),
+            self._static(),
         )
 
     def dispatch_codes(self, codes: np.ndarray, lens: np.ndarray):

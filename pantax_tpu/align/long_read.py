@@ -139,18 +139,32 @@ def align_long_reads(
     np.cumsum(n_chunks, out=first[1:])
     n = int(first[-1])
     n_pad = (n + batch_size - 1) // batch_size * batch_size
-    codes = np.full((n_pad, chunk), 4, dtype=np.int8)
-    for ri in range(R):
-        k = int(n_chunks[ri])
-        if k == 0:
-            continue
-        take = min(k * chunk, int(rl[ri]))
-        block = codes[int(first[ri]) : int(first[ri]) + k].reshape(-1)
-        block[:take] = enc[ri][:take]
     read_idx = np.repeat(np.arange(R, dtype=np.int64), n_chunks)
     chunk_off = (np.arange(n, dtype=np.int64) - first[read_idx]) * chunk
     lens = np.zeros(n_pad, dtype=np.int64)
     lens[:n] = np.minimum(chunk, rl[read_idx] - chunk_off)
+
+    # device-resident group buffer: bases upload ONCE, chunk batches ship
+    # [B] byte offsets (seeded AND rescue passes gather from the same
+    # buffer).  None -> per-batch codes-matrix fallback (multi-device mesh,
+    # N-heavy groups, PANTAX_TPU_READ_BUFFER=0).
+    import os as _os
+
+    grp = (aligner.put_read_group(enc, chunk)
+           if _os.environ.get("PANTAX_TPU_READ_BUFFER") != "0" else None)
+    if grp is not None:
+        base_all = grp["read_off"][read_idx] + chunk_off
+        codes = None
+    else:
+        base_all = None
+        codes = np.full((n_pad, chunk), 4, dtype=np.int8)
+        for ri in range(R):
+            k = int(n_chunks[ri])
+            if k == 0:
+                continue
+            take = min(k * chunk, int(rl[ri]))
+            block = codes[int(first[ri]) : int(first[ri]) + k].reshape(-1)
+            block[:take] = enc[ri][:take]
 
     ts = np.zeros(n, dtype=np.int64)
     te = np.zeros(n, dtype=np.int64)
@@ -172,13 +186,22 @@ def align_long_reads(
         s_idx = np.flatnonzero(seeded_rows)
         ns = len(s_idx)
         ns_pad = (ns + batch_size - 1) // batch_size * batch_size
-        s_codes = np.full((ns_pad, chunk), 4, dtype=np.int8)
-        s_codes[:ns] = codes[s_idx]
         s_lens = np.zeros(ns_pad, dtype=np.int64)
         s_lens[:ns] = lens[s_idx]
+        if grp is not None:
+            s_codes = None
+            s_base = np.full(ns_pad, grp["pad_off"], dtype=np.int64)
+            s_base[:ns] = base_all[s_idx]
+        else:
+            s_base = None
+            s_codes = np.full((ns_pad, chunk), 4, dtype=np.int8)
+            s_codes[:ns] = codes[s_idx]
     else:
         s_idx = None
         ns, s_codes, s_lens = n, codes, lens
+        if grp is not None:
+            s_base = np.full(n_pad, grp["pad_off"], dtype=np.int64)
+            s_base[:n] = base_all[:n]
 
     # pipelined dispatch: keep several batches in flight while results
     # transfer (the serial align_codes loop left the device idle for a
@@ -203,11 +226,16 @@ def align_long_reads(
         strand[rows] = res.strand[:m]
         aligned[rows] = res.aligned[:m]
 
-    for lo in range(0, s_codes.shape[0], batch_size):
-        pending.append(
-            (lo, aligner.dispatch_codes(s_codes[lo : lo + batch_size],
-                                        s_lens[lo : lo + batch_size]))
-        )
+    for lo in range(0, len(s_lens), batch_size):
+        if grp is not None:
+            dev = aligner.dispatch_codes_buf(
+                grp, s_base[lo : lo + batch_size],
+                s_lens[lo : lo + batch_size],
+            )
+        else:
+            dev = aligner.dispatch_codes(s_codes[lo : lo + batch_size],
+                                         s_lens[lo : lo + batch_size])
+        pending.append((lo, dev))
         if len(pending) >= depth:
             drain(pending.pop(0))
     for entry in pending:
@@ -309,8 +337,13 @@ def align_long_reads(
             w0 = pred - aligner.cfg.extension_band
             nr = len(cand)
             nr_pad = (nr + batch_size - 1) // batch_size * batch_size
-            r_codes = np.full((nr_pad, chunk), 4, dtype=np.int8)
-            r_codes[:nr] = codes[cand]
+            if grp is not None:
+                r_codes = None
+                r_base = np.full(nr_pad, grp["pad_off"], dtype=np.int64)
+                r_base[:nr] = base_all[cand]
+            else:
+                r_codes = np.full((nr_pad, chunk), 4, dtype=np.int8)
+                r_codes[:nr] = codes[cand]
             r_lens = np.zeros(nr_pad, dtype=np.int64)
             r_lens[:nr] = lens[cand]
             r_w0 = np.zeros(nr_pad, dtype=np.int64)
@@ -349,12 +382,21 @@ def align_long_reads(
                 member[acc] = True
 
             for lo in range(0, nr_pad, batch_size):
-                pend2.append((lo, aligner.dispatch_extend(
-                    r_codes[lo : lo + batch_size],
-                    r_lens[lo : lo + batch_size],
-                    r_w0[lo : lo + batch_size],
-                    r_st[lo : lo + batch_size],
-                )))
+                if grp is not None:
+                    dev = aligner.dispatch_extend_buf(
+                        grp, r_base[lo : lo + batch_size],
+                        r_lens[lo : lo + batch_size],
+                        r_w0[lo : lo + batch_size],
+                        r_st[lo : lo + batch_size],
+                    )
+                else:
+                    dev = aligner.dispatch_extend(
+                        r_codes[lo : lo + batch_size],
+                        r_lens[lo : lo + batch_size],
+                        r_w0[lo : lo + batch_size],
+                        r_st[lo : lo + batch_size],
+                    )
+                pend2.append((lo, dev))
                 if len(pend2) >= depth:
                     drain2(pend2.pop(0))
             for entry in pend2:

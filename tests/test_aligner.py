@@ -217,6 +217,40 @@ def test_long_read_seed_stride_matches_full_seeding(db, aligner_long):
         assert (s.path_end - s.path_start) / s.read_len > 0.9
 
 
+def test_long_read_buffer_wire_matches_codes_wire(db, aligner_long,
+                                                  monkeypatch):
+    """The device-resident group-buffer wire (put_read_group + per-batch
+    byte offsets) is bit-identical to the per-batch codes upload: the
+    unpacked chunk codes are equal by construction, so every emitted record
+    must match field for field.  Fixture includes N bases (buffer exception
+    scatter) and short tail chunks (read_len masking of neighbour bases)."""
+    from pantax_tpu.align.long_read import align_long_reads
+
+    rng = np.random.default_rng(23)
+    g = db.load_graph("562")
+    seq = g.path_seq(0).tobytes()
+    reads = []
+    for i in range(16):
+        s = int(rng.integers(0, len(seq) - 5000))
+        L = int(rng.integers(3000, 5000))  # odd lengths -> partial chunks
+        piece = bytearray(seq[s : s + L])
+        for _ in range(8):
+            piece[int(rng.integers(len(piece)))] = ord("N")
+        reads.append((f"B{i}", bytes(piece)))
+
+    def run():
+        return align_long_reads(aligner_long, reads, chunk=512,
+                                batch_size=256, seed_stride=2)
+
+    buf = run()
+    monkeypatch.setenv("PANTAX_TPU_READ_BUFFER", "0")
+    plain = run()
+    assert len(buf) == len(plain) > 0
+    for a, b in zip(buf, plain):
+        assert (a.read_id, a.strand, a.path_start, a.path_end, a.mapq) == \
+            (b.read_id, b.strand, b.path_start, b.path_end, b.mapq)
+
+
 def test_long_read_streamed_groups_match_whole_list(db, aligner_long, tmp_path):
     """The streamed long-read flow (iter_read_groups + per-group
     align_long_reads + concat) is bit-identical to the whole-list call:
