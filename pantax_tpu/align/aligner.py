@@ -1053,8 +1053,10 @@ class Aligner:
         )
 
     _GRP_EXC_CAP = 32768  # N-exception cap per read-group buffer
+    _GRP_ROW_QUANTUM = 32768  # buffer rows round up to this (16.7M bases
+    #                           at chunk 512) so group buffers share graphs
 
-    def put_read_group(self, enc_list, chunk: int):
+    def put_read_group(self, enc_list, chunk: int, rows_min: int = 0):
         """Upload a whole read group ONCE as a device-resident 2-bit packed
         buffer for the chunked long-read flow: each chunk batch then ships
         only [B] int32 byte offsets instead of re-packing and re-uploading
@@ -1066,7 +1068,16 @@ class Aligner:
         the exception scatter would force GSPMD resharding, same reason as
         _pack_reads' 4-bit fallback; or > _GRP_EXC_CAP N bases): callers
         fall back to the per-batch codes path.  Reads are padded to 4-base
-        boundaries so every chunk offset is byte-aligned."""
+        boundaries so every chunk offset is byte-aligned.
+
+        The buffer's row count is QUANTIZED (padded up to a _GRP_ROW_QUANTUM
+        multiple) because it is a jit argument shape: without it every
+        streamed group compiles a fresh query+extend graph family — the
+        first 100k x 8kb e2e run spent ~33s of its 48s align stage in
+        per-group compiles.  Full groups from iter_read_groups land in the
+        same bucket (their base totals differ by at most one read), and the
+        upload-pipelined sub-group flow passes ``rows_min`` so every
+        sub-buffer shares ONE shape."""
         if chunk % 4 or (self.mesh is not None and self.mesh.devices.size > 1):
             return None
         Wb = chunk // 4
@@ -1094,6 +1105,13 @@ class Aligner:
             return None
         packed_row, exc = p2
         packed = packed_row.reshape(-1, Wb)
+        rows = packed.shape[0]
+        q = self._GRP_ROW_QUANTUM
+        rows_pad = max((rows + q - 1) // q * q, rows_min)
+        if rows_pad > rows:  # zero rows; never addressed with lens > 0
+            packed = np.vstack(
+                [packed, np.zeros((rows_pad - rows, Wb), dtype=np.uint8)]
+            )
         import jax
 
         return {
@@ -1102,7 +1120,7 @@ class Aligner:
             "wm": np.empty((0, Wb), dtype=np.uint8),
             "read_off": offs,
             "chunk": chunk,
-            "pad_off": (packed.shape[0] - 1) * chunk,  # last (slack) row
+            "pad_off": (rows - 1) * chunk,  # last (slack) row
         }
 
     def _buf_wire(self, grp, base_off: np.ndarray):

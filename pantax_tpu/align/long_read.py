@@ -106,6 +106,16 @@ def concat_arrays(parts):
     )
 
 
+# upload-pipeline sub-group size in buffer rows (x chunk bases each): one
+# sub-buffer uploads while the previous one's batches compute, so a large
+# group's wall is max(upload, compute) instead of their sum — the single
+# 100k x 8kb group buffer cost 17.8s of SERIAL upload (206MB at ~12MB/s
+# tunnel) before the first dispatch.  131072 rows x 512 = 67MB of bases
+# (~17MB packed, ~1.5s upload) per sub-buffer.
+_UPLOAD_ROWS_ENV = "PANTAX_TPU_UPLOAD_ROWS"
+_DEFAULT_UPLOAD_ROWS = 131072
+
+
 def align_long_reads(
     aligner: Aligner,
     reads: list[tuple[str, bytes]],
@@ -114,14 +124,72 @@ def align_long_reads(
     min_chunk_frac: float = 0.5,
     seed_stride: int = 1,
     as_arrays: bool = False,
+    _grp="auto",
 ):
     """Returns GafRecords, or with ``as_arrays`` an AlignmentArrays for the
     array-native long-read fastpath (no GAF text / node-path strings; the
     best-alignment filter's thresholds are applied inline — one merged
-    record per read already holds, gaf_filter.rs:44-97)."""
+    record per read already holds, gaf_filter.rs:44-97).
+
+    ``_grp`` (internal): "auto" builds the device read-group buffer here —
+    splitting oversized groups into upload-pipelined sub-groups — while the
+    sub-group recursion passes a prepared buffer (or None for the codes
+    wire) directly."""
     if not reads:
         return _empty_arrays() if as_arrays else []
     idx = aligner.index
+
+    import os as _os
+
+    buffer_on = _os.environ.get("PANTAX_TPU_READ_BUFFER") != "0"
+    if _grp == "auto" and buffer_on:
+        sub_rows = int(_os.environ.get(_UPLOAD_ROWS_ENV,
+                                       _DEFAULT_UPLOAD_ROWS))
+        rows_of = [-(-len(s) // chunk) for _, s in reads]
+        if sum(rows_of) > 2 * sub_rows:
+            # contiguous read sub-lists of <= sub_rows buffer rows each;
+            # read-partitioning is exact (chunk vote/merge/rescue are all
+            # per read), proven by the streamed-groups parity test
+            subs: list[list[tuple[str, bytes]]] = []
+            cur: list[tuple[str, bytes]] = []
+            acc = 0
+            # budget sub_rows - 1: put_read_group appends one slack row, so
+            # an exactly-full sub would quantize past sub_rows into a
+            # second (never-warmed) graph family
+            for r, k in zip(reads, rows_of):
+                if cur and acc + k > sub_rows - 1:
+                    subs.append(cur)
+                    cur, acc = [], 0
+                cur.append(r)
+                acc += k
+            subs.append(cur)
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            def prep(sub):
+                return aligner.put_read_group(
+                    [encode_seq(s) for _, s in sub], chunk,
+                    rows_min=sub_rows,
+                )
+
+            # two prep threads: parallel upload RPCs raise the tunnel's
+            # aggregate bandwidth (A/B at 100k x 8kb: depth 1/2/3 = 24.2 /
+            # 15.6 / 18.6s align in one window; 2 also beat 1 re-measured)
+            depth = int(_os.environ.get("PANTAX_TPU_UPLOAD_DEPTH", "2"))
+            parts = []
+            with ThreadPoolExecutor(depth) as ex:
+                futs = [ex.submit(prep, s) for s in subs[:depth]]
+                for i, sub in enumerate(subs):
+                    g = futs.pop(0).result()
+                    if i + depth < len(subs):
+                        futs.append(ex.submit(prep, subs[i + depth]))
+                    parts.append(align_long_reads(
+                        aligner, sub, chunk, batch_size, min_chunk_frac,
+                        seed_stride, as_arrays, _grp=g,
+                    ))
+            if as_arrays:
+                return concat_arrays(parts)
+            return [rec for p in parts for rec in p]
 
     # cut into chunks — vectorized (one encode + one reshape per read; the
     # previous per-chunk encode loop dominated host wall at millions of
@@ -148,10 +216,10 @@ def align_long_reads(
     # [B] byte offsets (seeded AND rescue passes gather from the same
     # buffer).  None -> per-batch codes-matrix fallback (multi-device mesh,
     # N-heavy groups, PANTAX_TPU_READ_BUFFER=0).
-    import os as _os
-
-    grp = (aligner.put_read_group(enc, chunk)
-           if _os.environ.get("PANTAX_TPU_READ_BUFFER") != "0" else None)
+    if _grp != "auto":
+        grp = _grp
+    else:
+        grp = aligner.put_read_group(enc, chunk) if buffer_on else None
     if grp is not None:
         base_all = grp["read_off"][read_idx] + chunk_off
         codes = None

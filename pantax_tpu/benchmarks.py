@@ -261,9 +261,22 @@ def run_long_e2e_benchmark(
 
     reads, _hap = simulate_long_reads(index, n_long, long_len, seed=9)
 
-    # warm the chunk kernels + the fused interval/finalize shapes
+    # warm the chunk kernels + the fused interval/finalize shapes.  The
+    # warm slice must fill one UPLOAD SUB-GROUP's buffer rows (the buffer
+    # shape is part of the jit key): a small warm group warms a smaller
+    # quantized family and the timed run then compiles the production one.
+    from .align.long_read import _DEFAULT_UPLOAD_ROWS, _UPLOAD_ROWS_ENV
+
+    sub_rows = int(os.environ.get(_UPLOAD_ROWS_ENV, _DEFAULT_UPLOAD_ROWS))
+    acc = n_warm = 0
+    for _, s in reads:
+        k = -(-len(s) // chunk)
+        if acc + k > sub_rows - 1:
+            break
+        acc += k
+        n_warm += 1
     shutil.rmtree(out_dir, ignore_errors=True)
-    warm = align_long_reads(aligner, reads[:1024], chunk=chunk,
+    warm = align_long_reads(aligner, reads[:max(n_warm, 64)], chunk=chunk,
                             batch_size=long_batch, seed_stride=stride,
                             as_arrays=True)
     pipe = FusedPipeline(aligner, tables, batch=long_batch)

@@ -519,6 +519,12 @@ class DeviceTailSolver:
         # so results stay bit-identical.
         from collections import deque
 
+        import logging
+        import time as _time
+
+        _log = logging.getLogger("pantax_tpu")
+        t_loop = _time.time()
+        n_chunks = len(runs)
         q = deque()
         for r in runs:
             step(r)
@@ -528,6 +534,9 @@ class DeviceTailSolver:
             if float(np.max(np.asarray(r["res"]))) >= tol and r["left"] > 0:
                 step(r)
                 q.append(r)
+                n_chunks += 1
+        t_loop = _time.time() - t_loop
+        t_pol = _time.time()
         for r in runs:
             x = jnp.clip(r["state"][2], 0.0, r["ub_d"])
             r["x"] = _polish_batch(r["prep"]["A"], r["prep"]["b"], x,
@@ -537,6 +546,9 @@ class DeviceTailSolver:
             prep = r["prep"]
             for s, (ji, si, gs, lens, _raw_ub) in enumerate(prep["rows"]):
                 results[ji] = X[s, :len(gs)] * float(prep["scale"][s])
+        _log.info("      ADMM loop %.2fs (%d buckets, %d chunk dispatches);"
+                  " polish+download %.2fs",
+                  t_loop, len(runs), n_chunks, _time.time() - t_pol)
         return results
 
 
@@ -556,8 +568,13 @@ def solve_two_stage_device(
     ``jobs[i] = (si, possible_local_idx, ub)`` paired with ``states[i]``."""
     from ..profile.filters import second_filter_paths
 
+    from ..utils.logging import stage_timer
+
     solver = DeviceTailSolver(tt, na, jobs, sp_max)
-    firsts = solver.solve()
+    with stage_timer("    PAO prepare (device A/b/L)"):
+        solver._prepare()
+    with stage_timer("    PAO first solve"):
+        firsts = solver.solve()
     for (si, possible, ub), state, x in zip(jobs, states, firsts):
         for j, h in enumerate(possible):
             state.hap_metrics[h].first_sol = float(x[j])
@@ -579,7 +596,8 @@ def solve_two_stage_device(
                 v[j] = 0.0
         return v
 
-    seconds = solver.solve(ub_vec_of=ub_vec_of, only_jobs=second_set)
+    with stage_timer("    PAO second solve"):
+        seconds = solver.solve(ub_vec_of=ub_vec_of, only_jobs=second_set)
     for ji in second_idx:
         si, possible, ub = jobs[ji]
         st = states[ji]

@@ -251,6 +251,39 @@ def test_long_read_buffer_wire_matches_codes_wire(db, aligner_long,
             (b.read_id, b.strand, b.path_start, b.path_end, b.mapq)
 
 
+def test_long_read_upload_subgroups_match_single_group(db, aligner_long,
+                                                       monkeypatch):
+    """A tiny PANTAX_TPU_UPLOAD_ROWS forces the upload-pipelined sub-group
+    split (prep thread + per-sub buffers); results must be bit-identical to
+    the unsplit single-buffer run — read partitioning is exact because the
+    chunk vote/merge/rescue are all per read."""
+    from pantax_tpu.align.long_read import align_long_reads
+
+    rng = np.random.default_rng(31)
+    g = db.load_graph("562")
+    seq = g.path_seq(0).tobytes()
+    reads = []
+    for i in range(24):
+        s = int(rng.integers(0, len(seq) - 5000))
+        L = int(rng.integers(3000, 5000))
+        piece = bytearray(seq[s : s + L])
+        for _ in range(4):
+            piece[int(rng.integers(len(piece)))] = ord("N")
+        reads.append((f"U{i}", bytes(piece)))
+
+    def run():
+        return align_long_reads(aligner_long, reads, chunk=512,
+                                batch_size=256, seed_stride=2)
+
+    whole = run()
+    monkeypatch.setenv("PANTAX_TPU_UPLOAD_ROWS", "32")  # ~3 reads per sub
+    split = run()
+    assert len(split) == len(whole) > 0
+    for a, b in zip(split, whole):
+        assert (a.read_id, a.strand, a.path_start, a.path_end, a.mapq) == \
+            (b.read_id, b.strand, b.path_start, b.path_end, b.mapq)
+
+
 def test_long_read_streamed_groups_match_whole_list(db, aligner_long, tmp_path):
     """The streamed long-read flow (iter_read_groups + per-group
     align_long_reads + concat) is bit-identical to the whole-list call:
