@@ -271,6 +271,33 @@ def _main(argv: list[str] | None = None) -> int:
                     Aligner.collect(aligner.dispatch_extend(
                         zc, zl_n, np.zeros(B, np.int64), np.zeros(B, np.int8)
                     ))
+                # the production wire is the device-resident group buffer;
+                # its ROW COUNT is a jit shape, so warm the two quantized
+                # families real runs hit: the upload-pipelined sub-group
+                # size and the minimum quantum (small runs)
+                from .align.long_read import (
+                    _DEFAULT_UPLOAD_ROWS, _UPLOAD_ROWS_ENV,
+                )
+
+                sub_rows = int(os.environ.get(_UPLOAD_ROWS_ENV,
+                                              _DEFAULT_UPLOAD_ROWS))
+                for rows_min in {Aligner._GRP_ROW_QUANTUM, sub_rows}:
+                    with stage_timer(
+                        f"kernel warmup (group buffer, {rows_min} rows)"
+                    ):
+                        grp = aligner.put_read_group(
+                            [np.zeros(chunk, np.int8)], chunk,
+                            rows_min=rows_min,
+                        )
+                        if grp is None:
+                            continue
+                        zb = np.zeros(B, dtype=np.int64)
+                        Aligner.collect(
+                            aligner.dispatch_codes_buf(grp, zb, zl_n))
+                        Aligner.collect(aligner.dispatch_extend_buf(
+                            grp, zb, zl_n, np.zeros(B, np.int64),
+                            np.zeros(B, np.int8),
+                        ))
             else:
                 with stage_timer("kernel warmup (query + fused graphs)"):
                     zc = np.full((B, 160), 4, dtype=np.int8)
