@@ -1149,17 +1149,29 @@ class Aligner:
             self._static(),
         )
 
+    def prep_codes(self, codes: np.ndarray, lens: np.ndarray):
+        """Pack + upload one batch's wire arrays WITHOUT dispatching — safe
+        to call from a single prefetch thread so the upload RPC (~30-175ms
+        of tunnel time per batch) overlaps device compute and the main
+        thread's result downloads (ops/fused._prepped_batches uses the same
+        split for the fused loop)."""
+        return (self._pack_reads(codes, lens), self._put_lens(lens))
+
+    def dispatch_prepped(self, wire):
+        """dispatch_codes for a prep_codes() result."""
+        reads_dev, lens_dev = wire
+        return _query_batch_packed(
+            self.text_d, self.run_table_d, self.seed_pos_d, self.bucket_lo_d,
+            self.tstart_d, self.tnode_d,
+            reads_dev, lens_dev, self._static(),
+        )
+
     def dispatch_codes(self, codes: np.ndarray, lens: np.ndarray):
         """Launch the query asynchronously; returns one packed device array
         ([4, B] int32 — see _pack_result_rows).  Use collect() to materialize
         a BatchResult — keeping several batches in flight pipelines host work
         against device compute."""
-        return _query_batch_packed(
-            self.text_d, self.run_table_d, self.seed_pos_d, self.bucket_lo_d,
-            self.tstart_d, self.tnode_d,
-            self._pack_reads(codes, lens),
-            self._put_lens(lens), self._static(),
-        )
+        return self.dispatch_prepped(self.prep_codes(codes, lens))
 
     def dispatch_extend(self, codes, lens, w0, strand):
         """Seed-free banded extension at predicted window starts ``w0``
@@ -1311,7 +1323,11 @@ class Aligner:
 
         # pipelined several batches deep: later batches run on device while
         # earlier batches' GAF records are emitted on the host (the queue is
-        # carried across stream chunks; depth hides tunnel latency windows)
+        # carried across stream chunks; depth hides tunnel latency windows).
+        # Batch assembly + pack + upload run one batch ahead on a prefetch
+        # worker (prep_codes) so the upload RPC overlaps the collects.
+        from concurrent.futures import ThreadPoolExecutor
+
         from ..utils import pipeline_depth
 
         depth = pipeline_depth()
@@ -1324,32 +1340,53 @@ class Aligner:
             chunk = [(rid, None) for rid in b_ids]
             out.extend(self._emit_gaf_lens(chunk, lens, res))
 
-        for buf in stream_fastx_buffers(path, chunk_bytes):
-            parsed = fastx_parse_native(buf)
-            if parsed is None:
-                raise ValueError(f"{path}: unparseable FASTA/FASTQ chunk")
-            codes_flat, offsets, ids = parsed
-            lens_all = np.diff(offsets)
-            n = len(ids)
-            if n == 0:
-                continue
-            if lens_all.max() > 1000:
-                raise ValueError(
-                    f"reads up to {int(lens_all.max())}bp in {path}: the short-read "
-                    "engine handles <= ~1kb; use the long-read path (-l)"
-                )
-            pad_len = _round_up(int(lens_all.max()))
-            for lo in range(0, n, batch_size):
-                hi = min(lo + batch_size, n)
-                codes = np.full((batch_size, pad_len), 4, dtype=np.int8)
-                lens = np.zeros(batch_size, dtype=np.int64)
-                for i in range(lo, hi):
-                    L = int(lens_all[i])
-                    codes[i - lo, :L] = codes_flat[offsets[i] : offsets[i] + L]
-                    lens[i - lo] = L
-                pending.append(
-                    (ids[lo:hi], lens, self.dispatch_codes(codes, lens))
-                )
+        def prep(codes_flat, offsets, lens_all, pad_len, lo, hi):
+            codes = np.full((batch_size, pad_len), 4, dtype=np.int8)
+            lens = np.zeros(batch_size, dtype=np.int64)
+            for i in range(lo, hi):
+                L = int(lens_all[i])
+                codes[i - lo, :L] = codes_flat[offsets[i] : offsets[i] + L]
+                lens[i - lo] = L
+            return lens, self.prep_codes(codes, lens)
+
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            prep_q: list = []  # (ids, future) in dispatch order
+
+            def pump():
+                while prep_q and (prep_q[0][1].done() or len(prep_q) > 1):
+                    b_ids, fut = prep_q.pop(0)
+                    lens, wire = fut.result()
+                    pending.append((b_ids, lens, self.dispatch_prepped(wire)))
+                    if len(pending) >= depth:
+                        drain(pending.pop(0))
+
+            for buf in stream_fastx_buffers(path, chunk_bytes):
+                parsed = fastx_parse_native(buf)
+                if parsed is None:
+                    raise ValueError(f"{path}: unparseable FASTA/FASTQ chunk")
+                codes_flat, offsets, ids = parsed
+                lens_all = np.diff(offsets)
+                n = len(ids)
+                if n == 0:
+                    continue
+                if lens_all.max() > 1000:
+                    raise ValueError(
+                        f"reads up to {int(lens_all.max())}bp in {path}: the short-read "
+                        "engine handles <= ~1kb; use the long-read path (-l)"
+                    )
+                pad_len = _round_up(int(lens_all.max()))
+                for lo in range(0, n, batch_size):
+                    hi = min(lo + batch_size, n)
+                    prep_q.append((
+                        ids[lo:hi],
+                        ex.submit(prep, codes_flat, offsets, lens_all,
+                                  pad_len, lo, hi),
+                    ))
+                    pump()
+            while prep_q:
+                b_ids, fut = prep_q.pop(0)
+                lens, wire = fut.result()
+                pending.append((b_ids, lens, self.dispatch_prepped(wire)))
                 if len(pending) >= depth:
                     drain(pending.pop(0))
         for entry in pending:

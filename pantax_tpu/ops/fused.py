@@ -1082,8 +1082,70 @@ class FusedPipeline:
         self._acc_sn = None
         self._acc_st = None
         self._n_int_residual = 0
+        self._prep_ex = None  # lazy batch pack+upload prefetch worker
 
     _MAT_LAG = 8  # batches kept on device before materializing to host
+    _PREP_DEPTH = 2  # batches packed+uploaded ahead of the dispatch loop
+
+    def _prep_pool(self):
+        if self._prep_ex is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._prep_ex = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="fused-prep"
+            )
+        return self._prep_ex
+
+    def _pad_slice(self, codes, lens, lo: int, hi: int):
+        b_codes = codes[lo:hi]
+        b_lens = lens[lo:hi]
+        if hi - lo < self.batch:
+            b_codes = np.vstack([
+                b_codes,
+                np.full(
+                    (self.batch - (hi - lo), codes.shape[1]), 4, np.int8
+                ),
+            ])
+            b_lens = np.concatenate(
+                [b_lens, np.zeros(self.batch - (hi - lo), b_lens.dtype)]
+            )
+        return b_codes, b_lens
+
+    def _prep_slice(self, codes, lens, lo: int, hi: int):
+        b_codes, b_lens = self._pad_slice(codes, lens, lo, hi)
+        return (self.aligner._pack_reads(b_codes, b_lens),
+                self.aligner._put_lens(b_lens))
+
+    def _prepped_batches(self, prep, n: int):
+        """Yield (lo, hi, prep(lo, hi)) for each dispatch batch, with the
+        pack + upload for the next _PREP_DEPTH batches running on a single
+        worker thread.  The tunnel serializes each upload RPC with nothing
+        else on ITS OWN connection, but an upload issued from a second
+        thread DOES overlap device execution and the main thread's blocking
+        result downloads (proved by the long-read group-buffer prefetch,
+        align/long_read.py) — at ~90-175ms/batch of upload this is the
+        difference between tunnel-bound and compute-bound dispatch loops.
+        PANTAX_TPU_PREFETCH=0 restores the inline path for A/B probes."""
+        batch = self.batch
+        starts = list(range(0, n, batch))
+        if (os.environ.get("PANTAX_TPU_PREFETCH", "1") == "0"
+                or len(starts) <= 1):
+            for lo in starts:
+                hi = min(lo + batch, n)
+                yield lo, hi, prep(lo, hi)
+            return
+        ex = self._prep_pool()
+        futs: list = []
+        for lo in starts[:self._PREP_DEPTH]:
+            hi = min(lo + batch, n)
+            futs.append(ex.submit(prep, lo, hi))
+        for i, lo in enumerate(starts):
+            hi = min(lo + batch, n)
+            nxt = i + self._PREP_DEPTH
+            if nxt < len(starts):
+                nlo = starts[nxt]
+                futs.append(ex.submit(prep, nlo, min(nlo + batch, n)))
+            yield lo, hi, futs[i].result()
 
     def _decide_ranges(self, read_pad: int) -> bool:
         """Range scatter needs dup-free windows over one read's whole
@@ -1200,18 +1262,11 @@ class FusedPipeline:
                 aligner.index, codes.shape[1], aligner.cfg.extension_band
             )
         n = len(lens)
-        for lo in range(0, n, batch):
-            hi = min(lo + batch, n)
-            b_codes = codes[lo:hi]
-            b_lens = lens[lo:hi]
-            if hi - lo < batch:
-                b_codes = np.vstack([
-                    b_codes,
-                    np.full((batch - (hi - lo), codes.shape[1]), 4, np.int8),
-                ])
-                b_lens = np.concatenate(
-                    [b_lens, np.zeros(batch - (hi - lo), b_lens.dtype)]
-                )
+
+        def prep(lo, hi):
+            return self._prep_slice(codes, lens, lo, hi)
+
+        for lo, hi, (reads_dev, lens_dev) in self._prepped_batches(prep, n):
             if self.use_ranges:
                 out = _fused_step_ranges(
                     aligner.text_d, aligner.run_table_d, aligner.seed_pos_d,
@@ -1219,8 +1274,7 @@ class FusedPipeline:
                     tables.hap_offsets_d, tables.hap_range_d,
                     tables.pos_lo_d, tables.trio_seg_d,
                     tables.nodes_len_d, tables.base_offset_d,
-                    aligner._pack_reads(b_codes, b_lens),
-                    aligner._put_lens(b_lens),
+                    reads_dev, lens_dev,
                     self.acc_b, self.acc_d, self.acc_t,
                     self._acc_sn, self._acc_st,
                     cfg_static=aligner._static(),
@@ -1239,8 +1293,7 @@ class FusedPipeline:
                     tables.nodes_len_d, tables.base_offset_d,
                     tables.trio_hash_d, tables.trio_order_d,
                     tables.trio_abc_d, tables.trio_bucket_d,
-                    aligner._pack_reads(b_codes, b_lens),
-                    aligner._put_lens(b_lens),
+                    reads_dev, lens_dev,
                     self.acc_b, self.acc_d, self.acc_t,
                     cfg_static=aligner._static(), win_shift=tables.win_shift,
                     pos_steps=tables.pos_steps, L_cap=self.L_cap,
@@ -1280,22 +1333,13 @@ class FusedPipeline:
         if len(lens2) != n:
             raise ValueError("paired feed requires equal mate counts")
 
-        def pad(codes, lens, lo, hi):
-            bc, bl = codes[lo:hi], lens[lo:hi]
-            if hi - lo < batch:
-                bc = np.vstack([
-                    bc,
-                    np.full((batch - (hi - lo), codes.shape[1]), 4, np.int8),
-                ])
-                bl = np.concatenate(
-                    [bl, np.zeros(batch - (hi - lo), bl.dtype)]
-                )
-            return bc, bl
+        def prep(lo, hi):
+            return (self._prep_slice(codes1, lens1, lo, hi),
+                    self._prep_slice(codes2, lens2, lo, hi))
 
-        for lo in range(0, n, batch):
-            hi = min(lo + batch, n)
-            b1, l1 = pad(codes1, lens1, lo, hi)
-            b2, l2 = pad(codes2, lens2, lo, hi)
+        for lo, hi, (mate1, mate2) in self._prepped_batches(prep, n):
+            (reads1_dev, lens1_dev) = mate1
+            (reads2_dev, lens2_dev) = mate2
             if self.use_ranges:
                 out = _fused_step_paired_ranges(
                     aligner.text_d, aligner.run_table_d, aligner.seed_pos_d,
@@ -1303,10 +1347,7 @@ class FusedPipeline:
                     tables.hap_offsets_d, tables.hap_range_d,
                     tables.pos_lo_d, tables.trio_seg_d,
                     tables.nodes_len_d, tables.base_offset_d,
-                    aligner._pack_reads(b1, l1),
-                    aligner._put_lens(l1),
-                    aligner._pack_reads(b2, l2),
-                    aligner._put_lens(l2),
+                    reads1_dev, lens1_dev, reads2_dev, lens2_dev,
                     self.acc_b, self.acc_d, self.acc_t,
                     self._acc_sn, self._acc_st,
                     cfg_static=aligner._static(), frag_max=c.frag_max,
@@ -1326,10 +1367,7 @@ class FusedPipeline:
                     tables.nodes_len_d, tables.base_offset_d,
                     tables.trio_hash_d, tables.trio_order_d,
                     tables.trio_abc_d, tables.trio_bucket_d,
-                    aligner._pack_reads(b1, l1),
-                    aligner._put_lens(l1),
-                    aligner._pack_reads(b2, l2),
-                    aligner._put_lens(l2),
+                    reads1_dev, lens1_dev, reads2_dev, lens2_dev,
                     self.acc_b, self.acc_d, self.acc_t,
                     cfg_static=aligner._static(), frag_max=c.frag_max,
                     pair_bonus=c.pair_bonus, rescue_frac=c.rescue_frac,
@@ -1548,6 +1586,9 @@ class FusedPipeline:
         — applied AFTER this process's overflow residual, BEFORE finalize, so
         every process finalizes the globally merged coverage."""
         tables = self.tables
+        if self._prep_ex is not None:
+            self._prep_ex.shutdown(wait=True)
+            self._prep_ex = None
         self._materialize_to(len(self._per_read), len(self._ov))
         ov = int(sum(self._ov))
         if ov:

@@ -212,6 +212,43 @@ def test_ranges_vs_windowed_bit_parity(db, index, aligner):
         assert np.array_equal(np.asarray(a), np.asarray(b)), name
 
 
+def test_prefetch_pipeline_bit_parity(db, index, aligner):
+    """The upload-prefetch dispatch loop (pack+put on a worker thread,
+    PANTAX_TPU_PREFETCH default) feeds batches in the identical order with
+    identical contents as the inline loop — coverage and per-read columns
+    must match bit-for-bit for both feed() and feed_paired(), including a
+    partial tail batch."""
+    from pantax_tpu.benchmarks import simulate_read_batch
+    from pantax_tpu.ops.fused import FusedPipeline, build_fused_tables
+
+    codes, lens, _ = simulate_read_batch(index, 1200, 150, 0.02, seed=17)
+    tables = build_fused_tables(db, index)
+
+    def run(prefetch: str):
+        os.environ["PANTAX_TPU_PREFETCH"] = prefetch
+        try:
+            pipe = FusedPipeline(aligner, tables, batch=512)  # 3 batches, tail 176
+            pipe.feed(codes, lens, ids=[f"r{i}" for i in range(len(lens))])
+            half = 600
+            pipe2 = FusedPipeline(aligner, tables, batch=256)
+            pipe2.feed_paired(
+                codes[:half], lens[:half], codes[half:], lens[half:]
+            )
+            return pipe.finish(), pipe2.finish()
+        finally:
+            del os.environ["PANTAX_TPU_PREFETCH"]
+
+    (r_in, p_in) = run("0")
+    (r_pf, p_pf) = run("1")
+    for a, b in ((r_in, r_pf), (p_in, p_pf)):
+        for k in ("mapq", "aligned", "ridx", "read_len"):
+            assert np.array_equal(a.reads[k], b.reads[k]), k
+        for name, x, y in (("na", a.na_d, b.na_d), ("ta", a.ta_d, b.ta_d),
+                           ("bc", a.bc_d, b.bc_d)):
+            assert np.array_equal(np.asarray(x), np.asarray(y)), name
+    assert r_in.reads["ids"] == r_pf.reads["ids"]
+
+
 def test_feed_intervals_dup_routing_parity(db, index, aligner):
     """Forcing hap_dup=True routes interval rows through the windowed step
     (span <= 8) and the host residual (span > 8) instead of the range
