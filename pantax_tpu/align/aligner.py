@@ -1128,25 +1128,48 @@ class Aligner:
         return (grp["buf_d"], self._shard_reads(row_idx), grp["exc_d"],
                 grp["wm"])
 
+    def prep_codes_buf(self, grp, base_off: np.ndarray, lens: np.ndarray):
+        """Upload one buffer-batch's wire arrays (row offsets + lens) without
+        dispatching — the prefetch-thread half of dispatch_codes_buf (see
+        prep_codes)."""
+        return (self._buf_wire(grp, base_off), self._put_lens(lens))
+
     def dispatch_codes_buf(self, grp, base_off: np.ndarray, lens: np.ndarray):
         """dispatch_codes against a put_read_group buffer: rows are the
         chunks starting at ``base_off`` (buffer base coords, 4-aligned)."""
-        return _query_batch_packed(
-            self.text_d, self.run_table_d, self.seed_pos_d, self.bucket_lo_d,
-            self.tstart_d, self.tnode_d,
-            self._buf_wire(grp, base_off),
-            self._put_lens(lens), self._static(),
-        )
+        return self.dispatch_prepped(self.prep_codes_buf(grp, base_off, lens))
 
-    def dispatch_extend_buf(self, grp, base_off, lens, w0, strand):
-        """dispatch_extend against a put_read_group buffer."""
-        return _extend_batch(
-            self.text_d,
+    def prep_extend_buf(self, grp, base_off, lens, w0, strand):
+        """Upload one extend-batch's wire arrays against a read-group buffer
+        without dispatching (prefetch-thread half of dispatch_extend_buf)."""
+        return (
             self._buf_wire(grp, base_off),
             self._put_lens(lens),
             self._shard_reads(w0.astype(np.int32)),
             self._shard_reads(strand.astype(np.int32)),
+        )
+
+    def prep_extend(self, codes, lens, w0, strand):
+        """prep_extend_buf for the per-batch codes wire."""
+        return (
+            self._pack_reads(codes, lens),
+            self._put_lens(lens),
+            self._shard_reads(w0.astype(np.int32)),
+            self._shard_reads(strand.astype(np.int32)),
+        )
+
+    def dispatch_extend_prepped(self, wire):
+        """dispatch_extend for a prep_extend/prep_extend_buf result."""
+        reads_dev, lens_dev, w0_dev, strand_dev = wire
+        return _extend_batch(
+            self.text_d, reads_dev, lens_dev, w0_dev, strand_dev,
             self._static(),
+        )
+
+    def dispatch_extend_buf(self, grp, base_off, lens, w0, strand):
+        """dispatch_extend against a put_read_group buffer."""
+        return self.dispatch_extend_prepped(
+            self.prep_extend_buf(grp, base_off, lens, w0, strand)
         )
 
     def prep_codes(self, codes: np.ndarray, lens: np.ndarray):
@@ -1177,28 +1200,35 @@ class Aligner:
         """Seed-free banded extension at predicted window starts ``w0``
         (int32 [B], text coords); ``strand`` int8 [B] picks fwd/revcomp per
         row.  Returns a packed device array for collect()."""
-        return _extend_batch(
-            self.text_d,
-            self._pack_reads(codes, lens),
-            self._put_lens(lens),
-            self._shard_reads(w0.astype(np.int32)),
-            self._shard_reads(strand.astype(np.int32)),
-            self._static(),
+        return self.dispatch_extend_prepped(
+            self.prep_extend(codes, lens, w0, strand)
+        )
+
+    def prep_paired_codes(self, codes1, lens1, codes2, lens2):
+        """Pack + upload both mates' wire arrays without dispatching (the
+        prefetch-thread half of dispatch_paired_codes — see prep_codes)."""
+        return (
+            self._pack_reads(codes1, lens1), self._put_lens(lens1),
+            self._pack_reads(codes2, lens2), self._put_lens(lens2),
+        )
+
+    def dispatch_paired_prepped(self, wire):
+        """dispatch_paired_codes for a prep_paired_codes() result."""
+        c = self.cfg
+        reads1_dev, lens1_dev, reads2_dev, lens2_dev = wire
+        return _query_batch_paired_packed(
+            self.text_d, self.run_table_d, self.seed_pos_d, self.bucket_lo_d,
+            self.tstart_d, self.tnode_d,
+            reads1_dev, lens1_dev, reads2_dev, lens2_dev,
+            self._static(), c.frag_max, c.pair_bonus, c.rescue_frac,
         )
 
     def dispatch_paired_codes(self, codes1, lens1, codes2, lens2):
         """Launch a joint mate-pair query (fragment model); returns one
         packed device array ([8, B] int32: mate1 rows then mate2 rows) —
         materialize with collect_pair()."""
-        c = self.cfg
-        return _query_batch_paired_packed(
-            self.text_d, self.run_table_d, self.seed_pos_d, self.bucket_lo_d,
-            self.tstart_d, self.tnode_d,
-            self._pack_reads(codes1, lens1),
-            self._put_lens(lens1),
-            self._pack_reads(codes2, lens2),
-            self._put_lens(lens2),
-            self._static(), c.frag_max, c.pair_bonus, c.rescue_frac,
+        return self.dispatch_paired_prepped(
+            self.prep_paired_codes(codes1, lens1, codes2, lens2)
         )
 
     def align_paired_codes(self, codes1, lens1, codes2, lens2):
@@ -1276,21 +1306,10 @@ class Aligner:
             lens_p[: len(lens)] = lens
             return codes, lens_p
 
-        def feed_chunk(cf1, of1, ids1, cf2, of2, ids2):
-            n = len(ids1)
-            if n == 0:
-                return
-            pad = _round_up(int(max(np.diff(of1).max(), np.diff(of2).max())))
-            for lo in range(0, n, batch_size):
-                hi = min(lo + batch_size, n)
-                c1, len1 = matrix(cf1, of1, lo, hi, pad)
-                c2, len2 = matrix(cf2, of2, lo, hi, pad)
-                pending.append((
-                    ids1[lo:hi], ids2[lo:hi], len1, len2,
-                    self.dispatch_paired_codes(c1, len1, c2, len2),
-                ))
-                if len(pending) >= depth:
-                    drain(pending.pop(0))
+        # batch assembly + pack + upload run one batch ahead on a prefetch
+        # worker (prep_paired_codes) so both mates' upload RPCs overlap the
+        # collects instead of serializing between dispatches
+        from concurrent.futures import ThreadPoolExecutor
 
         def parse(path, buf):
             parsed = fastx_parse_native(buf)
@@ -1300,8 +1319,45 @@ class Aligner:
 
         from ..io.fastx import stream_paired_parsed
 
-        for block in stream_paired_parsed(path1, path2, parse, chunk_bytes):
-            feed_chunk(*block)
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            prep_q: list = []  # ((ids1, ids2), future) in dispatch order
+
+            def prep(cf1, of1, cf2, of2, lo, hi, pad):
+                c1, len1 = matrix(cf1, of1, lo, hi, pad)
+                c2, len2 = matrix(cf2, of2, lo, hi, pad)
+                return len1, len2, self.prep_paired_codes(c1, len1, c2, len2)
+
+            def pump(force=False):
+                while prep_q and (force or prep_q[0][1].done()
+                                  or len(prep_q) > 1):
+                    (i1, i2), fut = prep_q.pop(0)
+                    len1, len2, wire = fut.result()
+                    pending.append((
+                        i1, i2, len1, len2,
+                        self.dispatch_paired_prepped(wire),
+                    ))
+                    if len(pending) >= depth:
+                        drain(pending.pop(0))
+
+            def feed_chunk(cf1, of1, ids1, cf2, of2, ids2):
+                n = len(ids1)
+                if n == 0:
+                    return
+                pad = _round_up(
+                    int(max(np.diff(of1).max(), np.diff(of2).max()))
+                )
+                for lo in range(0, n, batch_size):
+                    hi = min(lo + batch_size, n)
+                    prep_q.append((
+                        (ids1[lo:hi], ids2[lo:hi]),
+                        ex.submit(prep, cf1, of1, cf2, of2, lo, hi, pad),
+                    ))
+                    pump()
+
+            for block in stream_paired_parsed(path1, path2, parse,
+                                              chunk_bytes):
+                feed_chunk(*block)
+            pump(force=True)
         for entry in pending:
             drain(entry)
         return out

@@ -273,8 +273,11 @@ def align_long_reads(
 
     # pipelined dispatch: keep several batches in flight while results
     # transfer (the serial align_codes loop left the device idle for a
-    # dispatch round-trip per batch — 3x wall time on the tunnel)
-    from ..utils import pipeline_depth
+    # dispatch round-trip per batch — 3x wall time on the tunnel); the
+    # per-batch wire uploads (row offsets + lens, or the packed codes)
+    # run ahead on a prefetch thread (utils.prefetched) so their RPCs
+    # overlap compute instead of serializing between dispatches
+    from ..utils import pipeline_depth, prefetched
 
     depth = pipeline_depth()
     pending: list[tuple[int, object]] = []
@@ -294,16 +297,18 @@ def align_long_reads(
         strand[rows] = res.strand[:m]
         aligned[rows] = res.aligned[:m]
 
-    for lo in range(0, len(s_lens), batch_size):
+    def prep_seeded(lo):
         if grp is not None:
-            dev = aligner.dispatch_codes_buf(
+            return aligner.prep_codes_buf(
                 grp, s_base[lo : lo + batch_size],
                 s_lens[lo : lo + batch_size],
             )
-        else:
-            dev = aligner.dispatch_codes(s_codes[lo : lo + batch_size],
-                                         s_lens[lo : lo + batch_size])
-        pending.append((lo, dev))
+        return aligner.prep_codes(s_codes[lo : lo + batch_size],
+                                  s_lens[lo : lo + batch_size])
+
+    for lo, wire in prefetched(prep_seeded, range(0, len(s_lens),
+                                                  batch_size)):
+        pending.append((lo, aligner.dispatch_prepped(wire)))
         if len(pending) >= depth:
             drain(pending.pop(0))
     for entry in pending:
@@ -449,22 +454,24 @@ def align_long_reads(
                 aligned[acc] = True
                 member[acc] = True
 
-            for lo in range(0, nr_pad, batch_size):
+            def prep_rescue(lo):
                 if grp is not None:
-                    dev = aligner.dispatch_extend_buf(
+                    return aligner.prep_extend_buf(
                         grp, r_base[lo : lo + batch_size],
                         r_lens[lo : lo + batch_size],
                         r_w0[lo : lo + batch_size],
                         r_st[lo : lo + batch_size],
                     )
-                else:
-                    dev = aligner.dispatch_extend(
-                        r_codes[lo : lo + batch_size],
-                        r_lens[lo : lo + batch_size],
-                        r_w0[lo : lo + batch_size],
-                        r_st[lo : lo + batch_size],
-                    )
-                pend2.append((lo, dev))
+                return aligner.prep_extend(
+                    r_codes[lo : lo + batch_size],
+                    r_lens[lo : lo + batch_size],
+                    r_w0[lo : lo + batch_size],
+                    r_st[lo : lo + batch_size],
+                )
+
+            for lo, wire in prefetched(prep_rescue,
+                                       range(0, nr_pad, batch_size)):
+                pend2.append((lo, aligner.dispatch_extend_prepped(wire)))
                 if len(pend2) >= depth:
                     drain2(pend2.pop(0))
             for entry in pend2:
