@@ -86,3 +86,22 @@ def test_all_species_failing_raises(tmp_path):
     write_genomes_info(info_file, infos)
     with pytest.raises(RuntimeError, match="all species failed"):
         build_database(info_file, tmp_path / "db", base_dir=tmp_path)
+
+
+def test_prefetched_order_and_gating(monkeypatch):
+    """utils.prefetched yields (item, prep(item)) in exact input order with
+    the worker enabled, disabled (PANTAX_TPU_PREFETCH=0), and for the
+    single-item fast path; every prep call happens exactly once."""
+    from pantax_tpu.utils import prefetched
+
+    for env, items in (("1", range(7)), ("0", range(7)), ("1", [42])):
+        monkeypatch.setenv("PANTAX_TPU_PREFETCH", env)
+        calls = []
+
+        def prep(i):
+            calls.append(i)
+            return i * 10
+
+        got = list(prefetched(prep, items))
+        assert got == [(i, i * 10) for i in items]
+        assert sorted(calls) == list(items)
