@@ -1463,19 +1463,27 @@ class FusedPipeline:
             )
             self._n_int_residual += int(resid.sum())
 
+        from ..utils import prefetched
+
+        def prep_rows(r):
+            c_ts = np.zeros(batch, np.int32)
+            c_te = np.zeros(batch, np.int32)
+            c_live = np.zeros(batch, bool)
+            c_ts[: len(r)] = ts[r]
+            c_te[: len(r)] = te[r]
+            c_live[: len(r)] = True
+            return (aligner._shard_reads(c_ts),
+                    aligner._shard_reads(c_te),
+                    aligner._shard_reads(c_live))
+
         def chunks(sel):
+            # wire uploads (3 small RPCs/batch) run ahead on the prefetch
+            # worker so they overlap the interval-step dispatches
             rows = np.flatnonzero(sel)
-            for lo in range(0, len(rows), batch):
-                r = rows[lo:lo + batch]
-                c_ts = np.zeros(batch, np.int32)
-                c_te = np.zeros(batch, np.int32)
-                c_live = np.zeros(batch, bool)
-                c_ts[: len(r)] = ts[r]
-                c_te[: len(r)] = te[r]
-                c_live[: len(r)] = True
-                yield (aligner._shard_reads(c_ts),
-                       aligner._shard_reads(c_te),
-                       aligner._shard_reads(c_live))
+            slices = [rows[lo:lo + batch]
+                      for lo in range(0, len(rows), batch)]
+            for _, wire in prefetched(prep_rows, slices):
+                yield wire
 
         for c_ts, c_te, c_live in chunks(short):
             out = _interval_window_step(
