@@ -66,14 +66,18 @@ def bench_example() -> float:
     # ~30ms tunnel round trip per dispatch overlaps device compute, and
     # report the median inter-collect interval (steady rate, robust to
     # tunnel-latency windows).
-    from pantax_tpu.utils import pipeline_depth
+    from pantax_tpu.utils import pipeline_depth, prefetched
 
     depth = pipeline_depth()
     pending = []
     marks = []
-    for b in range(n_batches):
+
+    def prep(b):
         sl = slice(b * BATCH, (b + 1) * BATCH)
-        pending.append(aligner.dispatch_codes(codes[sl], lens[sl]))
+        return aligner.prep_codes(codes[sl], lens[sl])
+
+    for _, wire in prefetched(prep, range(n_batches)):
+        pending.append(aligner.dispatch_prepped(wire))
         if len(pending) >= depth:
             aligner.collect(pending.pop(0))
             marks.append(time.time())
