@@ -19,6 +19,7 @@ species credibility filter keys on the mapq-60 and 3..60 bands
 from __future__ import annotations
 
 import logging
+import threading
 from dataclasses import dataclass
 from functools import partial
 
@@ -966,6 +967,10 @@ class Aligner:
         self.tnode_d = put(index.tnode.astype(np.int32))
         self.bucket_lo_d = put(bucket_lo)
         self._upload_cache: dict = {}
+        # _cached_put runs from prefetch/prep worker threads concurrently
+        # with the main thread; the lock keeps the clear-on-overflow eviction
+        # from racing a concurrent insert (which would re-pay ~30ms RPCs).
+        self._upload_lock = threading.Lock()
 
     def _replicate(self, arr):
         """Index arrays: replicated over the mesh, or plain device arrays."""
@@ -1009,12 +1014,14 @@ class Aligner:
         if self.mesh is not None and self.mesh.devices.size > 1:
             return self._shard_reads(arr)
         key = (arr.dtype.str, arr.shape, arr.tobytes())
-        hit = self._upload_cache.get(key)
+        with self._upload_lock:
+            hit = self._upload_cache.get(key)
         if hit is None:
-            if len(self._upload_cache) > 16:
-                self._upload_cache.clear()
             hit = jnp.asarray(arr)
-            self._upload_cache[key] = hit
+            with self._upload_lock:
+                if len(self._upload_cache) > 16:
+                    self._upload_cache.clear()
+                self._upload_cache[key] = hit
         return hit
 
     def _pack_reads(self, codes: np.ndarray, lens: np.ndarray):

@@ -149,34 +149,28 @@ def run_alignment_benchmark(
     # the tunnel is latency-bound in bad windows, so keeping a queue of
     # in-flight batches sustains device occupancy (the production align_file /
     # fastpath flow pipelines the same way; a sync loop would double the wall).
-    # The batch pack+upload runs one ahead on a prefetch thread (prep_codes)
-    # so the upload RPC overlaps compute + collects instead of serializing
-    # between dispatches.
-    from concurrent.futures import ThreadPoolExecutor
-
-    from .utils import pipeline_depth
+    # The batch pack+upload runs ahead via utils.prefetched (honors the
+    # PANTAX_TPU_PREFETCH=0 A/B gate) so the upload RPC overlaps compute +
+    # collects instead of serializing between dispatches.
+    from .utils import pipeline_depth, prefetched
 
     depth = pipeline_depth()
     pending = []
     marks = []  # collect-completion timestamps -> steady per-batch intervals
-    with ThreadPoolExecutor(max_workers=1) as ex:
-        def prep(bidx):
-            sl = slice(bidx * batch, (bidx + 1) * batch)
-            return sl, aligner.prep_codes(codes[sl], lens[sl])
 
-        wire_futs = [ex.submit(prep, b) for b in range(min(2, n_batches))]
-        for bidx in range(n_batches):
-            if bidx + 2 < n_batches:
-                wire_futs.append(ex.submit(prep, bidx + 2))
-            sl, wire = wire_futs[bidx].result()
-            pending.append((sl, aligner.dispatch_prepped(wire)))
-            if len(pending) >= depth:
-                sl0, dev0 = pending.pop(0)
-                account(sl0, aligner.collect(dev0))
-                marks.append(time.time())
-        for sl0, dev0 in pending:
+    def prep(bidx):
+        sl = slice(bidx * batch, (bidx + 1) * batch)
+        return sl, aligner.prep_codes(codes[sl], lens[sl])
+
+    for _, (sl, wire) in prefetched(prep, range(n_batches)):
+        pending.append((sl, aligner.dispatch_prepped(wire)))
+        if len(pending) >= depth:
+            sl0, dev0 = pending.pop(0)
             account(sl0, aligner.collect(dev0))
             marks.append(time.time())
+    for sl0, dev0 in pending:
+        account(sl0, aligner.collect(dev0))
+        marks.append(time.time())
     dt = time.time() - t0
     total = n_batches * batch
     # steady-state rate: median inter-collect interval of the pipelined loop,

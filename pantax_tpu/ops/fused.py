@@ -29,6 +29,7 @@ from __future__ import annotations
 import logging
 import os
 import time
+from collections import deque
 from dataclasses import dataclass
 from functools import partial
 
@@ -1096,6 +1097,21 @@ class FusedPipeline:
             )
         return self._prep_ex
 
+    def close(self, wait: bool = False) -> None:
+        """Shut the prefetch worker down (idempotent).  finish() calls this
+        with wait=True; feed error paths and __del__ call it with wait=False
+        so an abandoned pipeline doesn't leak the worker thread + in-flight
+        uploaded wire buffers for the life of the process."""
+        ex, self._prep_ex = self._prep_ex, None
+        if ex is not None:
+            ex.shutdown(wait=wait, cancel_futures=not wait)
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def _pad_slice(self, codes, lens, lo: int, hi: int):
         b_codes = codes[lo:hi]
         b_lens = lens[lo:hi]
@@ -1135,17 +1151,27 @@ class FusedPipeline:
                 yield lo, hi, prep(lo, hi)
             return
         ex = self._prep_pool()
-        futs: list = []
-        for lo in starts[:self._PREP_DEPTH]:
-            hi = min(lo + batch, n)
-            futs.append(ex.submit(prep, lo, hi))
-        for i, lo in enumerate(starts):
-            hi = min(lo + batch, n)
-            nxt = i + self._PREP_DEPTH
-            if nxt < len(starts):
-                nlo = starts[nxt]
-                futs.append(ex.submit(prep, nlo, min(nlo + batch, n)))
-            yield lo, hi, futs[i].result()
+        # deque + popleft: consumed futures are dropped so each batch's wire
+        # buffers free after dispatch instead of accumulating all run long.
+        futs: deque = deque()
+        done = False
+        try:
+            for lo in starts[:self._PREP_DEPTH]:
+                hi = min(lo + batch, n)
+                futs.append(ex.submit(prep, lo, hi))
+            for i, lo in enumerate(starts):
+                hi = min(lo + batch, n)
+                nxt = i + self._PREP_DEPTH
+                if nxt < len(starts):
+                    nlo = starts[nxt]
+                    futs.append(ex.submit(prep, nlo, min(nlo + batch, n)))
+                yield lo, hi, futs.popleft().result()
+            done = True
+        finally:
+            # Consumer raised (or abandoned the generator) mid-loop: drop
+            # the worker + queued uploads instead of leaking them.
+            if not done:
+                self.close()
 
     def _decide_ranges(self, read_pad: int) -> bool:
         """Range scatter needs dup-free windows over one read's whole
@@ -1594,9 +1620,7 @@ class FusedPipeline:
         — applied AFTER this process's overflow residual, BEFORE finalize, so
         every process finalizes the globally merged coverage."""
         tables = self.tables
-        if self._prep_ex is not None:
-            self._prep_ex.shutdown(wait=True)
-            self._prep_ex = None
+        self.close(wait=True)
         self._materialize_to(len(self._per_read), len(self._ov))
         ov = int(sum(self._ov))
         if ov:

@@ -24,15 +24,19 @@ def prefetched(prep, items, depth: int = 2):
         for it in items:
             yield it, prep(it)
         return
+    from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=1,
                             thread_name_prefix="wire-prep") as ex:
-        futs = [ex.submit(prep, it) for it in items[:depth]]
+        # Pop consumed futures so each batch's uploaded wire buffers are
+        # released after dispatch instead of accumulating for the whole run
+        # (large deletion bursts at loop end stall the host; see CLAUDE.md).
+        futs = deque(ex.submit(prep, it) for it in items[:depth])
         for i, it in enumerate(items):
             if i + depth < len(items):
                 futs.append(ex.submit(prep, items[i + depth]))
-            yield it, futs[i].result()
+            yield it, futs.popleft().result()
 
 
 __all__ = ["enable_compilation_cache", "pipeline_depth", "prefetched"]
