@@ -166,6 +166,15 @@ def _main(argv: list[str] | None = None) -> int:
     from .parallel import auto_mesh
 
     if args.distributed:
+        if args.reads and not args.fastpath:
+            # The per-species GAF flow has no process sharding: every
+            # process would redo the whole alignment and race on the same
+            # output files.  Fail fast BEFORE the fleet initializes instead
+            # of silently wasting it (the sharded flows are --fastpath).
+            log.error("--distributed requires --fastpath (the per-species "
+                      "GAF flow is single-process; rerun with --fastpath "
+                      "or drop --distributed)")
+            return 2
         from .parallel.distributed import init_distributed
 
         coord, n_proc, proc_id = args.distributed.rsplit(",", 2)
@@ -471,17 +480,22 @@ def _run_fastpath_long(args, db, index, tmp: Path, t0: float) -> int:
     device tail as short reads; ops/fused.feed_intervals).  Filter
     thresholds from gaf_filter.rs:44-97 are applied inside
     align_long_reads."""
+    import jax
+
     from .align.aligner import Aligner
     from .align.long_read import (
         LONG_READ_PRESETS, LONG_READ_SEED_STRIDE, align_long_reads,
         iter_read_groups,
     )
     from .ops.fused import (
-        FusedPipeline, build_fused_tables, profile_from_fused_result,
+        FusedPipeline, FusedResult, build_fused_tables,
+        profile_from_fused_result,
     )
     from .config import AlignConfig
     from .utils.logging import stage_timer
 
+    n_proc = jax.process_count()
+    dist = n_proc > 1
     aligner = Aligner(index, cfg=AlignConfig.for_read_type("long"))
     tables = build_fused_tables(db, index)
     pipe = FusedPipeline(aligner, tables, batch=args.batch_size)
@@ -489,9 +503,17 @@ def _run_fastpath_long(args, db, index, tmp: Path, t0: float) -> int:
     # streamed: each bounded read group is aligned (chunked blockwise DP)
     # and its merged per-read intervals fed straight into the incremental
     # fused accumulators — host RAM never holds the whole input
-    # (GraphAligner's streaming role, alignment.rs:144-165)
+    # (GraphAligner's streaming role, alignment.rs:144-165).
+    # Multi-host (--distributed): read GROUPS round-robin across processes
+    # (a byte-range shard would split reads mid-record for multi-line
+    # FASTA; the bounded groups are already the work quantum), coverage
+    # accumulators psum-merged before finalize, per-read columns gathered
+    # in process order, process 0 writes — same pattern as the short-read
+    # fused fastpath below.
     with stage_timer("long-read alignment+coverage (fastpath)"):
-        for group in iter_read_groups(args.reads):
+        for gi, group in enumerate(iter_read_groups(args.reads)):
+            if dist and gi % n_proc != jax.process_index():
+                continue
             merged = align_long_reads(
                 aligner, group, chunk=LONG_READ_PRESETS[args.long_read_type],
                 batch_size=args.batch_size,
@@ -503,14 +525,34 @@ def _run_fastpath_long(args, db, index, tmp: Path, t0: float) -> int:
                 ids=merged.read_ids,
             )
             n_aligned += len(merged.read_ids)
-    log.info("- Aligned %d reads", n_aligned)
 
     cfg = _profiling_config(args, db, tmp, "long",
                             species=True,
                             strain=args.strain or not args.species)
     with stage_timer("profiling (fused intervals)"):
-        result = pipe.finish()
-        profile_from_fused_result(result, tables, index, db, cfg, tmp)
+        if dist:
+            from .parallel.distributed import (
+                cross_process_sum, gather_read_rows,
+            )
+
+            result = pipe.finish(process_reduce=cross_process_sum)
+            with stage_timer("cross-process read-column gather"):
+                reads_g = gather_read_rows(result.reads)
+            result = FusedResult(result.na_d, result.ta_d, result.bc_d,
+                                 reads_g, result.n_overflow)
+            if jax.process_index() != 0:
+                log.info(
+                    "- process %d: %d reads aligned in shard, merged; "
+                    "process 0 writes outputs (%.1fs)",
+                    jax.process_index(), n_aligned, time.time() - t0,
+                )
+                return 0
+            log.info("- Aligned %d reads", len(reads_g["mapq"]))
+            profile_from_fused_result(result, tables, index, db, cfg, tmp)
+        else:
+            log.info("- Aligned %d reads", n_aligned)
+            result = pipe.finish()
+            profile_from_fused_result(result, tables, index, db, cfg, tmp)
 
     return _emit_outputs(args, tmp, True, cfg.strain, t0)
 

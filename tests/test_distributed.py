@@ -222,3 +222,102 @@ def test_two_process_cli_paired_matches_single_process(tmp_path):
     # the round-robin split was real: shard order permuted the rows
     assert a != b, "expected multiple chunks (PANTAX_TPU_CHUNK_BYTES too big?)"
     assert not (runs[1] / "strain_abundance.txt").exists()
+
+
+def test_two_process_cli_long_matches_single_process(tmp_path):
+    """--distributed with -l --fastpath (the long-read flow,
+    cli.py _run_fastpath_long): read GROUPS round-robin across processes,
+    coverage accumulators psum-merged, per-read columns gathered, process 0
+    writes — species/strain tables byte-identical to a 1-process run, same
+    classification ROWS (group round-robin permutes row order, so rows
+    compare as sorted lines).  PANTAX_TPU_LONG_GROUP_BASES forces several
+    groups from the small fixture so both processes genuinely align reads."""
+    import filecmp
+    import itertools
+
+    from pantax_tpu.cli import main as cli_main
+    from pantax_tpu.db.construct import build_database
+    from pantax_tpu.io.fastx import iter_fastx
+
+    db_dir = tmp_path / "db"
+    build_database("/root/reference/example/example_genomes_info.txt", db_dir,
+                   base_dir="/root/reference/example/ngs")
+    reads_fq = tmp_path / "long.fq"
+    with open(reads_fq, "wb") as f:
+        for name, seq in itertools.islice(
+            iter_fastx("/root/reference/example/hifi/long_reads.fq.gz"), 60
+        ):
+            f.write(b"@" + name.encode() + b"\n" + seq + b"\n+\n"
+                    + b"I" * len(seq) + b"\n")
+
+    env_grp = {"PANTAX_TPU_LONG_GROUP_BASES": "100000"}  # several groups
+    one = tmp_path / "one"
+    one.mkdir()
+    cwd = os.getcwd()
+    os.chdir(one)
+    os.environ.update(env_grp)
+    try:
+        rc = cli_main([
+            "-d", str(db_dir), "-l", "-r", str(reads_fq),
+            "--species", "--strain", "--fastpath", "--batch-size", "512",
+            "--mesh", "off",
+            "-T", str(one / "tmpdir"),
+            "-R", str(one / "reads_classification.tsv"),
+        ])
+    finally:
+        os.chdir(cwd)
+        os.environ.pop("PANTAX_TPU_LONG_GROUP_BASES", None)
+    assert rc == 0
+
+    worker = os.path.join(os.path.dirname(__file__), "_dist_cli_worker.py")
+    port = _free_port()
+    env = {
+        **os.environ,
+        **env_grp,
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+        "PYTHONPATH": os.pathsep.join([
+            os.path.dirname(__file__),
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            os.environ.get("PYTHONPATH", ""),
+        ]),
+    }
+    runs = [tmp_path / "p0", tmp_path / "p1"]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port), str(db_dir),
+             str(runs[i]), "-l", str(reads_fq)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=600)
+        logs.append(stdout.decode())
+    assert all(p.returncode == 0 for p in procs), "\n".join(logs)
+
+    for name in ("species_abundance.txt", "strain_abundance.txt"):
+        assert filecmp.cmp(one / name, runs[0] / name, shallow=False), (
+            name, "\n".join(logs)[-2000:]
+        )
+    a = open(one / "reads_classification.tsv").read().splitlines()
+    b = open(runs[0] / "reads_classification.tsv").read().splitlines()
+    assert sorted(a) == sorted(b), (
+        "classification rows differ between 1- and 2-process long runs"
+    )
+    # the round-robin group split was real: both processes aligned reads
+    assert a != b, "expected multiple groups (PANTAX_TPU_LONG_GROUP_BASES?)"
+    assert not (runs[1] / "strain_abundance.txt").exists()
+
+
+def test_distributed_requires_fastpath(tmp_path, capsys):
+    """--distributed with the per-species GAF flow (no --fastpath) fails
+    fast with a clear error BEFORE initializing the fleet, instead of every
+    process silently redoing the whole run (cli.py _main guard)."""
+    from pantax_tpu.cli import main as cli_main
+
+    rc = cli_main([
+        "-d", str(tmp_path / "nodb"), "-s", "-r", str(tmp_path / "r.fq"),
+        "--distributed", "localhost:1,2,0",
+    ])
+    assert rc == 2
