@@ -58,9 +58,12 @@ def _empty_arrays():
 # streamed long-read group size (total bases): the chunk/codes matrices built
 # per group scale with it, so it bounds host RAM for arbitrarily large inputs
 # (GraphAligner streams reads from disk, alignment.rs:144-165); overridable
-# for tests and small-RAM hosts
+# for tests and small-RAM hosts.  1GB: the sub-group upload pipeline hides
+# every upload EXCEPT the first sub of each group (~1.4s device-idle per
+# group boundary), so fewer, larger groups amortize that stall — the 0.8Gb
+# long bench is one group (was 4 at 256MB = 3 extra stalls).
 _GROUP_BASES_ENV = "PANTAX_TPU_LONG_GROUP_BASES"
-DEFAULT_GROUP_BASES = 256 << 20
+DEFAULT_GROUP_BASES = 1 << 30
 
 
 def iter_read_groups(paths, group_bases: int | None = None):
@@ -125,6 +128,7 @@ def align_long_reads(
     seed_stride: int = 1,
     as_arrays: bool = False,
     _grp="auto",
+    _enc=None,
 ):
     """Returns GafRecords, or with ``as_arrays`` an AlignmentArrays for the
     array-native long-read fastpath (no GAF text / node-path strings; the
@@ -134,7 +138,8 @@ def align_long_reads(
     ``_grp`` (internal): "auto" builds the device read-group buffer here —
     splitting oversized groups into upload-pipelined sub-groups — while the
     sub-group recursion passes a prepared buffer (or None for the codes
-    wire) directly."""
+    wire) directly.  ``_enc`` carries the sub-group's already-encoded reads
+    from the prep thread so each base is encoded once, not twice."""
     if not reads:
         return _empty_arrays() if as_arrays else []
     idx = aligner.index
@@ -167,10 +172,10 @@ def align_long_reads(
             from concurrent.futures import ThreadPoolExecutor
 
             def prep(sub):
+                enc_sub = [encode_seq(s) for _, s in sub]
                 return aligner.put_read_group(
-                    [encode_seq(s) for _, s in sub], chunk,
-                    rows_min=sub_rows,
-                )
+                    enc_sub, chunk, rows_min=sub_rows,
+                ), enc_sub
 
             # two prep threads: parallel upload RPCs raise the tunnel's
             # aggregate bandwidth (A/B at 100k x 8kb: depth 1/2/3 = 24.2 /
@@ -180,12 +185,12 @@ def align_long_reads(
             with ThreadPoolExecutor(depth) as ex:
                 futs = [ex.submit(prep, s) for s in subs[:depth]]
                 for i, sub in enumerate(subs):
-                    g = futs.pop(0).result()
+                    g, enc_sub = futs.pop(0).result()
                     if i + depth < len(subs):
                         futs.append(ex.submit(prep, subs[i + depth]))
                     parts.append(align_long_reads(
                         aligner, sub, chunk, batch_size, min_chunk_frac,
-                        seed_stride, as_arrays, _grp=g,
+                        seed_stride, as_arrays, _grp=g, _enc=enc_sub,
                     ))
             if as_arrays:
                 return concat_arrays(parts)
@@ -197,7 +202,7 @@ def align_long_reads(
     # and a chunk is kept iff it has >= 64 bases; since piece length shrinks
     # with offset, kept chunks are a prefix, so counts compose per read.
     R = len(reads)
-    enc = [encode_seq(seq) for _, seq in reads]
+    enc = _enc if _enc is not None else [encode_seq(seq) for _, seq in reads]
     rl = np.array([len(e) for e in enc], dtype=np.int64)
     span = np.maximum(rl - chunk // 2, 1)
     n_off = (span + chunk - 1) // chunk           # offsets generated

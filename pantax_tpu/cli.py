@@ -510,8 +510,22 @@ def _run_fastpath_long(args, db, index, tmp: Path, t0: float) -> int:
     # accumulators psum-merged before finalize, per-read columns gathered
     # in process order, process 0 writes — same pattern as the short-read
     # fused fastpath below.
+    from .align.long_read import _GROUP_BASES_ENV, DEFAULT_GROUP_BASES
+
+    env_gb = os.environ.get(_GROUP_BASES_ENV)
+    if env_gb is not None:
+        group_bases = int(env_gb)  # explicit override wins verbatim
+    else:
+        # finer quanta so the round-robin split engages even when the whole
+        # input fits one default-size group (floor keeps per-group fixed
+        # costs amortized)
+        group_bases = DEFAULT_GROUP_BASES
+        if dist:
+            group_bases = max(group_bases // n_proc, 64 << 20)
     with stage_timer("long-read alignment+coverage (fastpath)"):
-        for gi, group in enumerate(iter_read_groups(args.reads)):
+        for gi, group in enumerate(
+            iter_read_groups(args.reads, group_bases=group_bases)
+        ):
             if dist and gi % n_proc != jax.process_index():
                 continue
             merged = align_long_reads(

@@ -1,14 +1,19 @@
 """Measure multi-process scaling of the distributed fused CLI path.
 
 Runs the REAL CLI (pantax_tpu.cli.main --distributed ... --fastpath) over a
-synthetic read file with 1 and 2 processes (CPU backend, 1 device per
+synthetic read file with 1, 2, and 4 processes (CPU backend, 1 device per
 process, same machine) and reports wall times + parallel efficiency.  The
 per-process work division is the byte-range read shard; the only serial
 parts are the DB/table load, the accumulator allreduce, and process 0's
 profile tail.
 
-Usage: python tools/dist_scaling.py [n_reads]
-Prints one JSON line: {"t1": ..., "t2": ..., "efficiency": ...}
+Each worker is PINNED to its own core (taskset + single-threaded XLA/BLAS)
+so the 1-proc baseline doesn't silently use every core via intra-op
+threading — the curve then models one-core-per-host multi-host scaling.
+
+Usage: python tools/dist_scaling.py [n_reads] [procs_csv]
+  e.g. python tools/dist_scaling.py 400000 1,2,4
+Prints one JSON line: {"points": {"1": t, "2": t, "4": t}, ...}
 """
 from __future__ import annotations
 
@@ -34,6 +39,10 @@ def _run(nproc: int, db_dir: str, reads_fq: str, root: str) -> float:
     env = {
         **os.environ,
         "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+        # one core per process: stop XLA/BLAS intra-op threading from
+        # letting the 1-proc baseline use the whole socket
+        "OMP_NUM_THREADS": "1",
+        "OPENBLAS_NUM_THREADS": "1",
         "PYTHONPATH": os.pathsep.join(
             [os.path.join(REPO, "tests"), REPO,
              os.environ.get("PYTHONPATH", "")]
@@ -43,16 +52,19 @@ def _run(nproc: int, db_dir: str, reads_fq: str, root: str) -> float:
     t0 = time.time()
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(i), str(nproc), str(port), db_dir,
+            ["taskset", "-c", str(i),
+             sys.executable, worker, str(i), str(nproc), str(port), db_dir,
              os.path.join(root, f"n{nproc}_p{i}"), reads_fq],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
         for i in range(nproc)
     ]
     logs = []
-    for p in procs:
+    for i, p in enumerate(procs):
         out, _ = p.communicate(timeout=1800)
         logs.append(out.decode())
+        with open(os.path.join(root, f"n{nproc}_p{i}.log"), "w") as f:
+            f.write(logs[-1])
     if any(p.returncode != 0 for p in procs):
         sys.stderr.write("\n".join(logs))
         raise SystemExit(1)
@@ -68,6 +80,8 @@ def main() -> None:
     from pantax_tpu.sim import simulate_reads
 
     n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    proc_counts = [int(x) for x in
+                   (sys.argv[2] if len(sys.argv) > 2 else "1,2,4").split(",")]
     root = tempfile.mkdtemp(prefix="pantax_dist_scaling_")
     db_dir = os.path.join(root, "db")
     build_database(
@@ -86,14 +100,14 @@ def main() -> None:
             f.write(f"@{r.read_id}\n{seq}\n+\n{'I' * len(seq)}\n")
 
     _run(1, db_dir, reads_fq, root)  # warm the persistent compile cache
-    t1 = _run(1, db_dir, reads_fq, root)
-    t2 = _run(2, db_dir, reads_fq, root)
+    points = {n: _run(n, db_dir, reads_fq, root) for n in proc_counts}
+    t1 = points.get(1, points[min(points)])
     print(json.dumps({
         "n_reads": n_reads,
-        "t1_s": round(t1, 2),
-        "t2_s": round(t2, 2),
-        "speedup": round(t1 / t2, 3),
-        "efficiency": round(t1 / (2 * t2), 3),
+        "points_s": {str(n): round(t, 2) for n, t in points.items()},
+        "speedup": {str(n): round(t1 / t, 3) for n, t in points.items()},
+        "efficiency": {str(n): round(t1 / (n * t), 3)
+                       for n, t in points.items()},
     }))
 
 
