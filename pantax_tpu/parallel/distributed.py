@@ -55,6 +55,36 @@ def _process_mesh():
     return Mesh(np.array([per_proc[i] for i in range(n)]), ("p",))
 
 
+_JIT_CACHE: dict = {}
+
+
+def _jit_gather(mesh):
+    """Cached jit identity with replicated out_sharding (= all-gather).
+    A fresh jax.jit(lambda ...) per call would recompile every time."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    key = ("gather", tuple(d.id for d in mesh.devices.flat))
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))
+        _JIT_CACHE[key] = fn
+    return fn
+
+
+def _jit_psum(mesh):
+    """Cached jit sum-over-process-axis with replicated out_sharding
+    (= all-reduce)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    key = ("psum", tuple(d.id for d in mesh.devices.flat))
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(lambda x: x.sum(axis=0, dtype=x.dtype),
+                     out_shardings=NamedSharding(mesh, P()))
+        _JIT_CACHE[key] = fn
+    return fn
+
+
 def _allgather_rows(local_row: np.ndarray, mesh=None) -> np.ndarray:
     """All-gather one fixed-shape row per process -> [P, ...] on every
     process (jit identity with a replicated out_sharding lowers to an
@@ -67,9 +97,7 @@ def _allgather_rows(local_row: np.ndarray, mesh=None) -> np.ndarray:
         NamedSharding(mesh, P("p")), local_row[None],
         (n,) + local_row.shape,
     )
-    out = jax.jit(
-        lambda x: x, out_shardings=NamedSharding(mesh, P())
-    )(g)
+    out = _jit_gather(mesh)(g)
     return np.asarray(out)
 
 
@@ -88,10 +116,7 @@ def cross_process_sum(arrs):
         g = jax.make_array_from_process_local_data(
             NamedSharding(mesh, P("p")), loc[None], (n,) + loc.shape
         )
-        s = jax.jit(
-            lambda x: x.sum(axis=0, dtype=x.dtype),
-            out_shardings=NamedSharding(mesh, P()),
-        )(g)
+        s = _jit_psum(mesh)(g)
         out.append(np.asarray(s))
     return tuple(out)
 
