@@ -146,6 +146,13 @@ def align_long_reads(
 
     import os as _os
 
+    # A/B knob: wider strides trade the seed-lookup pass (the expensive
+    # kernel) for more rescue extensions; accuracy must be re-checked per
+    # preset before changing LONG_READ_SEED_STRIDE defaults
+    env_stride = _os.environ.get("PANTAX_TPU_SEED_STRIDE")
+    if env_stride is not None:
+        seed_stride = int(env_stride)
+
     buffer_on = _os.environ.get("PANTAX_TPU_READ_BUFFER") != "0"
     if _grp == "auto" and buffer_on:
         sub_rows = int(_os.environ.get(_UPLOAD_ROWS_ENV,

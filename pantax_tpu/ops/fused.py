@@ -1084,6 +1084,20 @@ class FusedPipeline:
         self._acc_st = None
         self._n_int_residual = 0
         self._prep_ex = None  # lazy batch pack+upload prefetch worker
+        # overlap the device profile tail's static table build (TailTables:
+        # host concatenations + uploads, ~0.5-1s at 102 strains) with the
+        # align loop — only when the auto tail heuristic (_tail_mode) would
+        # pick the device tail, so host-tail flows don't pay a wasted build
+        if (tables.N_pad * 8 + tables.U_pad * 4 >= 4 << 20
+                and getattr(tables, "_tail_tables", None) is None
+                and getattr(tables, "_tail_tables_fut", None) is None):
+            from concurrent.futures import ThreadPoolExecutor
+
+            ex = ThreadPoolExecutor(1, thread_name_prefix="tail-prewarm")
+            from .profile_tail import build_tail_tables as _btt
+
+            tables._tail_tables_fut = ex.submit(_btt, tables)
+            ex.shutdown(wait=False)
 
     _MAT_LAG = 8  # batches kept on device before materializing to host
     _PREP_DEPTH = 2  # batches packed+uploaded ahead of the dispatch loop
@@ -1854,16 +1868,37 @@ def profile_from_fused_result(
     return ok
 
 
-def _device_tail_solve(tables, cfg, active, result):
+def _ensure_tail_tables(tables):
+    """TailTables for the device tail: the prewarm future started at
+    pipeline construction (overlapping the align loop), or a synchronous
+    build as fallback."""
+    from .profile_tail import build_tail_tables
+
+    from ..utils.logging import stage_timer
+
+    tt = getattr(tables, "_tail_tables", None)
+    if tt is None:
+        fut = getattr(tables, "_tail_tables_fut", None)
+        with stage_timer("  tail tables (device)"):
+            tt = fut.result() if fut is not None else build_tail_tables(
+                tables)
+        tables._tail_tables = tt
+        tables._tail_tables_fut = None
+    return tt
+
+
+def _device_tail_solve(tables, cfg, active, result, stats_pre=None):
     """Strain filters + two-stage PAO over the DEVICE-resident na/ta/bc
     (ops/profile_tail.py): one tiny stats download, batched on-device solves,
     per-species host fallback only where the node-subsampling cap applies
     (exact RNG semantics need host rows).  Returns the per-species OtuStates
-    in ``active`` order, metrics complete."""
+    in ``active`` order, metrics complete.  ``stats_pre``: a
+    dispatch_tail_stats handle launched earlier (overlapping the species
+    stage); collected here."""
     from ..profile.engine import finish_two_stage, prepare_two_stage
     from ..profile.filters import HapMetrics, OtuState
     from .profile_tail import (
-        build_tail_tables, compute_tail_stats, first_filter_from_stats,
+        collect_tail_stats, compute_tail_stats, first_filter_from_stats,
         solve_two_stage_device,
     )
 
@@ -1871,15 +1906,14 @@ def _device_tail_solve(tables, cfg, active, result):
 
     if not active:
         return []
-    tt = getattr(tables, "_tail_tables", None)
-    if tt is None:
-        with stage_timer("  tail tables (device)"):
-            tt = build_tail_tables(tables)
-        tables._tail_tables = tt
+    tt = _ensure_tail_tables(tables)
     with stage_timer("  tail stats (device)"):
-        stats = compute_tail_stats(
-            tt, result.na_d, result.ta_d, result.bc_d, cfg.min_depth
-        )
+        if stats_pre is not None:
+            stats = collect_tail_stats(stats_pre)
+        else:
+            stats = compute_tail_stats(
+                tt, result.na_d, result.ta_d, result.bc_d, cfg.min_depth
+            )
     cap = 500 if cfg.sample_test else cfg.sample_nodes
     out_states: list = []
     jobs, states, host_jobs = [], [], []
@@ -1952,6 +1986,17 @@ def _profile_fused_tail(tables, db, cfg, out, profile_input) -> bool:
 
     (ridx, mapq, read_len, sp_names, result) = profile_input
     keep = ridx >= 0
+    # dispatch the device stats reduction BEFORE the host species stage so
+    # the two overlap (the stats program only needs the final accumulators;
+    # species selection only gates which stats rows are consumed later)
+    stats_pre = None
+    if cfg.strain and _tail_mode(tables, cfg) == "device":
+        from .profile_tail import dispatch_tail_stats
+
+        tt_pre = _ensure_tail_tables(tables)
+        stats_pre = dispatch_tail_stats(
+            tt_pre, result.na_d, result.ta_d, result.bc_d, cfg.min_depth
+        )
     with stage_timer("species profiling (fused)"):
         with stage_timer("  species: gather kept rows"):
             k_ridx, k_len, k_mapq = ridx[keep], read_len[keep], mapq[keep]
@@ -1994,7 +2039,8 @@ def _profile_fused_tail(tables, db, cfg, out, profile_input) -> bool:
         with stage_timer(
             f"strain profiling ({len(selected)} species, device tail)"
         ):
-            states = _device_tail_solve(tables, cfg, active, result)
+            states = _device_tail_solve(tables, cfg, active, result,
+                                        stats_pre=stats_pre)
     else:
       with stage_timer(f"strain profiling ({len(selected)} species, fused)"):
         node_abund, trio_abund, node_base_cov = result[0], result[1], result[2]

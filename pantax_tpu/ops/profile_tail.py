@@ -226,11 +226,22 @@ class TailStats:
     sp_valid: np.ndarray    # [S] count of nodes with abundance > 0
 
 
-def compute_tail_stats(tt: TailTables, na, ta, bc, min_depth: float) -> TailStats:
+def dispatch_tail_stats(tt: TailTables, na, ta, bc, min_depth: float):
+    """Launch the stats program and start its async host copies WITHOUT
+    blocking — callers overlap the device reduction with host work (the
+    species profiling stage) and collect via collect_tail_stats."""
     out = _tail_stats(
         na, ta, bc, tt.trio_hap_d, tt.path_node_d, tt.path_hap_d,
         tt.node_species_d, jnp.float32(min_depth), G=tt.G, S=tt.S,
     )
+    for a in out:
+        f = getattr(a, "copy_to_host_async", None)
+        if f is not None:
+            f()
+    return out
+
+
+def collect_tail_stats(out) -> TailStats:
     c1, freq_mean, path_cov, nz_cnt, nz_sum, sp_max, sp_valid = (
         np.asarray(a, dtype=np.float64) for a in out
     )
@@ -242,6 +253,10 @@ def compute_tail_stats(tt: TailTables, na, ta, bc, min_depth: float) -> TailStat
         sp_max=sp_max,
         sp_valid=sp_valid,
     )
+
+
+def compute_tail_stats(tt: TailTables, na, ta, bc, min_depth: float) -> TailStats:
+    return collect_tail_stats(dispatch_tail_stats(tt, na, ta, bc, min_depth))
 
 
 # ---------------------------------------------------------------------------
@@ -464,14 +479,21 @@ class DeviceTailSolver:
                 "scale": scale, "ub": ub_nrm, "rows": rows,
             }
 
-    def solve(self, ub_vec_of=None, iters: int = 1500, chunk: int = 250,
+    def solve(self, ub_vec_of=None, iters: int = 1500, chunk: int | None = None,
               tol: float = 1e-5, only_jobs: set | None = None
               ) -> list[np.ndarray]:
         """One batched solve pass; ``ub_vec_of(ji, p) -> [p] ub vector or
         None`` customizes per-path bounds (the second solve pins paths with
         ub 0, profile.rs:1482-1510).  ``only_jobs`` skips buckets containing
         none of the listed job indices (second pass: most species need no
-        re-solve, so whole buckets drop out).  Returns per-job x arrays [p]."""
+        re-solve, so whole buckets drop out).  Returns per-job x arrays [p].
+        PANTAX_TPU_ADMM_CHUNK overrides the per-dispatch iteration count
+        (A/B: smaller chunks stop converged buckets earlier but dispatch
+        more often)."""
+        import os as _os
+
+        if chunk is None:
+            chunk = int(_os.environ.get("PANTAX_TPU_ADMM_CHUNK", "250"))
         if not self._prepared:
             self._prepare()
         results: list[np.ndarray | None] = [None] * len(self.jobs)
@@ -529,9 +551,25 @@ class DeviceTailSolver:
         for r in runs:
             step(r)
             q.append(r)
+        dbg = _os.environ.get("PANTAX_TPU_ADMM_DEBUG")
         while q:
             r = q.popleft()
-            if float(np.max(np.asarray(r["res"]))) >= tol and r["left"] > 0:
+            res = float(np.max(np.asarray(r["res"])))
+            if dbg:
+                _log.info("      ADMM chunk res=%.3g (left %d)",
+                          res, r["left"])
+            # stop on tol OR on a low plateau: the f32 residual floors
+            # around 2-3e-4 at benchmark scales (tol=1e-5 is unreachable
+            # in f32) and chunks past the floor don't move the iterate.
+            # The plateau stop only fires with res already < 100*tol —
+            # hard instances that slow down at HIGH residual (seen in the
+            # random parity trials at ~3e-2) keep iterating to the cap, so
+            # the polished objective stays within 1e-4 of the host LP.
+            prev = r.get("prev_res")
+            r["prev_res"] = res
+            plateau = (prev is not None and res > 0.9 * prev
+                       and res < 100 * tol)
+            if res >= tol and not plateau and r["left"] > 0:
                 step(r)
                 q.append(r)
                 n_chunks += 1

@@ -23,6 +23,7 @@ with over-relaxation.  A scipy/HiGHS backend provides the exact-LP oracle
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -141,11 +142,15 @@ def _admm_chunk_batch(A, b, ub, rho, state, L, iters: int):
 _ADMM_FACTOR_BATCH_JIT = jax.jit(jax.vmap(_admm_factor))
 
 
-def _bucket(n: int, quantum: int = 4096) -> int:
+def _bucket(n: int, quantum: int | None = None) -> int:
     """Round up to a power-of-two multiple of quantum so species of different
     sizes share compiled ADMM shapes (per-shape jit compiles dominate
     otherwise).  Zero-padded rows contribute |0 - 0| = 0 to the objective and
-    padded columns are discarded, so the optimum is unchanged."""
+    padded columns are discarded, so the optimum is unchanged.
+    PANTAX_TPU_ADMM_QUANTUM overrides the floor (A/B: smaller buckets make
+    tiny-species solves cheaper at the cost of more compiled shapes)."""
+    if quantum is None:
+        quantum = int(os.environ.get("PANTAX_TPU_ADMM_QUANTUM", "4096"))
     m = quantum
     while m < n:
         m *= 2
