@@ -34,7 +34,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run(nproc: int, db_dir: str, reads_fq: str, root: str) -> float:
+def _run(nproc: int, db_dir: str, reads_fq: str, root: str,
+         mode: str | None = None) -> float:
     worker = os.path.join(REPO, "tests", "_dist_cli_worker.py")
     env = {
         **os.environ,
@@ -54,7 +55,8 @@ def _run(nproc: int, db_dir: str, reads_fq: str, root: str) -> float:
         subprocess.Popen(
             ["taskset", "-c", str(i),
              sys.executable, worker, str(i), str(nproc), str(port), db_dir,
-             os.path.join(root, f"n{nproc}_p{i}"), reads_fq],
+             os.path.join(root, f"n{nproc}_p{i}")]
+            + ([mode] if mode else []) + [reads_fq],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
         for i in range(nproc)
@@ -82,6 +84,7 @@ def main() -> None:
     n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     proc_counts = [int(x) for x in
                    (sys.argv[2] if len(sys.argv) > 2 else "1,2,4").split(",")]
+    mode = "-l" if "-l" in sys.argv[3:] else None
     root = tempfile.mkdtemp(prefix="pantax_dist_scaling_")
     db_dir = os.path.join(root, "db")
     build_database(
@@ -91,18 +94,24 @@ def main() -> None:
     db = load_database(db_dir)
     reads = simulate_reads(
         db, {"GCF_002012065.1": 4, "GCF_024223415.1": 2,
-             "GCF_006400955.1": 2}, n_reads=n_reads, read_len=150, seed=1,
+             "GCF_006400955.1": 2}, n_reads=n_reads,
+        read_len=4000 if mode == "-l" else 150, seed=1,
     )
+    if mode == "-l":
+        # several bounded groups so the round-robin split engages
+        os.environ["PANTAX_TPU_LONG_GROUP_BASES"] = str(
+            max(n_reads * 4000 // 8, 1 << 20))
     reads_fq = os.path.join(root, "reads.fq")
     with open(reads_fq, "w") as f:
         for r in reads:
             seq = r.seq if isinstance(r.seq, str) else r.seq.decode()
             f.write(f"@{r.read_id}\n{seq}\n+\n{'I' * len(seq)}\n")
 
-    _run(1, db_dir, reads_fq, root)  # warm the persistent compile cache
-    points = {n: _run(n, db_dir, reads_fq, root) for n in proc_counts}
+    _run(1, db_dir, reads_fq, root, mode)  # warm the persistent compile cache
+    points = {n: _run(n, db_dir, reads_fq, root, mode) for n in proc_counts}
     t1 = points.get(1, points[min(points)])
     print(json.dumps({
+        "mode": "long" if mode else "short",
         "n_reads": n_reads,
         "points_s": {str(n): round(t, 2) for n, t in points.items()},
         "speedup": {str(n): round(t1 / t, 3) for n, t in points.items()},
