@@ -78,6 +78,12 @@ def bench_example() -> float:
 
     for _, wire in prefetched(prep, range(n_batches)):
         pending.append(aligner.dispatch_prepped(wire))
+        # consumer-side async host copy of the oldest in-flight batch
+        # (same pattern as run_alignment_benchmark; inline-with-dispatch
+        # hangs on axon — CLAUDE.md)
+        f = getattr(pending[0], "copy_to_host_async", None)
+        if f is not None:
+            f()
         if len(pending) >= depth:
             aligner.collect(pending.pop(0))
             marks.append(time.time())

@@ -162,8 +162,19 @@ def run_alignment_benchmark(
         sl = slice(bidx * batch, (bidx + 1) * batch)
         return sl, aligner.prep_codes(codes[sl], lens[sl])
 
+    touch_on = os.environ.get("PANTAX_TPU_COLLECT_PREFETCH", "1") != "0"
+
+    def _touch(dev):
+        # start the oldest in-flight batch's host copy (safe AFTER dispatch
+        # returned — calling it inline with the launch hangs on axon, see
+        # CLAUDE.md) so collect()'s asarray finds the bytes local
+        f = getattr(dev, "copy_to_host_async", None) if touch_on else None
+        if f is not None:
+            f()
+
     for _, (sl, wire) in prefetched(prep, range(n_batches)):
         pending.append((sl, aligner.dispatch_prepped(wire)))
+        _touch(pending[0][1])
         if len(pending) >= depth:
             sl0, dev0 = pending.pop(0)
             account(sl0, aligner.collect(dev0))
