@@ -318,9 +318,17 @@ def align_long_reads(
         return aligner.prep_codes(s_codes[lo : lo + batch_size],
                                   s_lens[lo : lo + batch_size])
 
+    def _touch(entry):
+        # consumer-side async host copy of the oldest in-flight batch
+        # (safe after dispatch returns; inline-with-launch hangs on axon)
+        f = getattr(entry[1], "copy_to_host_async", None)
+        if f is not None:
+            f()
+
     for lo, wire in prefetched(prep_seeded, range(0, len(s_lens),
                                                   batch_size)):
         pending.append((lo, aligner.dispatch_prepped(wire)))
+        _touch(pending[0])
         if len(pending) >= depth:
             drain(pending.pop(0))
     for entry in pending:
@@ -484,6 +492,7 @@ def align_long_reads(
             for lo, wire in prefetched(prep_rescue,
                                        range(0, nr_pad, batch_size)):
                 pend2.append((lo, aligner.dispatch_extend_prepped(wire)))
+                _touch(pend2[0])
                 if len(pend2) >= depth:
                     drain2(pend2.pop(0))
             for entry in pend2:
