@@ -1724,6 +1724,18 @@ class FusedPipeline:
             if self._int_ids is not None:
                 ids_all = (ids_all or []) + self._int_ids
         reads["ids"] = ids_all
+        # start the accumulators' host copies now (consumer side — the
+        # fused programs are done): the HOST tail's _materialize then finds
+        # the bytes local instead of paying a blocking download (measured
+        # 4.6s in a tunnel-stall window on the example config).  Only on
+        # small tables where _tail_mode picks the host tail — the device
+        # tail never reads these to host, and streaming MBs would occupy
+        # the tunnel exactly when its stats/ADMM dispatches need it.
+        if self.tables.N_pad * 8 + self.tables.U_pad * 4 < (4 << 20):
+            for a in (na, ta, bc):
+                f = getattr(a, "copy_to_host_async", None)
+                if f is not None:
+                    f()
         return FusedResult(na, ta, bc, reads, ov)
 
 
